@@ -1,0 +1,9 @@
+package graft
+
+/** Central list of every registered capability (SURVEY.md §2 inventory).
+  * Each module contributes its `Seq[Q]`; SparkEntry exposes the union.
+  */
+object Registry {
+  def all: Seq[Q] =
+    queries.Relational.all
+}

@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Core relational operators (SURVEY.md §2.B–§2.H) re-expressed
+  * Spark-first over the driver's TPC-H-ish tables.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *   - every double SUM goes through a per-element DECIMAL cast, so the
+  *     aggregation is exact and order-independent in both engines;
+  *   - averages are computed as exact-decimal-sum / count and rounded,
+  *     never as a floating sum whose accumulation order could differ;
+  *   - every result has a total ORDER BY (a unique key suffix breaks
+  *     ties) so row order matches the oracle byte for byte.
+  *
+  * Scale notes (100 TB stance): all aggregations are keyed groupBys
+  * (map-side partial agg + single shuffle); dimension joins broadcast
+  * the small side explicitly; nothing collects to the driver.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a 2-dp double column. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+
+  // --- q01: pricing summary (D1 D4 D9 F1 H7; TPC-H Q1 shape) -------------
+  def q01: Q = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  round(sum(l_quantity) / count(*), 2) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        round(sum(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- q02: projection + conjunctive filter (B1 B2 B5) -------------------
+  def q02: Q = Q(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount >= 0.05
+      |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45 && col("l_discount") >= 0.05
+        && col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- q03: broadcast dim join + agg (C1) --------------------------------
+  def q03: Q = Q(
+    "q03_segment_revenue",
+    """SELECT c_mktsegment,
+      |  count(*) AS order_cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // --- q04: multi-way join to nation revenue (C2) ------------------------
+  def q04: Q = Q(
+    "q04_nation_revenue",
+    """SELECT n_name,
+      |  count(*) AS lineitem_cnt,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin,
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("lineitem_cnt"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+      )
+      .orderBy(col("n_name"))
+  }
+
+  // --- q05: left outer join preserving zero groups (C3 D2) ---------------
+  def q05: Q = Q(
+    "q05_left_join_zero_groups",
+    """SELECT n_name,
+      |  count(c_custkey) AS customer_cnt,
+      |  count(DISTINCT c_mktsegment) AS segment_cnt
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin,
+  ) { (s, dir) =>
+    Tables.nation(s, dir)
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("customer_cnt"),
+        countDistinct(col("c_mktsegment")).as("segment_cnt"))
+      .orderBy(col("n_name"))
+  }
+
+  // --- q06: anti-join / NOT EXISTS (C5, incremental-load shape) ----------
+  def q06: Q = Q(
+    "q06_antijoin",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // --- q07: semi-join / EXISTS -------------------------------------------
+  def q07: Q = Q(
+    "q07_semijoin",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    val pOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+    Tables.customer(s, dir)
+      .join(pOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // --- q08: top-k (F2 — plans TakeOrderedAndProject, no full sort) -------
+  def q08: Q = Q(
+    "q08_topk_orders",
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // --- q09: exact distinct count per group (D3) --------------------------
+  def q09: Q = Q(
+    "q09_distinct_count",
+    """SELECT c_mktsegment,
+      |  count(DISTINCT c_nationkey) AS nation_cnt,
+      |  count(*) AS customer_cnt
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin,
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("nation_cnt"),
+        count(lit(1)).as("customer_cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // --- q10: HAVING (D6) --------------------------------------------------
+  def q10: Q = Q(
+    "q10_having",
+    """SELECT o_custkey, count(*) AS order_cnt
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) >= 12
+      |ORDER BY o_custkey""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"))
+      .filter(col("order_cnt") >= 12)
+      .orderBy(col("o_custkey"))
+  }
+
+  // --- q11: exact interpolated percentile (D7, PERCENTILE_CONT) ----------
+  def q11: Q = Q(
+    "q11_percentile",
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+      )
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- q12: percent-of-total via unpartitioned window (E1) ---------------
+  def q12: Q = Q(
+    "q12_pct_of_total",
+    """SELECT o_orderpriority, cnt,
+      |  round(cnt * 100.0 / sum(cnt) OVER (), 2) AS pct
+      |FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 2))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- q13: ranked top-n per group (E2-family ranking) -------------------
+  def q13: Q = Q(
+    "q13_topn_per_group",
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  // --- q14: LEAD next-event gap (E4; readmission-label shape) ------------
+  def q14: Q = Q(
+    "q14_lead_gap",
+    """SELECT user_id, event_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+      |    - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // --- q15: CASE-bucketed two-stage cohort agg (D10 H11) -----------------
+  def q15: Q = Q(
+    "q15_order_cohorts",
+    """WITH per_cust AS (
+      |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+      |SELECT CASE WHEN cnt = 1 THEN '1: one'
+      |            WHEN cnt BETWEEN 2 AND 5 THEN '2: few'
+      |            WHEN cnt BETWEEN 6 AND 10 THEN '3: regular'
+      |            ELSE '4: frequent' END AS cohort,
+      |  count(*) AS customers
+      |FROM per_cust
+      |GROUP BY 1
+      |ORDER BY cohort""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cohort",
+        when(col("cnt") === 1, "1: one")
+          .when(col("cnt").between(2, 5), "2: few")
+          .when(col("cnt").between(6, 10), "3: regular")
+          .otherwise("4: frequent"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("customers"))
+      .orderBy(col("cohort"))
+  }
+
+  // --- q16: stacked single-row metrics via UNION ALL (D11 G1) ------------
+  def q16: Q = Q(
+    "q16_union_metrics",
+    """SELECT 'customers' AS metric, CAST(count(*) AS DOUBLE) AS value FROM customer
+      |UNION ALL
+      |SELECT 'orders', CAST(count(*) AS DOUBLE) FROM orders
+      |UNION ALL
+      |SELECT 'distinct_order_customers', CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+      |UNION ALL
+      |SELECT 'max_order_price', max(o_totalprice) FROM orders
+      |ORDER BY metric""".stripMargin,
+  ) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.agg(count(lit(1)).cast("double").as("value")).select(lit("customers").as("metric"), col("value"))
+      .unionByName(o.agg(count(lit(1)).cast("double").as("value")).select(lit("orders").as("metric"), col("value")))
+      .unionByName(o.agg(countDistinct(col("o_custkey")).cast("double").as("value"))
+        .select(lit("distinct_order_customers").as("metric"), col("value")))
+      .unionByName(o.agg(max(col("o_totalprice")).as("value")).select(lit("max_order_price").as("metric"), col("value")))
+      .orderBy(col("metric"))
+  }
+
+  // --- q17: scalar-subquery threshold via cross join (C4 B5 D7) ----------
+  def q17: Q = Q(
+    "q17_above_p90",
+    """WITH p AS (SELECT quantile_cont(o_totalprice, 0.9) AS p90 FROM orders)
+      |SELECT o_orderpriority, count(*) AS cnt
+      |FROM orders, p
+      |WHERE o_totalprice > p90
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val p90 = o.agg(expr("percentile(o_totalprice, 0.9)").as("p90"))
+    o.crossJoin(broadcast(p90))
+      .filter(col("o_totalprice") > col("p90"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- q18: monthly time series via date_trunc (H5) ----------------------
+  def q18: Q = Q(
+    "q18_monthly_revenue",
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS order_cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  // --- q19: multi-key GROUP BY (D5) --------------------------------------
+  def q19: Q = Q(
+    "q19_multikey_group",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  // --- q20: aggregate-of-expression (D9 H8; noise-impact shape) ----------
+  def q20: Q = Q(
+    "q20_agg_of_expr",
+    """SELECT round(abs(
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  - CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  ), 2) AS avg_discount_impact
+      |FROM lineitem""".stripMargin,
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(round(abs(
+        dsum(col("l_extendedprice")) / count(lit(1))
+          - dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) / count(lit(1))),
+        2).as("avg_discount_impact"))
+  }
+
+  // --- q21: KPI block of independent scalar aggregates (D8) --------------
+  def q21: Q = Q(
+    "q21_kpi_block",
+    """SELECT
+      |  (SELECT count(*) FROM customer) AS total_customers,
+      |  (SELECT count(*) FROM orders) AS total_orders,
+      |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) AS total_revenue,
+      |  (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) FROM orders) AS avg_order_value,
+      |  (SELECT min(o_orderdate) FROM orders) AS first_order,
+      |  (SELECT max(o_orderdate) FROM orders) AS last_order""".stripMargin,
+  ) { (s, dir) =>
+    val c = Tables.customer(s, dir).agg(count(lit(1)).as("total_customers"))
+    val o = Tables.orders(s, dir).agg(
+      count(lit(1)).as("total_orders"),
+      dsum(col("o_totalprice")).as("total_revenue"),
+      round(dsum(col("o_totalprice")) / count(lit(1)), 2).as("avg_order_value"),
+      min(col("o_orderdate")).as("first_order"),
+      max(col("o_orderdate")).as("last_order"),
+    )
+    c.crossJoin(o)
+  }
+
+  // --- q22: casts + rounding (H6 H7) -------------------------------------
+  def q22: Q = Q(
+    "q22_casts",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS INTEGER) AS qty_int,
+      |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+      |  round(l_extendedprice * l_tax, 2) AS tax_amount
+      |FROM lineitem
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_shipdate").cast("date").cast("string").as("ship_date"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_str"),
+        round(col("l_extendedprice") * col("l_tax"), 2).as("tax_amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+}

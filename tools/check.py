@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Assumes `sbt compile` (or package) already ran and Verify was executed to
+produce outDir/<name>/ parquet dirs + outDir/oracle_sql.json, OR run with
+--run to invoke Verify first via java.
+
+Compares each query result against the DuckDB oracle:
+  - schema: column names (sorted) must match
+  - values: exact equality after sorting columns by name (and rows,
+    to be robust to row-order differences)
+"""
+import json
+import os
+import subprocess
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_verify(sf_dir, out_dir):
+    jars = sorted(glob.glob("/opt/spark/jars/*.jar"))
+    cp = "target/scala-2.13/classes:" + ":".join(jars)
+    opens = [
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ]
+    cmd = ["java"]
+    for p in opens:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += [
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx8g",
+        "-cp", cp, "graft.Verify", sf_dir, out_dir,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    r = subprocess.run(cmd, cwd="/root/repo", env=env)
+    if r.returncode != 0:
+        print("Verify FAILED", file=sys.stderr)
+        sys.exit(1)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    if "--run" in sys.argv:
+        run_verify(sf_dir, out_dir)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        try:
+            mine = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            results[name] = f"READ-FAIL {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(mine)} rows)" + ("  ⚠ ZERO" if len(mine) == 0 else "")
+            continue
+        try:
+            ref = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {str(e)[:200]}"
+            continue
+        m = mine.reindex(sorted(mine.columns), axis=1)
+        r = ref.reindex(sorted(ref.columns), axis=1)
+        if list(m.columns) != list(r.columns):
+            results[name] = f"SCHEMA-MISMATCH mine={list(m.columns)} ref={list(r.columns)}"
+            continue
+        if len(m) != len(r):
+            results[name] = f"ROWCOUNT mine={len(m)} ref={len(r)}"
+            continue
+        # normalize dtypes for compare: ints → Int64, timestamps → us, objects → str
+        def norm(df):
+            df = df.copy()
+            for c in df.columns:
+                dt = str(df[c].dtype)
+                if dt.startswith("datetime"):
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                elif dt.startswith(("int", "uint", "Int", "UInt")):
+                    df[c] = df[c].astype("Int64")
+                elif df[c].dtype == object:
+                    df[c] = df[c].astype(str)
+            return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        m, r = norm(m), norm(r)
+        eq = m.equals(r)
+        if not eq:
+            diffs = []
+            for c in m.columns:
+                if not m[c].equals(r[c]):
+                    neq = (m[c] != r[c]) & ~(m[c].isna() & r[c].isna())
+                    idx = neq[neq].index[:3]
+                    for i in idx:
+                        diffs.append(f"{c}[{i}]: mine={m[c][i]!r} ref={r[c][i]!r}")
+            results[name] = "VALUE-MISMATCH " + "; ".join(diffs[:6])
+        else:
+            results[name] = f"OK ({len(m)} rows)"
+
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
+    for k, v in sorted(results.items()):
+        flag = "✓" if v.startswith(("OK", "rows-only")) else "✗"
+        print(f"{flag} {k}: {v}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 2)
+
+
+if __name__ == "__main__":
+    main()
