@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar ETL transforms (SURVEY.md §2.H). The reference implements
+  * these as per-row Python (`scripts/etl.py:35-72`); here each is a
+  * built-in Column expression — zero UDFs, fully codegen'd, so they
+  * vectorize inside whole-stage codegen at any scale.
+  */
+object Transforms {
+
+  /** H1: PII anonymization — SHA-256 hex digest (`scripts/etl.py:35-37`). */
+  def anonymize(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** H2: calendar-exact age in whole years at `asOf`
+    * (`scripts/etl.py:40-46` — birthday-aware (month, day) compare).
+    * floor(months_between / 12) reproduces the correction exactly.
+    */
+  def age(dob: Column, asOf: Column): Column =
+    floor(months_between(asOf, dob) / 12).cast("int")
+
+  /** H3: age → labeled bucket (`scripts/etl.py:49-62`). */
+  def ageGroup(age: Column): Column =
+    when(age.isNull, "Unknown")
+      .when(age < 18, "Child (0-17)")
+      .when(age < 35, "Young Adult (18-34)")
+      .when(age < 50, "Adult (35-49)")
+      .when(age < 65, "Middle-Aged (50-64)")
+      .otherwise("Senior (65+)")
+
+  /** B7: validity flag — conjunction of not-null checks over required
+    * columns (`scripts/etl.py:110,159,206-211`).
+    */
+  def validRecord(required: Seq[Column]): Column =
+    required.map(_.isNotNull).reduce(_ && _)
+
+  /** H4: Laplace noise via inverse CDF (`fact_visits.sql:40-51`):
+    * noise = −(1/ε)·sign(u)·ln(1−2|u|), u ~ U(−0.5, 0.5), clamped ≥ 0.
+    * Seeded `rand` — deterministic for a fixed partitioning.
+    */
+  def laplaceNoised(value: Column, epsilon: Double, seed: Long): Column = {
+    val u = rand(seed) - 0.5
+    greatest(lit(0.0), value + (lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))))
+  }
+
+  /** H4 (keyed variant): the same Laplace mechanism but with u derived
+    * from a per-row key through a Lehmer-style LCG, so the noise is a
+    * pure function of (key, salt) — reproducible across engines,
+    * partitionings, and retries. Used for oracle-checked tests; the
+    * `rand(seed)` variant above matches the reference's RANDOM().
+    * u ∈ [−0.5, 0.5): hash = (key·2654435761 + salt) mod 1000003.
+    */
+  def laplaceNoisedKeyed(value: Column, key: Column, epsilon: Double, salt: Long = 42L): Column = {
+    val h = pmod(key.cast("long") * lit(2654435761L) + lit(salt), lit(1000003L))
+    val u = h.cast("double") / 1000003.0 - 0.5
+    greatest(lit(0.0), value + (lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))))
+  }
+}

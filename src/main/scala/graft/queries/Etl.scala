@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Transforms
+import graft.warehouse.{Keys, Merge}
+
+/** ETL-layer operators (SURVEY.md §2.A, §2.H): anonymization, age
+  * bucketing, validity flags, merge/upsert, surrogate keys, and the
+  * differential-privacy noise column.
+  */
+object Etl {
+
+  val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace)
+
+  // --- H1: SHA-256 PII anonymization --------------------------------------
+  def sha2Anonymize: Q = Q(
+    "q29_sha2_anonymize",
+    """SELECT c_custkey, sha256(c_name) AS anonymized_name
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), Transforms.anonymize(col("c_name")).as("anonymized_name"))
+      .orderBy("c_custkey")
+  }
+
+  // --- H2+H3: age computation + labeled bucketing -------------------------
+  // Order "age" in whole years at a pinned as-of date stands in for the
+  // patient date-of-birth → age-group chain (`scripts/etl.py:40-62`).
+  def ageBucket: Q = Q(
+    "q30_age_bucket",
+    """SELECT CASE WHEN age_years < 27 THEN '1: <27y'
+      |            WHEN age_years < 29 THEN '2: 27-28y'
+      |            WHEN age_years < 31 THEN '3: 29-30y'
+      |            ELSE '4: 31y+' END AS age_bucket,
+      |  count(*) AS cnt
+      |FROM (SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-08-12') / 365.25) AS INT) AS age_years
+      |      FROM orders)
+      |GROUP BY 1
+      |ORDER BY age_bucket""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(floor(datediff(lit("2026-08-12").cast("date"), col("o_orderdate").cast("date")) / 365.25)
+        .cast("int").as("age_years"))
+      .withColumn("age_bucket",
+        when(col("age_years") < 27, "1: <27y")
+          .when(col("age_years") < 29, "2: 27-28y")
+          .when(col("age_years") < 31, "3: 29-30y")
+          .otherwise("4: 31y+"))
+      .groupBy("age_bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("age_bucket")
+  }
+
+  // --- B7: validity-flag computation --------------------------------------
+  def validity: Q = Q(
+    "q31_validity_flags",
+    """SELECT count(*) AS total,
+      |  CAST(sum(CASE WHEN c_custkey IS NOT NULL AND c_name IS NOT NULL
+      |                     AND c_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+      |  CAST(sum(CASE WHEN c_custkey IS NOT NULL AND c_name IS NOT NULL
+      |                     AND c_nationkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS invalid_records
+      |FROM customer""".stripMargin,
+  ) { (s, dir) =>
+    val required = Seq(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    Tables.customer(s, dir)
+      .withColumn("valid_record", Transforms.validRecord(required))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("valid_record"), 1).otherwise(0)).as("valid_records"),
+        sum(when(col("valid_record"), 0).otherwise(1)).as("invalid_records"))
+  }
+
+  // --- A7+C5: key-based upsert (ON CONFLICT DO UPDATE semantics) ----------
+  // existing = pre-2000 orders; incoming = re-stated 1999+ orders with a
+  // marker status and adjusted price. Incoming wins on key collision.
+  def mergeUpsert: Q = Q(
+    "q32_merge_upsert",
+    """WITH existing AS (
+      |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      |incoming AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |         o_totalprice + 25.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+      |merged AS (
+      |  SELECT * FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = e.o_orderkey)
+      |  UNION ALL SELECT * FROM incoming)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin,
+  ) { (s, dir) =>
+    val orders   = Tables.orders(s, dir)
+    val existing = orders.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    val incoming = orders.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 25.0)
+    Merge.upsert(existing, incoming, Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- E2/§7.3: contiguous surrogate keys without a global window ---------
+  def surrogateKeys: Q = Q(
+    "q33_surrogate_keys",
+    """SELECT n_nationkey, n_name,
+      |  row_number() OVER (ORDER BY n_name) AS skey
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin,
+  ) { (s, dir) =>
+    Keys.addSurrogate(Tables.nation(s, dir), "skey", Seq(col("n_name")))
+      .select("n_nationkey", "n_name", "skey")
+      .orderBy("n_nationkey")
+  }
+
+  // --- H4: differential-privacy Laplace noise (keyed, reproducible) -------
+  def dpLaplace: Q = Q(
+    "q34_dp_laplace",
+    """SELECT o_orderkey,
+      |  round(greatest(0.0, o_totalprice
+      |    + (-(1.0 / 0.1) * sign(u) * ln(1 - 2 * abs(u)))), 2) AS noised_price
+      |FROM (SELECT o_orderkey, o_totalprice,
+      |        CAST((o_orderkey * 2654435761 + 42) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS u
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(Transforms.laplaceNoisedKeyed(col("o_totalprice"), col("o_orderkey"), 0.1, 42L), 2)
+          .as("noised_price"))
+      .orderBy("o_orderkey")
+  }
+}

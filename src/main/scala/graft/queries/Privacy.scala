@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.privacy.PrivacyEngine
+
+/** Privacy-engine capabilities (SURVEY.md §2.K) registered against the
+  * driver tables: `customer` stands in for the patient dimension, with
+  * quasi-identifiers (c_nationkey, c_mktsegment) and sensitive
+  * attribute c_mktsegment.
+  */
+object Privacy {
+  private val QI2 = Seq("c_nationkey", "c_mktsegment")
+  private val QI1 = Seq("c_nationkey")
+
+  val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, lDiversity, tCloseness, auditScore)
+
+  // --- K1: k-anonymity report --------------------------------------------
+  def kAnonymity: Q = Q(
+    "q23_k_anonymity",
+    """WITH gs AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT count(*) AS total_groups,
+      |  CAST(coalesce(sum(CASE WHEN group_size < 5 THEN 1 END), 0) AS BIGINT) AS violating_groups,
+      |  CAST(coalesce(sum(CASE WHEN group_size < 5 THEN group_size END), 0) AS BIGINT) AS affected_rows,
+      |  min(group_size) AS min_group_size,
+      |  max(group_size) AS max_group_size,
+      |  round(CAST(sum(group_size) AS DOUBLE) / count(*), 2) AS avg_group_size,
+      |  coalesce(sum(CASE WHEN group_size < 5 THEN 1 END), 0) = 0 AS is_k_anonymous
+      |FROM gs""".stripMargin,
+  ) { (s, dir) => PrivacyEngine.kAnonymityReport(Tables.customer(s, dir), QI2, 5) }
+
+  // --- K2: suppression enforcement ---------------------------------------
+  def suppress: Q = Q(
+    "q24_k_anon_suppress",
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey,
+      |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS gs
+      |  FROM customer)
+      |WHERE gs >= 5
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    PrivacyEngine.suppress(Tables.customer(s, dir), QI2, 5)
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  // --- K3: generalization enforcement ------------------------------------
+  def generalize: Q = Q(
+    "q25_k_anon_generalize",
+    """SELECT c_custkey,
+      |  CASE WHEN count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) < 5
+      |       THEN 'OTHER' ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    PrivacyEngine.generalize(Tables.customer(s, dir), QI2, 5, "c_mktsegment", lit("OTHER"))
+      .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+  }
+
+  // --- K4: l-diversity -----------------------------------------------------
+  def lDiversity: Q = Q(
+    "q26_l_diversity",
+    """SELECT c_nationkey,
+      |  count(DISTINCT c_mktsegment) AS l_count,
+      |  count(*) AS group_size,
+      |  count(DISTINCT c_mktsegment) >= 3 AS l_diverse
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin,
+  ) { (s, dir) =>
+    PrivacyEngine.lDiversity(Tables.customer(s, dir), QI1, "c_mktsegment")
+      .withColumn("l_diverse", col("l_count") >= 3)
+      .orderBy("c_nationkey")
+  }
+
+  // --- K5: t-closeness (relational TVD rewrite, SURVEY §2 D14) ------------
+  def tCloseness: Q = Q(
+    "q27_t_closeness",
+    """WITH total AS (SELECT count(*) AS n_total FROM customer),
+      |overall AS (
+      |  SELECT c_mktsegment,
+      |    CAST(count(*) AS DOUBLE) / (SELECT n_total FROM total) AS p_overall
+      |  FROM customer GROUP BY 1),
+      |groups AS (SELECT c_nationkey, count(*) AS g_tot FROM customer GROUP BY 1),
+      |cells AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS c_cnt
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT g.c_nationkey,
+      |  round(sum(abs(CAST(coalesce(c.c_cnt, 0) AS DOUBLE) / g.g_tot - o.p_overall)) / 2, 4) AS tvd
+      |FROM groups g
+      |CROSS JOIN overall o
+      |LEFT JOIN cells c
+      |  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = o.c_mktsegment
+      |GROUP BY g.c_nationkey
+      |ORDER BY g.c_nationkey""".stripMargin,
+  ) { (s, dir) =>
+    PrivacyEngine.tCloseness(Tables.customer(s, dir), QI1, "c_mktsegment")
+      .orderBy("c_nationkey")
+  }
+
+  // --- K6: comprehensive audit score --------------------------------------
+  def auditScore: Q = Q(
+    "q28_privacy_audit_score",
+    """WITH gs AS (
+      |  SELECT c_nationkey, count(*) AS group_size
+      |  FROM customer GROUP BY 1),
+      |k AS (SELECT coalesce(sum(CASE WHEN group_size < 5 THEN 1 END), 0) = 0 AS k_pass FROM gs),
+      |ld AS (
+      |  SELECT c_nationkey, count(DISTINCT c_mktsegment) AS l_count
+      |  FROM customer GROUP BY 1),
+      |l AS (SELECT coalesce(sum(CASE WHEN l_count < 3 THEN 1 END), 0) = 0 AS l_pass FROM ld),
+      |total AS (SELECT count(*) AS n_total FROM customer),
+      |overall AS (
+      |  SELECT c_mktsegment,
+      |    CAST(count(*) AS DOUBLE) / (SELECT n_total FROM total) AS p_overall
+      |  FROM customer GROUP BY 1),
+      |groups AS (SELECT c_nationkey, count(*) AS g_tot FROM customer GROUP BY 1),
+      |cells AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS c_cnt
+      |  FROM customer GROUP BY 1, 2),
+      |tvds AS (
+      |  SELECT g.c_nationkey,
+      |    round(sum(abs(CAST(coalesce(c.c_cnt, 0) AS DOUBLE) / g.g_tot - o.p_overall)) / 2, 4) AS tvd
+      |  FROM groups g
+      |  CROSS JOIN overall o
+      |  LEFT JOIN cells c
+      |    ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = o.c_mktsegment
+      |  GROUP BY g.c_nationkey),
+      |t AS (SELECT coalesce(sum(CASE WHEN tvd > 0.2 THEN 1 END), 0) = 0 AS t_pass FROM tvds)
+      |SELECT k_pass, l_pass, t_pass,
+      |  round((CAST(k_pass AS INT) + CAST(l_pass AS INT) + CAST(t_pass AS INT)) * 100.0 / 3.0, 2)
+      |    AS privacy_score
+      |FROM k, l, t""".stripMargin,
+  ) { (s, dir) =>
+    PrivacyEngine.auditScore(Tables.customer(s, dir), QI1, "c_mktsegment", k = 5, l = 3, t = 0.2)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Key-based upsert / incremental-load semantics (SURVEY.md §2 A7, C5).
+  *
+  * The reference leans on Postgres `INSERT … ON CONFLICT DO UPDATE`
+  * (`scripts/etl.py:122-126`) and dbt's `is_incremental()` NOT-EXISTS
+  * insert (`dim_patients.sql:20-26`). Parquet has no MERGE, so both
+  * become join-rewrites:
+  *
+  *   upsert     = target ▷ incoming (anti on keys) ∪ incoming
+  *   insertOnly = target ∪ (incoming ▷ target)
+  *
+  * Both are idempotent (property-tested) and scale as one shuffled
+  * join on the natural key — or zero shuffles when both sides are
+  * bucketed on the key.
+  */
+object Merge {
+
+  /** ON CONFLICT DO UPDATE: incoming wins on key collision. */
+  def upsert(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(incoming.select(keys.head, keys.tail: _*), keys, "left_anti")
+      .unionByName(incoming)
+
+  /** dbt is_incremental(): only new keys are appended; existing rows
+    * are never modified.
+    */
+  def insertOnly(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(
+      incoming.join(target.select(keys.head, keys.tail: _*), keys, "left_anti"))
+
+  /** Atomic table rewrite: write to a temp dir, then swap. The rewrite
+    * is the price of upsert-on-parquet; at scale, partition the table
+    * and rewrite only partitions containing touched keys.
+    */
+  def rewriteTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
