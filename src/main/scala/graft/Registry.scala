@@ -5,5 +5,6 @@ package graft
   */
 object Registry {
   def all: Seq[Q] =
-    queries.Relational.all ++ queries.Privacy.all ++ queries.Etl.all
+    queries.Relational.all ++ queries.Privacy.all ++ queries.Etl.all ++
+      queries.Text.all
 }

@@ -1,0 +1,148 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash — each expressed as keyed dataflow
+  * (explode → shuffle-on-key → join), never an O(n²) cross product,
+  * so the same plans run at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the content columns, keeping the
+    * minimum id per group. One shuffle on the content hash.
+    */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("copies"))
+
+  /** Word n-gram shingles (distinct) of a token array. Callers must
+    * filter rows with fewer than n tokens first (Spark's `sequence`
+    * would otherwise produce a descending range).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** (id, shingle) long table — the inverted-index form. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.filter(size(TextAnalysis.tokens(col(textCol))) >= n)
+      .select(col(idCol), explode(wordShingles(TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * pairs sharing ≥1 shingle get |A∩B| from the join, |A| and |B| from
+    * per-doc counts. At web scale add a document-frequency cap on
+    * shingles (drop shingles appearing in > dfCap docs) to bound the
+    * join fan-out; dfCap <= 0 disables it.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, dfCap: Int = 0): DataFrame = {
+    val sh0 = shingleTable(df, idCol, textCol, n)
+    val sh = if (dfCap > 0) {
+      val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+      sh0.join(hot, Seq("shingle"), "left_anti")
+    } else sh0
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("id_a", "shingle")
+    val b = sh.toDF("id_b", "shingle")
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  val NumPerms = 32
+  val MinhashPrime = 2147483647L // 2^31 − 1
+  // Deterministic permutation parameters, seed 42.
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 2)),
+      Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue - 1).toLong))
+  }
+
+  /** MinHash signatures: explode shingles, hash once per shingle, then
+    * one groupBy computing all k permutation minima map-side (partial
+    * aggregation makes the shuffle k longs per doc, not per shingle).
+    * Returns (idCol, sig: array<long>[k]).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val hashed = shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val mins = (0 until NumPerms).map { i =>
+      min(pmod(col("h") * permA(i) + permB(i), lit(MinhashPrime))).as(s"m$i")
+    }
+    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: k perms → `bands` bands of k/bands rows; docs collide
+    * when any band hash matches. Candidate generation is a self-join on
+    * (band_id, band_hash) — shuffle-bounded by bucket sizes, never n².
+    * est_jaccard = fraction of matching signature components.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
+    val r = NumPerms / bands
+    val bandCols = transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band_id"), xxhash64(concat_ws(",", j, slice(col("sig"), j * r + 1, lit(r)))).as("band_hash")))
+    val exploded = sigs.select(col(idCol), explode(bandCols).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+    val cand = exploded.toDF("id_a", "band_id", "band_hash")
+      .join(exploded.toDF("id_b", "band_id", "band_hash"), Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / NumPerms, 4))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens: per-token xxhash64, bit j of the
+    * signature is the sign of Σ_tokens (±1 on bit j). One explode + one
+    * groupBy; the 64 bit-sums partial-aggregate map-side.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * banding the 64-bit signature into 4×16-bit keys (any exact-band
+    * match is a candidate — guaranteed complete for maxHamming ≤ 3 by
+    * pigeonhole; a recall/efficiency trade-off above that).
+    */
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_id"),
+          col("simhash").bitwiseAND(lit(0xffffL << (16 * k))).as("band_val"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band_id"), col("b.band_val"))
+    banded.toDF("id_a", "sh_a", "band_id", "band_val")
+      .join(banded.toDF("id_b", "sh_b", "band_id", "band_val"), Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.dedup.Dedup
+import graft.functions.RollingHash
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators over the `documents` corpus: text
+  * analysis, exact/fuzzy deduplication, fingerprinting.
+  */
+object Text {
+
+  val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
+    ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint)
+
+  private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  // --- token counting ------------------------------------------------------
+  def tokenCount: Q = Q(
+    "q35_token_count",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS text_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  // --- quality scoring -----------------------------------------------------
+  def textQuality: Q = Q(
+    "q36_text_quality",
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  round(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+       |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5
+       |    + (1.0 - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)) * 0.5, 4) AS quality
+       |FROM t
+       |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(TextAnalysis.stopwordCount(toks).cast("double") / size(toks), 4).as("stop_ratio"),
+        round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // --- heuristic language ID ----------------------------------------------
+  def langId: Q = Q(
+    "q37_lang_id",
+    """WITH sc AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','is'))) AS s_en,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','y'))) AS s_es,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))) AS s_de,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('le','les','du','et'))) AS s_fr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+      |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  // --- corpus-level stats --------------------------------------------------
+  def corpusStats: Q = Q(
+    "q38_corpus_stats",
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 2) AS avg_tokens,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        round(sum(TextAnalysis.tokenCount(col("text")).cast("long")).cast("double") / count(lit(1)), 2).as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  // --- exact dedup ---------------------------------------------------------
+  def dedupExact: Q = Q(
+    "q39_dedup_exact",
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_doc_id""".stripMargin,
+  ) { (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir), Seq("text"), "doc_id")
+      .select("keep_doc_id", "copies")
+      .orderBy("keep_doc_id")
+  }
+
+  // --- exact n-gram Jaccard near-dups (inverted-index join) ---------------
+  def ngramJaccard: Q = Q(
+    "q40_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin,
+  ) { (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- MinHash + LSH near-dups (rows-only: xxhash64 not in DuckDB) --------
+  def minhashLsh: Q = Q.rowsOnly("q41_minhash_lsh") { (s, dir) =>
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.lshCandidates(sigs, "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- SimHash near-dups (rows-only) --------------------------------------
+  def simhashPairs: Q = Q.rowsOnly("q42_simhash") { (s, dir) =>
+    val sh = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- rolling-hash fingerprint (native codegen Expression) ---------------
+  def rollingFingerprint: Q = Q.rowsOnly("q43_rolling_fingerprint") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), RollingHash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // --- md5 fingerprint (oracle-checked) -----------------------------------
+  def md5Fingerprint: Q = Q(
+    "q44_md5_fingerprint",
+    """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+}
