@@ -6,5 +6,5 @@ package graft
 object Registry {
   def all: Seq[Q] =
     queries.Relational.all ++ queries.Privacy.all ++ queries.Etl.all ++
-      queries.Text.all
+      queries.Text.all ++ queries.Embeddings.all ++ queries.Events.all
 }

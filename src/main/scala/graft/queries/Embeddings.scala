@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.similarity.Similarity
+
+/** Similarity-search capabilities over the `embeddings` table. */
+object Embeddings {
+
+  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh)
+
+  /** DuckDB fragment: left-fold double-precision dot of lists a·b. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  // --- exact brute-force top-k --------------------------------------------
+  def cosineTopK: Q = Q(
+    "q45_cosine_topk",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${sqlCos("embedding", "qv")}, 6) AS cos_sim
+       |FROM embeddings, q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin,
+  ) { (s, dir) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+  }
+
+  // --- blocked pair search (label blocks) ---------------------------------
+  def labelPairs: Q = Q(
+    "q46_label_cosine_pairs",
+    s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin,
+  ) { (s, dir) =>
+    Similarity.blockedPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- LSH-bucketed approximate top-k (rows-only; recall spec-tested) -----
+  def annLsh: Q = Q.rowsOnly("q47_ann_lsh") { (s, dir) =>
+    Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Event-stream analytics in batch form (SURVEY.md §2.I maps streaming
+  * to scheduled batch; the Structured Streaming variants of these live
+  * in graft.streaming and are spec-tested with MemoryStream).
+  */
+object Events {
+
+  val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures)
+
+  // --- tumbling-window aggregation (batch form of a streaming window) -----
+  def hourlyWindows: Q = Q(
+    "q48_event_hourly",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin,
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy("hour", "event_type")
+  }
+
+  // --- sessionization: 30-min inactivity gap splits sessions --------------
+  def sessionize: Q = Q(
+    "q49_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM e)
+      |SELECT user_id, session_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) AS session_end_us,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // --- semi-structured JSON extraction (H15 extension) --------------------
+  def jsonExtract: Q = Q(
+    "q50_json_extract",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      |FROM events
+      |ORDER BY event_id""".stripMargin,
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy("event_id")
+  }
+
+  // --- ML feature engineering (SURVEY §2 E3/E4/J1 shape) ------------------
+  // Per-event features: per-user analytic aggregates + a LEAD-derived
+  // "next event within 1 day" label — the readmission-label pattern.
+  def mlFeatures: Q = Q(
+    "q51_ml_features",
+    """SELECT event_id, user_id,
+      |  count(*) OVER (PARTITION BY user_id) AS user_event_cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS user_value_sum,
+      |  max(value) OVER (PARTITION BY user_id) AS user_value_max,
+      |  min(value) OVER (PARTITION BY user_id) AS user_value_min,
+      |  CASE WHEN epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+      |              (PARTITION BY user_id ORDER BY ts, event_id))
+      |            - epoch_us(CAST(ts AS TIMESTAMP)) <= 86400000000
+      |       THEN 1 ELSE 0 END AS next_within_1d
+      |FROM events
+      |ORDER BY event_id""".stripMargin,
+  ) { (s, dir) =>
+    val wAll = Window.partitionBy("user_id")
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(wAll).as("user_event_cnt"),
+        sum(col("value").cast("decimal(18,2)")).over(wAll).cast("double").as("user_value_sum"),
+        max(col("value")).over(wAll).as("user_value_max"),
+        min(col("value")).over(wAll).as("user_value_min"),
+        when(unix_micros(lead(col("ts"), 1).over(wOrd)) - unix_micros(col("ts")) <= 86400000000L, 1)
+          .otherwise(0).as("next_within_1d"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Cosine arithmetic is done in double precision with a left-to-right
+  * fold (`aggregate` over `zip_with`) so results are bit-reproducible
+  * across engines — the DuckDB oracles use the same fold order.
+  *
+  * Scale path: the brute-force scan is the correctness baseline
+  * (O(n·d) per query — fine for one query, wrong for n×n); candidate
+  * generation for pair search uses blocked joins (label blocks or
+  * random-hyperplane LSH buckets), never a cross product.
+  */
+object Similarity {
+
+  /** Element-wise double cast — float inputs promote exactly. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Left-fold dot product; both engines accumulate in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against the vector with id `queryId`.
+    * The 1-row query side is broadcast; ordering is on rounded
+    * similarity with id tie-break for cross-engine determinism.
+    */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = embs.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    embs.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs within equal `blockCol` values whose cosine ≥ threshold.
+    * Blocking keys turn the quadratic pair space into per-block joins —
+    * the standard shape for dedup at scale (swap the label for an LSH
+    * bucket when no natural block exists).
+    */
+  def blockedPairs(embs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = embs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(asDouble(col("va")), asDouble(col("vb"))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("blk").as(blockCol), col("id_a"), col("id_b"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  // ---- Random-hyperplane LSH ---------------------------------------------
+
+  val Dim = 64
+  val Tables = 4
+  val BitsPerTable = 4
+  /** Deterministic hyperplanes, seed 42: Tables×BitsPerTable planes. */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+
+  /** (id, table_id, bucket) sketch table: bucket = sign bits of the
+    * vector against this table's hyperplanes. Pure per-row compute.
+    */
+  def sketches(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val tableBuckets = (0 until Tables).map { t =>
+      val bits = (0 until BitsPerTable).map { j =>
+        when(dot(v, planeLit(planes(t * BitsPerTable + j))) > 0, 1 << j).otherwise(0)
+      }
+      struct(lit(t).as("table_id"), bits.reduce(_ + _).as("bucket"))
+    }
+    embs.select(col(idCol), explode(array(tableBuckets: _*)).as("s"))
+      .select(col(idCol), col("s.table_id"), col("s.bucket"))
+  }
+
+  /** Approximate top-k: candidates = vectors sharing any LSH bucket
+    * with the query (union over tables), then exact cosine on the
+    * candidate set only. Recall/cost tunes via Tables × BitsPerTable.
+    */
+  def annTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val sk = sketches(embs, idCol, vecCol)
+    val qsk = sk.filter(col(idCol) === queryId)
+      .select(col("table_id"), col("bucket"))
+    val candidates = sk.join(broadcast(qsk), Seq("table_id", "bucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(idCol).distinct()
+    val q = embs.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    embs.join(candidates, idCol)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}
