@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.RollingHash
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tonight")
+  private val other = "completely different words describing nothing in common with anything"
+
+  private def docs = Seq((0L, base), (1L, base), (2L, nearDup), (3L, other))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .orderBy("keep_doc_id")
+      .collect().map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("copies")))
+    assert(out.toSeq === Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("wordShingles builds n-2 distinct 3-grams") {
+    val sh = Seq(("a b c d")).toDF("text")
+      .select(Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+
+  test("jaccard pairs: identical docs = 1.0, near-dups high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash + LSH finds the planted duplicates") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(sigs.head().getSeq[Long](1).length === Dedup.NumPerms)
+    val cand = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(cand((0L, 1L)) === 1.0)          // identical docs: identical signatures
+    assert(cand.contains((0L, 2L)))          // near-dup pair surfaces as candidate
+  }
+
+  test("simhash: identical docs collide at hamming 0, near-dups within 3") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((0L, 1L)) === 0)
+    assert(pairs.get((0L, 2L)).forall(_ <= 3))
+  }
+
+  test("rolling hash: deterministic, content-sensitive, codegen == eval") {
+    val out = docs.select(col("doc_id"), RollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === out(1L))
+    assert(out(0L) !== out(2L))
+    assert(out(0L) === RollingHash.hashBytes(base.getBytes("UTF-8")))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and stopword counting") {
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordCount(TextAnalysis.tokens(col("text"))).as("s"),
+      TextAnalysis.avgTokenLen(col("text")).as("avg")).head()
+    assert(r.getInt(0) === 6)
+    assert(r.getInt(1) === 2) // 'the' twice
+    assert(math.abs(r.getDouble(2) - 17.0 / 6) < 1e-12)
+  }
+
+  test("quality score bounds and monotonicity in stopword density") {
+    val df = Seq(
+      "alpha beta gamma delta epsilon zeta",  // no stopwords
+      "the a of and to in is it the a of and" // all stopwords
+    ).toDF("text").select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val Array(q1, q2) = df.collect().map(_.getDouble(0))
+    assert(q1 > q2)
+    assert(q1 <= 1.0 && q2 >= 0.0)
+  }
+
+  test("langId picks the marker-dominant language with fixed tie-break") {
+    val cases = Seq(
+      ("the cat and the dog is here", "en"),
+      ("el gato y la casa de madrid", "es"),
+      ("der hund und die katze das haus", "de"),
+      ("le chat et les maisons du paris", "fr"),
+      ("xyzzy plugh quux", "und"),
+    ).toDF("text", "expected")
+      .withColumn("pred", TextAnalysis.langId(col("text")))
+    assert(cases.filter(col("pred") =!= col("expected")).count() === 0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.warehouse.{Keys, Merge}
+
+/** Merge/upsert (A7/C5) and surrogate keys (E2/§7.3). */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "v", "x")
+
+  test("upsert: incoming wins on key collision, new keys appended") {
+    val incoming = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("id", "v", "x")
+    val out = Merge.upsert(target, incoming, Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    assert(out(1).getString(1) === "B" && out(1).getDouble(2) === 99.0)
+  }
+
+  test("upsert is idempotent") {
+    val incoming = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("id", "v", "x")
+    val once = Merge.upsert(target, incoming, Seq("id"))
+    val twice = Merge.upsert(once, incoming, Seq("id"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("insertOnly never modifies existing rows") {
+    val incoming = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("id", "v", "x")
+    val out = Merge.insertOnly(target, incoming, Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    assert(out(1).getString(1) === "b") // untouched
+  }
+
+  test("addSurrogate assigns contiguous keys in sort order, with offset") {
+    val df = Seq("delta", "alpha", "charlie", "bravo").toDF("name")
+    val keyed = Keys.addSurrogate(df, "k", Seq(col("name")), start = 100L)
+      .orderBy("k").collect()
+    assert(keyed.map(_.getLong(1)).toSeq === Seq(101L, 102L, 103L, 104L))
+    assert(keyed.map(_.getString(0)).toSeq === Seq("alpha", "bravo", "charlie", "delta"))
+  }
+
+  test("addSurrogate matches the window variant on a larger input") {
+    val df = spark.range(1000).select((col("id") * 37 % 1000).as("v"))
+    val fast = Keys.addSurrogate(df, "k", Seq(col("v")))
+    val slow = Keys.addSurrogateWindow(df, "k", Seq(col("v")))
+    // same multiset of (v, k) pairs up to ties: compare sorted key sequences per v
+    val a = fast.groupBy("v").agg(sort_array(collect_list("k")).as("ks"))
+    val b = slow.groupBy("v").agg(sort_array(collect_list("k")).as("ks"))
+    assert(a.join(b, Seq("v")).filter(a("ks") =!= b("ks")).count() === 0)
+  }
+}
