@@ -6,5 +6,6 @@ package graft
 object Registry {
   def all: Seq[Q] =
     queries.Relational.all ++ queries.Privacy.all ++ queries.Etl.all ++
-      queries.Text.all ++ queries.Embeddings.all ++ queries.Events.all
+      queries.Text.all ++ queries.Embeddings.all ++ queries.Events.all ++
+      queries.Ml.all
 }

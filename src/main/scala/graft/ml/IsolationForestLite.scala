@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Minimal isolation forest (SURVEY.md §7.7: MLlib has no iForest; the
+  * reference uses sklearn's, `ml_pipeline.py:250-259`).
+  *
+  * Trees are fit on a driver-side reservoir sample (≤ trees × 256 rows
+  * — bounded regardless of data size, standard iForest practice), then
+  * broadcast; scoring is a distributed column transform. Score follows
+  * Liu et al. 2008: s(x) = 2^(−E[h(x)] / c(ψ)).
+  */
+object IsolationForestLite {
+
+  /** Flattened tree node: feature<0 marks a leaf holding `size`. */
+  final case class Node(feature: Int, split: Double, left: Int, right: Int, size: Int)
+
+  final case class Model(trees: Array[Array[Node]], sampleSize: Int) extends Serializable {
+    private val cPsi = avgPathLength(sampleSize)
+
+    def pathLength(x: Array[Double], tree: Array[Node]): Double = {
+      var i = 0
+      var depth = 0.0
+      while (tree(i).feature >= 0) {
+        i = if (x(tree(i).feature) < tree(i).split) tree(i).left else tree(i).right
+        depth += 1.0
+      }
+      depth + avgPathLength(tree(i).size)
+    }
+
+    def score(x: Array[Double]): Double = {
+      val mean = trees.map(pathLength(x, _)).sum / trees.length
+      math.pow(2.0, -mean / cPsi)
+    }
+  }
+
+  /** c(n): average unsuccessful-search path length of a BST of n. */
+  def avgPathLength(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  def fit(df: DataFrame, featureCols: Seq[String], numTrees: Int = 100,
+      sampleSize: Int = 256, seed: Long = 42L): Model = {
+    val total = numTrees * sampleSize
+    val rows = df.select(featureCols.map(c => col(c).cast("double")): _*)
+      .sample(withReplacement = false, fraction = 1.0, seed)
+      .limit(total * 2)
+      .collect()
+      .map(r => Array.tabulate(featureCols.length)(r.getDouble))
+    val rnd = new scala.util.Random(seed)
+    val maxDepth = math.ceil(math.log(sampleSize.toDouble) / math.log(2.0)).toInt
+    val trees = Array.fill(numTrees) {
+      val sample = Array.fill(math.min(sampleSize, rows.length))(rows(rnd.nextInt(rows.length)))
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
+      def build(data: Array[Array[Double]], depth: Int): Int = {
+        val idx = nodes.length
+        if (depth >= maxDepth || data.length <= 1) {
+          nodes += Node(-1, 0.0, -1, -1, data.length); idx
+        } else {
+          val f = rnd.nextInt(featureCols.length)
+          val vals = data.map(_(f))
+          val (lo, hi) = (vals.min, vals.max)
+          if (lo == hi) { nodes += Node(-1, 0.0, -1, -1, data.length); idx }
+          else {
+            val split = lo + rnd.nextDouble() * (hi - lo)
+            nodes += Node(f, split, -1, -1, data.length) // placeholder links
+            val (l, r) = data.partition(_(f) < split)
+            val li = build(l, depth + 1)
+            val ri = build(r, depth + 1)
+            nodes(idx) = nodes(idx).copy(left = li, right = ri)
+            idx
+          }
+        }
+      }
+      build(sample, 0)
+      nodes.toArray
+    }
+    Model(trees, sampleSize)
+  }
+
+  /** Adds `anomaly_score` and `is_anomaly` (top `contamination` share
+    * by score — exact percentile threshold, matching the reference's
+    * contamination=0.05 semantics).
+    */
+  def transform(df: DataFrame, model: Model, featureCols: Seq[String],
+      contamination: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val scoreUdf = udf((xs: Seq[Double]) => bc.value.score(xs.toArray))
+    val scored = df.withColumn("anomaly_score",
+      scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
+    val thr = scored.agg(
+      expr(s"percentile(anomaly_score, ${1.0 - contamination})")).head().getDouble(0)
+    scored.withColumn("is_anomaly", (col("anomaly_score") > thr).cast("int"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MLlib re-expression of the reference's sklearn pipelines
+  * (SURVEY.md §2.J; `ml_pipeline.py`): window-aggregate feature
+  * engineering, label encoding via StringIndexer, seeded 80/20 splits,
+  * RandomForest classifier (100×d10) and regressor (100×d15),
+  * StandardScaler, and evaluation. Training distributes via MLlib;
+  * nothing is collected to the driver.
+  */
+object MlPipeline {
+
+  /** J1: per-event features (the readmission-label pattern): per-user
+    * analytic aggregates + LEAD-derived next-event-within-1-day label.
+    */
+  def buildFeatures(events: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      count(lit(1)).over(wAll).cast("double").as("user_event_cnt"),
+      (sum(col("value")).over(wAll) / count(lit(1)).over(wAll)).as("user_value_avg"),
+      max(col("value")).over(wAll).as("user_value_max"),
+      min(col("value")).over(wAll).as("user_value_min"),
+      when(unix_micros(lead(col("ts"), 1).over(wOrd)) - unix_micros(col("ts")) <= 86400000000L, 1.0)
+        .otherwise(0.0).as("label"))
+  }
+
+  val FeatureCols: Seq[String] =
+    Seq("value", "user_event_cnt", "user_value_avg", "user_value_max", "user_value_min")
+
+  private def assembler(extra: Seq[String] = Nil) = new VectorAssembler()
+    .setInputCols((FeatureCols ++ extra).toArray).setOutputCol("features")
+
+  /** J2+J4: label-encode event_type, assemble, RF classifier
+    * (100 trees, depth 10, seed 42 — `ml_pipeline.py:143-150`).
+    */
+  def trainClassifier(features: DataFrame): (PipelineModel, Double) = {
+    val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
+    val pipeline = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("event_type").setOutputCol("event_type_idx")
+        .setHandleInvalid("keep"),
+      assembler(Seq("event_type_idx")),
+      new RandomForestClassifier()
+        .setNumTrees(100).setMaxDepth(10).setSeed(42)
+        .setLabelCol("label").setFeaturesCol("features")))
+    val model = pipeline.fit(train)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setMetricName("accuracy")
+      .evaluate(model.transform(test))
+    (model, acc)
+  }
+
+  /** J5: RF regressor for `value` (100 trees, depth 15, seed 42 —
+    * `ml_pipeline.py:197-203`). Returns (model, rmse, r2).
+    */
+  def trainRegressor(features: DataFrame): (PipelineModel, Double, Double) = {
+    val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
+    val pipeline = new Pipeline().setStages(Array(
+      assembler(),
+      new RandomForestRegressor()
+        .setNumTrees(100).setMaxDepth(15).setSeed(42)
+        .setLabelCol("value").setFeaturesCol("features")))
+    val model = pipeline.fit(train.drop("label"))
+    val pred = model.transform(test)
+    val rmse = new RegressionEvaluator().setLabelCol("value").setMetricName("rmse").evaluate(pred)
+    val r2 = new RegressionEvaluator().setLabelCol("value").setMetricName("r2").evaluate(pred)
+    (model, rmse, r2)
+  }
+
+  /** J6+J7: standard-scale features then isolation-forest anomaly
+    * scores (contamination 0.05 — `ml_pipeline.py:246-259`).
+    */
+  def anomalyScores(features: DataFrame, contamination: Double = 0.05): DataFrame = {
+    val scaled = new Pipeline().setStages(Array(
+      assembler(),
+      new StandardScaler().setInputCol("features").setOutputCol("scaled")
+        .setWithMean(true).setWithStd(true)))
+      .fit(features).transform(features)
+    // unpack the scaled vector back to columns for the forest
+    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
+    val arr = scaled.withColumn("f", toArr(col("scaled")))
+    val cols = FeatureCols.indices.map(i => col("f").getItem(i).as(s"z$i"))
+    val flat = arr.select((col("event_id") +: col("user_id") +: cols): _*)
+    val model = IsolationForestLite.fit(flat, FeatureCols.indices.map(i => s"z$i"))
+    IsolationForestLite.transform(flat, model, FeatureCols.indices.map(i => s"z$i"), contamination)
+  }
+
+  /** J9: prediction upsert keyed on (event_id) — merge semantics. */
+  def upsertPredictions(existing: DataFrame, fresh: DataFrame): DataFrame =
+    graft.warehouse.Merge.upsert(existing, fresh, Seq("event_id"))
+
+  /** J10: persist a pipeline model + sidecar metadata JSON. */
+  def save(model: PipelineModel, path: String, metadata: Map[String, String]): Unit = {
+    model.write.overwrite().save(path)
+    val json = metadata.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".metadata.json"), json)
+  }
+}

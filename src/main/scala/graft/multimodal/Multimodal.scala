@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns plus a typed metadata struct, with decode /
+  * feature-extract / resize / frame-sample operators.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment): `FakeCodec` derives deterministic pixels/samples from
+  * the byte content, so every operator is reproducible and testable.
+  * The Spark-side contracts — schema, per-partition batch processing,
+  * explode shapes, partition counts — are real; swapping `FakeCodec`
+  * for JavaCPP/FFmpeg bindings changes no dataflow. On a Python stack
+  * the per-partition methods map 1:1 onto `mapInPandas` with the same
+  * batch semantics.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, durationMs: Long, format: String)
+  final case class MediaItem(media_id: Long, media_type: String,
+      content: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, media_type: String,
+      mean_intensity: Double, byte_entropy: Double, embedding: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      frame_bytes: Array[Byte])
+
+  /** STUB codec — deterministic fakes standing in for real decoders. */
+  object FakeCodec {
+    /** "Decode" = the raw bytes are the pixel/sample buffer. */
+    def decode(content: Array[Byte]): Array[Byte] = content
+
+    /** Deterministic d-dim embedding from a rolling hash per stripe. */
+    def embed(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) {
+        h = h * 31 + (content(i) & 0xff)
+        out(i % dim) += ((h % 1000).toFloat / 1000.0f)
+        i += 1
+      }
+      out
+    }
+
+    /** "Resize" = proportional byte subsample to the new pixel count. */
+    def resize(content: Array[Byte], meta: MediaMeta, w: Int, h: Int): (Array[Byte], MediaMeta) = {
+      val target = math.max(1, content.length.toLong * (w.toLong * h) /
+        math.max(1L, meta.width.toLong * meta.height)).toInt
+      val step = math.max(1, content.length / math.max(1, target))
+      (content.grouped(step).map(_.head).toArray, meta.copy(width = w, height = h))
+    }
+  }
+
+  /** Deterministic synthetic corpus (seeded) — binary blobs + metadata. */
+  def synthesize(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val rnd = new scala.util.Random(seed + id)
+      val mediaType = Seq("image", "audio", "video")(rnd.nextInt(3))
+      val len = 256 + rnd.nextInt(768)
+      val content = Array.fill(len)(rnd.nextInt(256).toByte)
+      val meta = mediaType match {
+        case "image" => MediaMeta(64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 0L, "fake-png")
+        case "audio" => MediaMeta(0, 0, 1000L + rnd.nextInt(60000), "fake-wav")
+        case _       => MediaMeta(320, 240, 1000L + rnd.nextInt(60000), "fake-mp4")
+      }
+      MediaItem(id, mediaType, content, meta)
+    }
+  }
+
+  /** Feature extraction: decode + per-item statistics + embedding,
+    * processed per partition (the `mapInPandas` batch shape) — no
+    * per-row task overhead, bounded memory per batch.
+    */
+  def extractFeatures(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val px = FakeCodec.decode(m.content)
+        val mean = if (px.isEmpty) 0.0 else px.map(b => (b & 0xff).toDouble).sum / px.length
+        val counts = new Array[Long](256)
+        px.foreach(b => counts(b & 0xff) += 1)
+        val n = px.length.toDouble
+        val entropy = counts.filter(_ > 0)
+          .map { c => val p = c / n; -p * math.log(p) / math.log(2.0) }.sum
+        MediaFeatures(m.media_id, m.media_type, mean, entropy, FakeCodec.embed(px, dim))
+      }
+    }
+  }
+
+  /** Resize images (others pass through untouched). */
+  def resizeImages(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.map {
+      case m if m.media_type == "image" =>
+        val (c, meta) = FakeCodec.resize(m.content, m.meta, w, h)
+        m.copy(content = c, meta = meta)
+      case m => m
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame at `everyMs` intervals —
+    * the explode shape a video pipeline needs (frame count from
+    * duration metadata, bytes carved deterministically from content).
+    */
+  def sampleFrames(items: Dataset[MediaItem], everyMs: Long = 1000L): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.filter(_.media_type == "video").flatMap { m =>
+      val nFrames = math.max(1, (m.meta.durationMs / everyMs).toInt)
+      val chunk = math.max(1, m.content.length / nFrames)
+      (0 until nFrames).iterator.map { i =>
+        val start = math.min(i * chunk, m.content.length - 1)
+        val end = math.min(start + chunk, m.content.length)
+        Frame(m.media_id, i, i * everyMs, m.content.slice(start, end))
+      }
+    }
+  }
+
+  /** Columnar view: binary + struct metadata as a DataFrame table shape
+    * (what a parquet multimodal table looks like at rest).
+    */
+  def asTable(items: Dataset[MediaItem]): DataFrame =
+    items.toDF().select(col("media_id"), col("media_type"),
+      col("content"), col("meta.width"), col("meta.height"),
+      col("meta.durationMs").as("duration_ms"), col("meta.format"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{IsolationForestLite, MlPipeline}
+
+class MlPipelineSpec extends SparkSpec {
+
+  private lazy val features =
+    MlPipeline.buildFeatures(Tables.events(spark, "/root/testdata/sf0.001")).cache()
+
+  test("feature build yields the expected columns and a binary label") {
+    val labels = features.select("label").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(labels.subsetOf(Set(0.0, 1.0)))
+    assert(MlPipeline.FeatureCols.forall(features.columns.contains))
+  }
+
+  test("classifier trains and beats the trivial floor") {
+    val (_, acc) = MlPipeline.trainClassifier(features)
+    assert(acc > 0.5) // events are dense in time → labels skew positive; sanity floor
+  }
+
+  test("regressor trains with finite errors") {
+    val (_, rmse, r2) = MlPipeline.trainRegressor(features)
+    assert(rmse > 0 && !rmse.isNaN)
+    assert(r2 <= 1.0 && !r2.isNaN)
+  }
+
+  test("anomaly scores flag ~contamination share, outliers score high") {
+    val scored = MlPipeline.anomalyScores(features, contamination = 0.05).cache()
+    val n = scored.count().toDouble
+    val flagged = scored.filter(col("is_anomaly") === 1).count().toDouble
+    assert(flagged / n > 0.01 && flagged / n < 0.15)
+    assert(scored.agg(min("anomaly_score"), max("anomaly_score")).head() match {
+      case r => r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0
+    })
+  }
+
+  test("isolation forest separates a planted outlier") {
+    import spark.implicits._
+    val inliers = (1 to 500).map(i => (i.toLong, math.sin(i) * 0.1, math.cos(i) * 0.1))
+    val df = (inliers :+ (9999L, 50.0, -50.0)).toDF("id", "x", "y")
+    val model = IsolationForestLite.fit(df, Seq("x", "y"), numTrees = 50)
+    val scored = IsolationForestLite.transform(df, model, Seq("x", "y"), contamination = 0.01)
+    val top = scored.orderBy(col("anomaly_score").desc).select("id").head().getLong(0)
+    assert(top === 9999L)
+    assert(scored.filter(col("id") === 9999L).head().getAs[Int]("is_anomaly") === 1)
+  }
+
+  test("prediction upsert replaces stale predictions") {
+    import spark.implicits._
+    val oldP = Seq((1L, 0.2), (2L, 0.3)).toDF("event_id", "score")
+    val fresh = Seq((2L, 0.9), (3L, 0.7)).toDF("event_id", "score")
+    val out = MlPipeline.upsertPredictions(oldP, fresh).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out === Seq((1L, 0.2), (2L, 0.9), (3L, 0.7)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val corpus = Multimodal.synthesize(spark, 200).cache()
+
+  test("synthesis is deterministic and covers all media types") {
+    val again = Multimodal.synthesize(spark, 200)
+    val a = corpus.collect().map(m => (m.media_id, m.content.toSeq)).toMap
+    val b = again.collect().map(m => (m.media_id, m.content.toSeq)).toMap
+    assert(a === b)
+    val types = corpus.collect().map(_.media_type).toSet
+    assert(types === Set("image", "audio", "video"))
+  }
+
+  test("feature extraction: schema, determinism, sane ranges") {
+    val f = Multimodal.extractFeatures(corpus, dim = 16).cache()
+    assert(f.count() === 200)
+    val r = f.head()
+    assert(r.embedding.length === 16)
+    assert(r.mean_intensity >= 0.0 && r.mean_intensity <= 255.0)
+    assert(r.byte_entropy >= 0.0 && r.byte_entropy <= 8.0)
+    val f2 = Multimodal.extractFeatures(corpus, dim = 16)
+    assert(f.join(f2.toDF("media_id", "mt2", "mi2", "be2", "emb2"), "media_id")
+      .filter(col("mean_intensity") =!= col("mi2")).count() === 0)
+  }
+
+  test("resize only touches images and updates metadata") {
+    val resized = Multimodal.resizeImages(corpus, 32, 32).cache()
+    val images = resized.filter(_.media_type == "image").collect()
+    assert(images.forall(m => m.meta.width === 32 && m.meta.height === 32))
+    val audio0 = corpus.filter(_.media_type == "audio").head()
+    val audio1 = resized.filter(_.media_type == "audio").head()
+    assert(audio0.content.toSeq === audio1.content.toSeq)
+  }
+
+  test("frame sampling explodes videos by duration") {
+    val frames = Multimodal.sampleFrames(corpus, everyMs = 1000L).cache()
+    val videos = corpus.filter(_.media_type == "video").collect()
+    val expected = videos.map(v => math.max(1, (v.meta.durationMs / 1000L).toInt).toLong).sum
+    assert(frames.count() === expected)
+    assert(frames.filter(_.frame_bytes.isEmpty).count() === 0)
+  }
+
+  test("table shape round-trips through parquet with binary column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    Multimodal.asTable(corpus).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("content").dataType.typeName === "binary")
+    assert(back.count() === 200)
+  }
+}

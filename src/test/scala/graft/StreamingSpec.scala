@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourlyCounts aggregates tumbling windows over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    src.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:55:00"), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:05:00"), 2, "view", 3.0),
+    )
+    val q = EventStreams.hourlyCounts(src.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"), r.getAs[Long]("cnt")))
+        .toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap exceeds the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    // user 1: events at 10:00, 10:10 (same session), then 11:00 (> 30 min gap → closes first)
+    src.addData(
+      Event(1, ts(0), 1, "a", 0.0),
+      Event(2, ts(10), 1, "a", 0.0))
+    val q = EventStreams.sessionize(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // still open
+      src.addData(Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "a", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.getAs[Long]("n_events") === 2)
+      assert(s.getAs[Long]("session_end_us") - s.getAs[Long]("session_start_us") === 10L * 60 * 1000000)
+    } finally q.stop()
+  }
+
+  test("ingestMerge upserts each micro-batch into the parquet table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val table = s"$dir/table"
+    val src = s"$dir/incoming"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x").write.parquet(table)
+    val q = EventStreams.ingestMerge(spark, src, table, Seq("id"), ckpt)
+    try {
+      Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("id", "v", "x")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val out = spark.read.parquet(table).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    } finally q.stop()
+  }
+}
