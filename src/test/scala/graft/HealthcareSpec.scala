@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.healthcare.{Analytics, DataGenerator, Warehouse}
+
+/** End-to-end warehouse lifecycle (SURVEY.md §3): generate → ETL →
+  * staging → dims/fact → analytics, with incremental-build and
+  * partition-layout assertions.
+  */
+class HealthcareSpec extends SparkSpec {
+
+  private lazy val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
+  private lazy val wh = {
+    val w = new Warehouse(spark, root)
+    val patients = DataGenerator.patients(spark, 1000)
+    val providers = DataGenerator.providers(spark, 20)
+    val visits = DataGenerator.visits(spark, 1000, 20)
+    w.loadStaging(patients, providers, visits)
+    w.build()
+    w
+  }
+  private lazy val an = new Analytics(wh)
+
+  test("generator is deterministic and respects domains") {
+    val v1 = DataGenerator.visits(spark, 100, 10).agg(sum("visit_id")).head().getLong(0)
+    val v2 = DataGenerator.visits(spark, 100, 10).agg(sum("visit_id")).head().getLong(0)
+    assert(v1 === v2)
+    val costs = DataGenerator.visits(spark, 100, 10)
+      .agg(min("cost").cast("double"), max("cost").cast("double")).head()
+    assert(costs.getDouble(0) >= 100.0 && costs.getDouble(1) <= 5000.0)
+  }
+
+  test("warehouse builds dims and fact with resolved keys") {
+    val dimP = spark.read.parquet(wh.dimPatients)
+    val factV = spark.read.parquet(wh.factVisits)
+    assert(dimP.count() === 1000)
+    assert(factV.count() > 1000) // 1–5 visits per patient
+    // every fact row resolves to a dim row
+    assert(factV.join(dimP, Seq("patient_key"), "left_anti").count() === 0)
+    // surrogate keys are unique
+    assert(factV.select("visit_key").distinct().count() === factV.count())
+  }
+
+  test("fact table is laid out in visit_year partition directories") {
+    val dirs = new java.io.File(wh.factVisits).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("visit_year=")).sorted
+    assert(dirs.toSeq === Seq("visit_year=2023", "visit_year=2024", "visit_year=2025", "visit_year=2026"))
+    // a year filter prunes the scan to one partition's files
+    val planned = an.visitsInYear(2024).queryExecution.executedPlan.toString
+    assert(!planned.contains("visit_year=2023"))
+  }
+
+  test("incremental rebuild is a no-op on identical input") {
+    val before = spark.read.parquet(wh.factVisits).count()
+    wh.build()
+    assert(spark.read.parquet(wh.factVisits).count() === before)
+    assert(spark.read.parquet(wh.dimPatients).count() === 1000)
+  }
+
+  test("noise column clamps at zero and moves the mean only slightly") {
+    val r = an.noiseImpact.head()
+    assert(spark.read.parquet(wh.factVisits)
+      .filter(col("cost_with_privacy") < 0).count() === 0)
+    // ε=0.1 Laplace has scale 10 → averages over thousands of rows stay close
+    assert(r.getDouble(2) < 5.0)
+  }
+
+  test("zero-visit age groups survive the left join with 0 counts") {
+    val df = an.avgVisitsPerAgeGroup
+    assert(df.count() >= 4) // buckets present
+    assert(df.filter(col("avg_visits_per_patient").isNull).count() === 0)
+  }
+
+  test("analytics queries return sane shapes") {
+    assert(an.topDiagnoses(5).count() === 5)
+    assert(an.monthlyTrend.count() > 30)
+    assert(an.costPercentiles.count() > 5)
+    assert(an.visitFrequencyCohorts.count() >= 3)
+    assert(an.kpiBlock.head().getAs[Long]("total_patients") === 1000)
+    assert(an.dataQualityReport.filter(col("metric") === "future_visits")
+      .head().getAs[Double]("value") === 0.0)
+    val pv = an.patientVisits(17)
+    assert(pv.count() >= 1 && pv.count() <= 5)
+  }
+
+  test("audited reads append READ rows to the audit log") {
+    val before = wh.auditLog.filter(col("action_type") === "READ").count()
+    wh.factVisitsAudited("analyst")
+    val after = wh.auditLog.filter(col("action_type") === "READ").count()
+    assert(after === before + 1)
+    assert(wh.auditLog.filter(col("action_type") === "LOAD").count() >= 4)
+  }
+}
