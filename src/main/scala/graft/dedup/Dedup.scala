@@ -46,9 +46,12 @@ object Dedup {
       sh0.join(hot, Seq("shingle"), "left_anti")
     } else sh0
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("id_a", "shingle")
-    val b = sh.toDF("id_b", "shingle")
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    // join on the 8-byte shingle hash, not the string: cheaper shuffle
+    // and compare; both sides share one plan so the exchange is reused.
+    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
+    val a = hashed.toDF("id_a", "sh_h")
+    val b = hashed.toDF("id_b", "sh_h")
+    a.join(b, Seq("sh_h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("id_a", "n_a"), "id_a")
       .join(sizes.toDF("id_b", "n_b"), "id_b")

@@ -34,11 +34,12 @@ object Similarity {
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
     val q = embs.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("qv"))
+      .select(asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
     embs.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("qv")), 6).as("cos_sim"))
+        round(dot(asDouble(col(vecCol)), col("qv"))
+          / (norm(asDouble(col(vecCol))) * col("qn")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -50,10 +51,15 @@ object Similarity {
     */
   def blockedPairs(embs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = embs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // Norms are computed once per row before the join (O(n·d)), so each
+    // pair costs one dot product instead of three; the quotient is the
+    // same double as dividing by sqrt(dot)·sqrt(dot) pairwise.
+    val withNorm = embs.select(col(blockCol).as("blk"), col(idCol),
+      asDouble(col(vecCol)).as("v"), norm(asDouble(col(vecCol))).as("nrm"))
+    val a = withNorm.toDF("blk", "id_a", "va", "na")
+    val b = withNorm.toDF("blk", "id_b", "vb", "nb")
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(asDouble(col("va")), asDouble(col("vb"))))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("blk").as(blockCol), col("id_a"), col("id_b"),
         round(col("cos_sim"), 6).as("cos_sim"))
@@ -100,11 +106,12 @@ object Similarity {
       .filter(col(idCol) =!= queryId)
       .select(idCol).distinct()
     val q = embs.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("qv"))
+      .select(asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
     embs.join(candidates, idCol)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("qv")), 6).as("cos_sim"))
+        round(dot(asDouble(col(vecCol)), col("qv"))
+          / (norm(asDouble(col(vecCol))) * col("qn")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan assertions: the optimizations we rely on at scale must
+  * actually appear in the executed plan, not just in intent.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("GreaterThanOrEqual(l_quanti")) // toString truncates the list
+    // scan must not read the unused columns
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("dim joins broadcast instead of shuffling both sides") {
+    val p3 = plan("q03_segment_revenue")
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
+    val p4 = plan("q04_nation_revenue")
+    assert(p4.contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("anti and semi joins use the dedicated join types") {
+    assert(plan("q06_antijoin").contains("LeftAnti"))
+    assert(plan("q07_semijoin").contains("LeftSemi"))
+  }
+
+  test("scalar-subquery threshold broadcasts the one-row side") {
+    val p = plan("q17_above_p90")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("aggregations keep whole-stage codegen on the hot path") {
+    // AQE only shows codegen spans in the final plan — execute first.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(")) // '*(n)' prefixes mark WholeStageCodegen spans
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("partial aggregation precedes the shuffle in groupBys") {
+    // two HashAggregate stages (partial + final) around one exchange
+    val p = plan("q19_multikey_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange hashpartitioning"))
+  }
+}
