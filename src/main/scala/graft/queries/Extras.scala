@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Breadth beyond the reference's own usage (SURVEY.md §2 E5/G2/H16
+  * mark these "not used" in the reference): ranking functions, set
+  * operations, and string functions — present so a user switching from
+  * any SQL warehouse finds the standard surface.
+  */
+object Extras {
+
+  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs)
+
+  // --- E5: rank / dense_rank / ntile --------------------------------------
+  def rankFuncs: Q = Q(
+    "q58_rank_funcs",
+    """SELECT c_nationkey, c_custkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  // --- G2: EXCEPT / INTERSECT ---------------------------------------------
+  def setOps: Q = Q(
+    "q59_set_ops",
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |machinery AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'),
+      |building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT 'machinery_non_buyers' AS setname, count(*) AS cnt
+      |FROM (SELECT k FROM machinery EXCEPT SELECT k FROM buyers)
+      |UNION ALL
+      |SELECT 'machinery_and_building_buyers', count(*)
+      |FROM (SELECT k FROM machinery INTERSECT SELECT k FROM building)
+      |ORDER BY setname""".stripMargin,
+  ) { (s, dir) =>
+    val buyers = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+    val machinery = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("k"))
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    machinery.except(buyers).agg(count(lit(1)).as("cnt"))
+      .select(lit("machinery_non_buyers").as("setname"), col("cnt"))
+      .unionByName(machinery.intersect(building).agg(count(lit(1)).as("cnt"))
+        .select(lit("machinery_and_building_buyers").as("setname"), col("cnt")))
+      .orderBy("setname")
+  }
+
+  // --- H16: string functions ----------------------------------------------
+  def stringFuncs: Q = Q(
+    "q60_string_funcs",
+    """SELECT c_custkey,
+      |  upper(c_name) AS upper_name,
+      |  substring(c_name, 1, 8) AS prefix8,
+      |  length(c_name) AS name_len,
+      |  c_name LIKE '%1%' AS has_one,
+      |  concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        length(col("c_name")).as("name_len"),
+        col("c_name").like("%1%").as("has_one"),
+        concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_nation"))
+      .orderBy("c_custkey")
+  }
+}
