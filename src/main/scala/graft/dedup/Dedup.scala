@@ -45,10 +45,13 @@ object Dedup {
       val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
       sh0.join(hot, Seq("shingle"), "left_anti")
     } else sh0
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    // join on the 8-byte shingle hash, not the string: cheaper shuffle
-    // and compare; both sides share one plan so the exchange is reused.
+    // Join on the 8-byte shingle hash, not the string: cheaper shuffle
+    // and compare. The hashed table feeds three consumers (sizes + both
+    // join sides), so materialize it once; at warehouse scale this
+    // becomes an explicit intermediate table instead of a cache.
     val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = hashed.toDF("id_a", "sh_h")
     val b = hashed.toDF("id_b", "sh_h")
     a.join(b, Seq("sh_h")).filter(col("id_a") < col("id_b"))
