@@ -21,6 +21,16 @@ class HealthcareSpec extends SparkSpec {
   }
   private lazy val an = new Analytics(wh)
 
+  test("CSV round-trip preserves the generated visits (A1/A2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val visits = DataGenerator.visits(spark, 200, 10)
+    DataGenerator.writeCsv(visits, s"$dir/visits")
+    val back = DataGenerator.readCsv(spark, s"$dir/visits", visits.schema)
+    assert(back.count() === visits.count())
+    assert(back.agg(sum("cost")).head().getDecimal(0) ===
+      visits.agg(sum("cost")).head().getDecimal(0))
+  }
+
   test("generator is deterministic and respects domains") {
     val v1 = DataGenerator.visits(spark, 100, 10).agg(sum("visit_id")).head().getLong(0)
     val v2 = DataGenerator.visits(spark, 100, 10).agg(sum("visit_id")).head().getLong(0)

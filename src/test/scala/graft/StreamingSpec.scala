@@ -54,6 +54,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the 2h bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(src.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      // advance event time far enough that 10:xx windows close …
+      src.addData(Event(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(2, Timestamp.valueOf("2024-01-01 15:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // … then send an event 5 hours late: behind the watermark → dropped
+      src.addData(Event(3, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(4, Timestamp.valueOf("2024-01-01 19:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val tenOclock = spark.table("late").collect()
+        .filter(_.getAs[Timestamp]("hour").toString.startsWith("2024-01-01 10"))
+      assert(tenOclock.forall(_.getAs[Long]("cnt") === 1L)) // late event never counted
+    } finally q.stop()
+  }
+
   test("ingestMerge upserts each micro-batch into the parquet table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
