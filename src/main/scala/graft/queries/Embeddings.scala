@@ -7,7 +7,7 @@ import graft.similarity.Similarity
 /** Similarity-search capabilities over the `embeddings` table. */
 object Embeddings {
 
-  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh)
+  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf)
 
   /** DuckDB fragment: left-fold double-precision dot of lists a·b. */
   private def sqlDot(a: String, b: String): String =
@@ -46,5 +46,12 @@ object Embeddings {
   // --- LSH-bucketed approximate top-k (rows-only; recall spec-tested) -----
   def annLsh: Q = Q.rowsOnly("q47_ann_lsh") { (s, dir) =>
     Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+  }
+
+  // --- IVF (KMeans-cell) approximate top-k (rows-only) --------------------
+  def annIvf: Q = Q.rowsOnly("q61_ann_ivf") { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val (indexed, model) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    Similarity.ivfTopK(indexed, model, "vec_id", "embedding", 0L, 10, nProbe = 3)
   }
 }

