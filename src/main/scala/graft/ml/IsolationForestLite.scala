@@ -43,12 +43,19 @@ object IsolationForestLite {
   def fit(df: DataFrame, featureCols: Seq[String], numTrees: Int = 100,
       sampleSize: Int = 256, seed: Long = 42L): Model = {
     val total = numTrees * sampleSize
-    val rows = df.select(featureCols.map(c => col(c).cast("double")): _*)
-      .sample(withReplacement = false, fraction = 1.0, seed)
-      .limit(total * 2)
-      .collect()
-      .map(r => Array.tabulate(featureCols.length)(r.getDouble))
+    val needed = total * 2
+    val base = df.select(featureCols.map(c => col(c).cast("double")): _*)
+    // Uniform sample regardless of input ordering: Bernoulli-sample at a
+    // fraction sized from the row count, then a seeded driver-side
+    // shuffle so the bounded take is unbiased even when data is sorted.
+    val n = base.count()
+    val sampled =
+      if (n <= needed) base
+      else base.sample(withReplacement = false, math.min(1.0, needed.toDouble / n * 1.2), seed)
     val rnd = new scala.util.Random(seed)
+    val rows = rnd.shuffle(
+      sampled.collect().toVector.map(r => Array.tabulate(featureCols.length)(r.getDouble)))
+      .take(needed).toArray
     val maxDepth = math.ceil(math.log(sampleSize.toDouble) / math.log(2.0)).toInt
     val trees = Array.fill(numTrees) {
       val sample = Array.fill(math.min(sampleSize, rows.length))(rows(rnd.nextInt(rows.length)))
