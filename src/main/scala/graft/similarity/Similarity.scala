@@ -103,8 +103,10 @@ object Similarity {
       nCells: Int, seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cache the vectorized input: KMeans iterates over it maxIter times
     val withVec = embs.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("__v")
       .fit(withVec)
     (model.transform(withVec).withColumnRenamed("prediction", "cell").drop("__v"), model)
   }
