@@ -10,7 +10,7 @@ import graft.{Q, Tables}
   */
 object Events {
 
-  val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures)
+  val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly)
 
   // --- tumbling-window aggregation (batch form of a streaming window) -----
   def hourlyWindows: Q = Q(
@@ -65,6 +65,36 @@ object Events {
         unix_micros(max(col("ts"))).as("session_end_us"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "session_id")
+  }
+
+  // --- the SAME hourly aggregation, executed as a Structured Stream -------
+  // Reads the events parquet through readStream, aggregates with a
+  // watermark, drains with processAllAvailable into a memory sink, and
+  // must hash-match the identical batch oracle — streaming and batch
+  // are one API with one answer.
+  def streamingHourly: Q = Q(
+    "q62_streaming_hourly",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin,
+  ) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // schema probe only
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+    val sink = s"graft_stream_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy("hour", "event_type")
   }
 
   // --- semi-structured JSON extraction (H15 extension) --------------------
