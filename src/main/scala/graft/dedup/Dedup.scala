@@ -38,9 +38,20 @@ object Dedup {
     * shingles (drop shingles appearing in > dfCap docs) to bound the
     * join fan-out; dfCap <= 0 disables it.
     */
+  /** Collapse exact-duplicate texts to their min-id representative.
+    * Near-dup detection composes AFTER exact dedup: k identical copies
+    * would otherwise multiply the pair join's fan-out by k² — the
+    * dominant cost on real dup-heavy corpora.
+    */
+  def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, dfCap: Int = 0): DataFrame = {
-    val sh0 = shingleTable(df, idCol, textCol, n)
+      threshold: Double, n: Int = 3, dfCap: Int = 0,
+      preDedup: Boolean = true): DataFrame = {
+    val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
+    val sh0 = shingleTable(base, idCol, textCol, n)
     val sh = if (dfCap > 0) {
       val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
       sh0.join(hot, Seq("shingle"), "left_anti")
@@ -80,8 +91,10 @@ object Dedup {
     * aggregation makes the shuffle k longs per doc, not per shingle).
     * Returns (idCol, sig: array<long>[k]).
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val hashed = shingleTable(df, idCol, textCol, n)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      preDedup: Boolean = true): DataFrame = {
+    val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
+    val hashed = shingleTable(base, idCol, textCol, n)
       .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
     val mins = (0 until NumPerms).map { i =>
       min(pmod(col("h") * permA(i) + permB(i), lit(MinhashPrime))).as(s"m$i")

@@ -111,7 +111,8 @@ object Text {
   // --- exact n-gram Jaccard near-dups (inverted-index join) ---------------
   def ngramJaccard: Q = Q(
     "q40_ngram_jaccard",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
       |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
       |       WHERE len(t) >= 3),

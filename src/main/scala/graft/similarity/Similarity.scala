@@ -19,9 +19,13 @@ object Similarity {
   /** Element-wise double cast — float inputs promote exactly. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Left-fold dot product; both engines accumulate in index order. */
+  /** Left-fold dot product; both engines accumulate in index order.
+    * Native codegen expression — bit-equal to the
+    * `aggregate(zip_with(...))` HOF form but with no boxing (see
+    * graft.functions.DotProduct).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

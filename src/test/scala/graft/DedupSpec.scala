@@ -30,15 +30,22 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccard pairs: identical docs = 1.0, near-dups high, unrelated absent") {
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3, preDedup = false)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
     assert(pairs((0L, 1L)) === 1.0)
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("preDedup collapses exact copies before the pair join") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((0L, 1L)))        // identical copy handled by exact dedup
+    assert(pairs.contains((0L, 2L)))          // near-dup survives via representative
+  }
+
   test("minhash + LSH finds the planted duplicates") {
-    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", preDedup = false)
     assert(sigs.head().getSeq[Long](1).length === Dedup.NumPerms)
     val cand = Dedup.lshCandidates(sigs, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
