@@ -46,6 +46,10 @@ object Dedup {
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
+      // the dedup shuffle is tiny, so AQE coalesces it to ~1 partition;
+      // re-spread before the 100x shingle explode that follows, or that
+      // explode runs single-threaded
+      .repartition(col(idCol))
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, dfCap: Int = 0,
@@ -108,7 +112,9 @@ object Dedup {
     * (band_id, band_hash) — shuffle-bounded by bucket sizes, never n².
     * est_jaccard = fraction of matching signature components.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
+  def lshCandidates(sigs0: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
+    // three consumers (band explode + two sig joins): materialize once
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = NumPerms / bands
     val bandCols = transform(sequence(lit(0), lit(bands - 1)),
       j => struct(j.as("band_id"), xxhash64(concat_ws(",", j, slice(col("sig"), j * r + 1, lit(r)))).as("band_hash")))
