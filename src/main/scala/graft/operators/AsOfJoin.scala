@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row with
+  * `rightTs <= leftTs` within the same key — the standard align-to-
+  * latest-state operator (trades⇄quotes, events⇄dimensions-over-time).
+  *
+  * Spark has no native ASOF JOIN; the composition here is the scalable
+  * union-sort-window form rather than a per-key loop:
+  *   1. tag and union both inputs,
+  *   2. one window partitioned by key ordered by (ts, side) carries the
+  *      last right payload forward (`last(..., ignoreNulls)`),
+  *   3. keep left rows, now holding the as-of right values.
+  * One shuffle on the key, linear in |L| + |R| — no range-join blowup.
+  * Right rows at exactly leftTs win over earlier ones (ties: right
+  * sorts before left at the same timestamp), matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts` inclusive semantics.
+  */
+object AsOfJoin {
+
+  def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumns(payloadCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right.select((keyCol +: tsCol +: payloadCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val leftCols = left.columns
+    val unioned = lTagged.select((leftCols :+ "__side").map(col) ++ payloadCols.map(col): _*)
+      .unionByName(
+        rTagged.withColumns(
+          leftCols.filterNot(c => c == keyCol || c == tsCol)
+            .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+          .select((leftCols :+ "__side").map(col) ++ payloadCols.map(col): _*))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+}

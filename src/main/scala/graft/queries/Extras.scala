@@ -11,7 +11,7 @@ import graft.{Q, Tables}
   */
 object Extras {
 
-  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs)
+  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin)
 
   // --- E5: rank / dense_rank / ntile --------------------------------------
   def rankFuncs: Q = Q(
@@ -55,6 +55,68 @@ object Extras {
       .unionByName(machinery.intersect(building).agg(count(lit(1)).as("cnt"))
         .select(lit("machinery_and_building_buyers").as("setname"), col("cnt")))
       .orderBy("setname")
+  }
+
+  // --- D15: CUBE over two dimensions --------------------------------------
+  def cube: Q = Q(
+    "q63_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS cnt
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("cnt"))
+      .orderBy("status", "priority")
+  }
+
+  // --- E5 frames: trailing moving aggregate with an explicit ROWS frame ---
+  def movingAvg: Q = Q(
+    "q64_moving_window",
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+      |  count(*) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS trailing_n
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("trailing_sum"),
+        count(lit(1)).over(w).as("trailing_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // --- as-of join (union-sort-window composition; DuckDB native oracle) ---
+  // For each purchase, the user's most recent prior-or-simultaneous
+  // signup value.
+  def asofJoin: Q = Q(
+    "q65_asof_join",
+    """SELECT p.event_id, p.user_id, s.value AS signup_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+      |ORDER BY p.event_id""".stripMargin,
+  ) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+    graft.operators.AsOfJoin.join(purchases, signups, "user_id", "ts", Seq("signup_value"))
+      .select("event_id", "user_id", "signup_value")
+      .orderBy("event_id")
   }
 
   // --- H16: string functions ----------------------------------------------
