@@ -29,7 +29,15 @@ object Exporters {
     */
   def reportJson(report: Map[String, Any], path: String): Unit = {
     def render(v: Any): String = v match {
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case s: String => "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
         .map { case (k, x) => s""""$k": ${render(x)}""" }.mkString("{", ", ", "}")
       case seq: Seq[_] => seq.map(render).mkString("[", ", ", "]")

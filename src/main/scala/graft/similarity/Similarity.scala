@@ -107,9 +107,11 @@ object Similarity {
       nCells: Int, seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // cache the vectorized input: KMeans iterates over it maxIter times
+    // materialize the vectorized input once (KMeans iterates over it
+    // maxIter times); localCheckpoint blocks are GC-managed, unlike
+    // persist entries which would pin storage for the session
     val withVec = embs.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("__v")
       .fit(withVec)
     (model.transform(withVec).withColumnRenamed("prediction", "cell").drop("__v"), model)
@@ -123,8 +125,13 @@ object Similarity {
     val qRow = indexed.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("qv")).head()
     val qv = qRow.getSeq[Double](0).toArray
+    // rank probe cells by the same metric KMeans assigned with
+    // (Euclidean), not dot product — mismatched metrics probe the
+    // wrong cells for unnormalized vectors
     val cells = model.clusterCenters.zipWithIndex
-      .sortBy { case (c, _) => -c.toArray.zip(qv).map { case (a, b) => a * b }.sum }
+      .sortBy { case (c, _) =>
+        c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
       .take(nProbe).map(_._2)
     val q = indexed.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
