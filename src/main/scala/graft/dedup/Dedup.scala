@@ -65,7 +65,7 @@ object Dedup {
     // join sides), so materialize it once; at warehouse scale this
     // becomes an explicit intermediate table instead of a cache.
     val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
-      .localCheckpoint() // GC-managed, unlike a session-pinned persist
+      .localCheckpoint(false) // lazy; GC-managed, unlike a session-pinned persist
     val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = hashed.toDF("id_a", "sh_h")
     val b = hashed.toDF("id_b", "sh_h")
@@ -114,7 +114,7 @@ object Dedup {
     */
   def lshCandidates(sigs0: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
     // three consumers (band explode + two sig joins): materialize once
-    val sigs = sigs0.localCheckpoint()
+    val sigs = sigs0.localCheckpoint(false)
     val r = NumPerms / bands
     val bandCols = transform(sequence(lit(0), lit(bands - 1)),
       j => struct(j.as("band_id"), xxhash64(concat_ws(",", j, slice(col("sig"), j * r + 1, lit(r)))).as("band_hash")))

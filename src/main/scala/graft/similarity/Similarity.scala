@@ -111,7 +111,7 @@ object Similarity {
     // maxIter times); localCheckpoint blocks are GC-managed, unlike
     // persist entries which would pin storage for the session
     val withVec = embs.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("__v")
       .fit(withVec)
     (model.transform(withVec).withColumnRenamed("prediction", "cell").drop("__v"), model)
