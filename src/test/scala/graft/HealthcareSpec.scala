@@ -25,7 +25,7 @@ class HealthcareSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val visits = DataGenerator.visits(spark, 200, 10)
     DataGenerator.writeCsv(visits, s"$dir/visits")
-    val back = DataGenerator.readCsv(spark, s"$dir/visits", visits.schema)
+    val back = DataGenerator.readCsv(spark, s"$dir/visits", graft.healthcare.Schemas.rawVisits)
     assert(back.count() === visits.count())
     assert(back.agg(sum("cost")).head().getDecimal(0) ===
       visits.agg(sum("cost")).head().getDecimal(0))
