@@ -28,18 +28,21 @@ object Exporters {
     * (`privacy_engine.py:396-398` shape).
     */
   def reportJson(report: Map[String, Any], path: String): Unit = {
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def render(v: Any): String = v match {
-      case s: String => "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+      case s: String => esc(s)
+      case d: Double if d.isNaN || d.isInfinite => "null" // JSON has no NaN/Inf
+      case f: Float if f.isNaN || f.isInfinite => "null"
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-        .map { case (k, x) => s""""$k": ${render(x)}""" }.mkString("{", ", ", "}")
+        .map { case (k, x) => s"${esc(k)}: ${render(x)}" }.mkString("{", ", ", "}")
       case seq: Seq[_] => seq.map(render).mkString("[", ", ", "]")
       case other => String.valueOf(other)
     }

@@ -49,11 +49,13 @@ object Transforms {
     * pure function of (key, salt) — reproducible across engines,
     * partitionings, and retries. Used for oracle-checked tests; the
     * `rand(seed)` variant above matches the reference's RANDOM().
-    * u ∈ [−0.5, 0.5): hash = (key·2654435761 + salt) mod 1000003.
+    * u ∈ (−0.5, 0.5) exclusive: hash = (key·2654435761 + salt) mod
+    * 1000003, then (hash + 0.5)/1000003 − 0.5 — the half-offset keeps u
+    * off ±0.5, where ln(1−2|u|) would be −∞ and silently zero the row.
     */
   def laplaceNoisedKeyed(value: Column, key: Column, epsilon: Double, salt: Long = 42L): Column = {
     val h = pmod(key.cast("long") * lit(2654435761L) + lit(salt), lit(1000003L))
-    val u = h.cast("double") / 1000003.0 - 0.5
+    val u = (h.cast("double") + 0.5) / 1000003.0 - 0.5
     greatest(lit(0.0), value + (lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))))
   }
 }

@@ -119,13 +119,7 @@ class Warehouse(spark: SparkSession, root: String, user: String = "etl_user") {
     val out = if (exists(factVisits))
       spark.read.parquet(factVisits).unionByName(keyed.select(spark.read.parquet(factVisits).columns.map(col): _*))
     else keyed
-    // partitioned atomic rewrite
-    val tmp = factVisits + ".tmp"
-    out.write.mode(SaveMode.Overwrite).partitionBy("visit_year").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(factVisits), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(factVisits), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(factVisits))
+    Merge.rewriteTable(spark, out, factVisits, partitionBy = Seq("visit_year"))
     Audit.log(spark, auditPath, Audit.LOAD, "fact_visits", user)
   }
 

@@ -37,8 +37,14 @@ object MlPipeline {
   val FeatureCols: Seq[String] =
     Seq("value", "user_event_cnt", "user_value_avg", "user_value_max", "user_value_min")
 
-  private def assembler(extra: Seq[String] = Nil) = new VectorAssembler()
-    .setInputCols((FeatureCols ++ extra).toArray).setOutputCol("features")
+  /** Features for models whose label is `value` itself — the raw column
+    * must not leak into the vector (the per-user aggregates stay, as the
+    * reference's cost model also feeds on historical cost statistics).
+    */
+  val RegressionFeatureCols: Seq[String] = FeatureCols.filterNot(_ == "value")
+
+  private def assembler(cols: Seq[String], extra: Seq[String] = Nil) = new VectorAssembler()
+    .setInputCols((cols ++ extra).toArray).setOutputCol("features")
 
   /** J2+J4: label-encode event_type, assemble, RF classifier
     * (100 trees, depth 10, seed 42 — `ml_pipeline.py:143-150`).
@@ -48,7 +54,7 @@ object MlPipeline {
     val pipeline = new Pipeline().setStages(Array(
       new StringIndexer().setInputCol("event_type").setOutputCol("event_type_idx")
         .setHandleInvalid("keep"),
-      assembler(Seq("event_type_idx")),
+      assembler(FeatureCols, Seq("event_type_idx")),
       new RandomForestClassifier()
         .setNumTrees(100).setMaxDepth(10).setSeed(42)
         .setLabelCol("label").setFeaturesCol("features")))
@@ -65,7 +71,7 @@ object MlPipeline {
   def trainRegressor(features: DataFrame): (PipelineModel, Double, Double) = {
     val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
     val pipeline = new Pipeline().setStages(Array(
-      assembler(),
+      assembler(RegressionFeatureCols),
       new RandomForestRegressor()
         .setNumTrees(100).setMaxDepth(15).setSeed(42)
         .setLabelCol("value").setFeaturesCol("features")))
@@ -81,7 +87,7 @@ object MlPipeline {
     */
   def anomalyScores(features: DataFrame, contamination: Double = 0.05): DataFrame = {
     val scaled = new Pipeline().setStages(Array(
-      assembler(),
+      assembler(FeatureCols),
       new StandardScaler().setInputCol("features").setOutputCol("scaled")
         .setWithMean(true).setWithStd(true)))
       .fit(features).transform(features)
@@ -101,7 +107,6 @@ object MlPipeline {
   /** J10: persist a pipeline model + sidecar metadata JSON. */
   def save(model: PipelineModel, path: String, metadata: Map[String, String]): Unit = {
     model.write.overwrite().save(path)
-    val json = metadata.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".metadata.json"), json)
+    graft.export.Exporters.reportJson(metadata, path + ".metadata.json")
   }
 }

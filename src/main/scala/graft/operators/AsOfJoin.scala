@@ -23,22 +23,28 @@ object AsOfJoin {
 
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    // Payload travels as ONE struct: last(_, ignoreNulls) then skips
+    // only rows with no right match at all — a matched right row whose
+    // payload fields are NULL still wins (DuckDB ASOF semantics), and
+    // all payload columns are guaranteed to come from the same row.
+    val pStruct = struct(payloadCols.map(col): _*)
+    val pType = right.select(pStruct).schema.head.dataType
     val lTagged = left.withColumn("__side", lit(1))
-      .withColumns(payloadCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
-    val rTagged = right.select((keyCol +: tsCol +: payloadCols).map(col): _*)
+      .withColumn("__p", lit(null).cast(pType))
+    val rTagged = right.select(col(keyCol), col(tsCol), pStruct.as("__p"))
       .withColumn("__side", lit(0))
     val leftCols = left.columns
-    val unioned = lTagged.select((leftCols :+ "__side").map(col) ++ payloadCols.map(col): _*)
+    val unioned = lTagged.select((leftCols ++ Seq("__side", "__p")).map(col): _*)
       .unionByName(
         rTagged.withColumns(
           leftCols.filterNot(c => c == keyCol || c == tsCol)
             .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-          .select((leftCols :+ "__side").map(col) ++ payloadCols.map(col): _*))
+          .select((leftCols ++ Seq("__side", "__p")).map(col): _*))
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(c, col(s"__p.$c"))
+    }.drop("__side", "__p")
   }
 }

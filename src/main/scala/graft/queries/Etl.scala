@@ -99,7 +99,7 @@ object Etl {
     Merge.upsert(existing, incoming, Seq("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        dsum(col("o_totalprice")).as("revenue"))
       .orderBy("o_orderstatus")
   }
 
@@ -123,7 +123,7 @@ object Etl {
       |  round(greatest(0.0, o_totalprice
       |    + (-(1.0 / 0.1) * sign(u) * ln(1 - 2 * abs(u)))), 2) AS noised_price
       |FROM (SELECT o_orderkey, o_totalprice,
-      |        CAST((o_orderkey * 2654435761 + 42) % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS u
+      |        (CAST((o_orderkey * 2654435761 + 42) % 1000003 AS DOUBLE) + 0.5) / 1000003.0 - 0.5 AS u
       |      FROM orders)
       |ORDER BY o_orderkey""".stripMargin,
   ) { (s, dir) =>

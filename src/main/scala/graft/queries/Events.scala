@@ -25,7 +25,7 @@ object Events {
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        dsum(col("value")).as("value_sum"))
       .orderBy("hour", "event_type")
   }
 
@@ -89,7 +89,7 @@ object Events {
       .withWatermark("ts", "2 hours")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        dsum(col("value")).as("value_sum"))
     val sink = s"graft_stream_${System.nanoTime()}"
     val q = stream.writeStream.format("memory").queryName(sink)
       .outputMode("complete").start()

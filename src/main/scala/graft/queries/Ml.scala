@@ -32,7 +32,7 @@ object Ml {
     val events = Tables.events(s, dir)
     val m = events.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+      dsum(col("value")).as("s"),
       sum((col("value") * col("value")).cast("decimal(24,4)")).cast("double").as("sq"))
     events.join(broadcast(m), "event_type")
       .select(col("event_id"),

@@ -21,10 +21,6 @@ import graft.{Q, Tables}
   */
 object Relational {
 
-  /** Exact, order-independent sum of a 2-dp double column. */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
-
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 

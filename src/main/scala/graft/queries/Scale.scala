@@ -26,7 +26,7 @@ object Scale {
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        dsum(col("o_totalprice")).as("revenue"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("cnt"), col("revenue"))

@@ -34,9 +34,11 @@ object Merge {
     * is the price of upsert-on-parquet; at scale, partition the table
     * and rewrite only partitions containing touched keys.
     */
-  def rewriteTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def rewriteTable(spark: SparkSession, df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     val tmp = path + ".tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

@@ -29,6 +29,16 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("a matched right row with NULL payload wins over older non-null rows") {
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 10:00:00"), Some(3.0)),
+      (5L, ts("2024-01-01 11:00:00"), Option.empty[Double]), // latest match, NULL payload
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.join(left, right, "user_id", "ts", Seq("v")).head()
+    assert(out.isNullAt(out.fieldIndex("v"))) // DuckDB ASOF returns the matched row's NULL
+  }
+
   test("ties at the exact timestamp are inclusive") {
     val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((5L, ts("2024-01-01 10:00:00"), 7.0)).toDF("user_id", "ts", "v")

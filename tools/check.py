@@ -57,6 +57,10 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
     if "--run" in sys.argv:
+        # wipe stale output: leftovers from a previous run must not be
+        # compared as if they were produced by this build
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
         run_verify(sf_dir, out_dir)
 
     con = duckdb.connect()
@@ -68,6 +72,14 @@ def main():
 
     results = {}
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    # a registered query that crashed writes no dir — that's a failure,
+    # not a smaller denominator
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for expected in json.load(f):
+                if expected not in names:
+                    results[expected] = "MISSING (query crashed in Verify — see stderr)"
     for name in names:
         try:
             mine = pd.read_parquet(f"{out_dir}/{name}")
