@@ -10,7 +10,7 @@ import graft.{Q, Tables}
   */
 object Scale {
 
-  val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile)
+  val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile, groupingSets)
 
   // --- ROLLUP with subtotal + grand-total rows ----------------------------
   def rollup: Q = Q(
@@ -31,6 +31,29 @@ object Scale {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("cnt"), col("revenue"))
       .orderBy("status", "priority")
+  }
+
+  // --- GROUPING SETS through the spark.sql entry path ----------------------
+  // Also demonstrates the SQL surface: the engine's tables register as
+  // temp views and ANSI SQL runs against them unchanged.
+  def groupingSets: Q = Q(
+    "q66_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(c_mktsegment, 'ALL') AS segment,
+      |  count(*) AS cnt
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+      |ORDER BY status, segment""".stripMargin,
+  ) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  count(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+        |ORDER BY status, segment""".stripMargin)
   }
 
   // --- HyperLogLog distinct (rows-only: sketch values are Spark's own) ----
