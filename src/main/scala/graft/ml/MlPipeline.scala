@@ -46,22 +46,46 @@ object MlPipeline {
   private def assembler(cols: Seq[String], extra: Seq[String] = Nil) = new VectorAssembler()
     .setInputCols((cols ++ extra).toArray).setOutputCol("features")
 
+  /** J3: stratified 80/20 split — per-class seeded split then union,
+    * preserving class proportions in both folds
+    * (`ml_pipeline.py:138-140` stratify=y).
+    */
+  def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double = 0.8,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
+    val splits = classes.map { c =>
+      val Array(tr, te) = df.filter(col(labelCol) === c)
+        .randomSplit(Array(trainFrac, 1 - trainFrac), seed)
+      (tr, te)
+    }
+    (splits.map(_._1).reduce(_ unionByName _), splits.map(_._2).reduce(_ unionByName _))
+  }
+
   /** J2+J4: label-encode event_type, assemble, RF classifier
-    * (100 trees, depth 10, seed 42 — `ml_pipeline.py:143-150`).
+    * (100 trees, depth 10, seed 42 — `ml_pipeline.py:143-150`);
+    * `class_weight='balanced'` parity via weightCol = n / (k·n_class).
     */
   def trainClassifier(features: DataFrame): (PipelineModel, Double) = {
-    val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
+    val (train0, test) = stratifiedSplit(features, "label")
+    val counts = train0.groupBy("label").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val k = counts.size
+    val weightExpr = counts.foldLeft(lit(1.0)) { case (acc, (cls, cnt)) =>
+      when(col("label") === cls, n / (k * cnt)).otherwise(acc)
+    }
+    val train = train0.withColumn("w", weightExpr)
     val pipeline = new Pipeline().setStages(Array(
       new StringIndexer().setInputCol("event_type").setOutputCol("event_type_idx")
         .setHandleInvalid("keep"),
       assembler(FeatureCols, Seq("event_type_idx")),
       new RandomForestClassifier()
         .setNumTrees(100).setMaxDepth(10).setSeed(42)
-        .setLabelCol("label").setFeaturesCol("features")))
+        .setLabelCol("label").setFeaturesCol("features").setWeightCol("w")))
     val model = pipeline.fit(train)
     val acc = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setMetricName("accuracy")
-      .evaluate(model.transform(test))
+      .evaluate(model.transform(test.withColumn("w", lit(1.0))))
     (model, acc)
   }
 

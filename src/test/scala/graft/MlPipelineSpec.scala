@@ -15,6 +15,16 @@ class MlPipelineSpec extends SparkSpec {
     assert(MlPipeline.FeatureCols.forall(features.columns.contains))
   }
 
+  test("stratified split preserves class proportions") {
+    val (tr, te) = MlPipeline.stratifiedSplit(features, "label")
+    def posShare(df: org.apache.spark.sql.DataFrame) = {
+      val n = df.count().toDouble
+      df.filter(col("label") === 1.0).count() / n
+    }
+    assert(math.abs(posShare(tr) - posShare(te)) < 0.1)
+    assert(tr.count() + te.count() === features.count())
+  }
+
   test("classifier trains and beats the trivial floor") {
     val (_, acc) = MlPipeline.trainClassifier(features)
     assert(acc > 0.5) // events are dense in time → labels skew positive; sanity floor
