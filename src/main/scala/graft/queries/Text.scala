@@ -12,7 +12,8 @@ import graft.text.TextAnalysis
 object Text {
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
-    ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint)
+    ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
+    corpusCuration)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -152,6 +153,51 @@ object Text {
     Tables.documents(s, dir)
       .select(col("doc_id"), RollingHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+  }
+
+  // --- end-to-end corpus curation -----------------------------------------
+  // The training-data pipeline composition: quality gate → near-dup
+  // removal (drop every non-representative side of a ≥0.5-Jaccard
+  // pair) → per-language survivor counts. One declarative plan.
+  def corpusCuration: Q = Q(
+    "q67_corpus_curation",
+    s"""WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+       |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+       |       WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM pairs
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |quality AS (
+       |  SELECT doc_id, lang,
+       |    least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.5
+       |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |          / len(string_split(text, ' '))) * 0.5 AS q
+       |  FROM documents)
+       |SELECT lang, count(*) AS kept_docs
+       |FROM quality
+       |WHERE q >= 0.6
+       |  AND doc_id IN (SELECT doc_id FROM dd)
+       |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val reps = Dedup.exactRepresentatives(docs, "doc_id", "text")
+    val dropped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs
+      .join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.6)
+      .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
+      .orderBy("lang")
   }
 
   // --- md5 fingerprint (oracle-checked) -----------------------------------
