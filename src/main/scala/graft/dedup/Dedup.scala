@@ -8,8 +8,19 @@ import graft.text.TextAnalysis
   * MinHash+LSH, and SimHash — each expressed as keyed dataflow
   * (explode → shuffle-on-key → join), never an O(n²) cross product,
   * so the same plans run at 100 TB.
+  *
+  * Multi-consumer intermediates are persisted (Spark's CacheManager
+  * dedupes identical plans, so repeated calls on the same input reuse
+  * one entry); long-lived sessions processing many distinct corpora
+  * should call [[clearCaches]] between batches. Lazy localCheckpoint
+  * was tried and abandoned: under AQE's concurrent stage submission it
+  * re-materializes the subtree per stage, with pathological blowups.
   */
 object Dedup {
+
+  /** Release cached dedup intermediates (all session cache entries). */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.catalog.clearCache()
 
   /** Exact dedup: hash-groupBy on the content columns, keeping the
     * minimum id per group. One shuffle on the content hash.
@@ -65,7 +76,7 @@ object Dedup {
     // join sides), so materialize it once; at warehouse scale this
     // becomes an explicit intermediate table instead of a cache.
     val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
-      .localCheckpoint(false) // lazy; GC-managed, unlike a session-pinned persist
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = hashed.toDF("id_a", "sh_h")
     val b = hashed.toDF("id_b", "sh_h")
@@ -114,7 +125,7 @@ object Dedup {
     */
   def lshCandidates(sigs0: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
     // three consumers (band explode + two sig joins): materialize once
-    val sigs = sigs0.localCheckpoint(false)
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = NumPerms / bands
     val bandCols = transform(sequence(lit(0), lit(bands - 1)),
       j => struct(j.as("band_id"), xxhash64(concat_ws(",", j, slice(col("sig"), j * r + 1, lit(r)))).as("band_hash")))

@@ -189,8 +189,10 @@ object Text {
        |ORDER BY lang""".stripMargin,
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // representatives computed once, shared by pair generation (which
+    // would otherwise re-dedup internally) and the survivor filter
     val reps = Dedup.exactRepresentatives(docs, "doc_id", "text")
-    val dropped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    val dropped = Dedup.jaccardPairs(reps, "doc_id", "text", threshold = 0.5, preDedup = false)
       .select(col("id_b").as("doc_id")).distinct()
     docs
       .join(reps.select("doc_id"), Seq("doc_id"), "left_semi")

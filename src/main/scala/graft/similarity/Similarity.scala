@@ -107,11 +107,9 @@ object Similarity {
       nCells: Int, seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // materialize the vectorized input once (KMeans iterates over it
-    // maxIter times); localCheckpoint blocks are GC-managed, unlike
-    // persist entries which would pin storage for the session
+    // cache the vectorized input: KMeans iterates over it maxIter times
     val withVec = embs.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("__v")
       .fit(withVec)
     (model.transform(withVec).withColumnRenamed("prediction", "cell").drop("__v"), model)
