@@ -55,9 +55,11 @@ class HealthcareSpec extends SparkSpec {
     val dirs = new java.io.File(wh.factVisits).listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("visit_year=")).sorted
     assert(dirs.toSeq === Seq("visit_year=2023", "visit_year=2024", "visit_year=2025", "visit_year=2026"))
-    // a year filter prunes the scan to one partition's files
-    val planned = an.visitsInYear(2024).queryExecution.executedPlan.toString
-    assert(!planned.contains("visit_year=2023"))
+    // a year filter becomes a partition filter at the scan (pruning),
+    // not a row-level data filter
+    val plan = an.visitsInYear(2024).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("visit_year#") || plan.contains("visit_year = 2024"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString)
   }
 
   test("incremental rebuild is a no-op on identical input") {
