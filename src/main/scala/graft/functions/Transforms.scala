@@ -14,11 +14,17 @@ object Transforms {
   def anonymize(c: Column): Column = sha2(c.cast("string"), 256)
 
   /** H2: calendar-exact age in whole years at `asOf`
-    * (`scripts/etl.py:40-46` — birthday-aware (month, day) compare).
-    * floor(months_between / 12) reproduces the correction exactly.
+    * (`scripts/etl.py:40-46`): year difference minus one when asOf's
+    * (month, day) precedes the birthday. Implemented as the literal
+    * (month, day) compare — months_between/12 looks equivalent but its
+    * last-day-of-month rule ages Feb-29 DOBs a year early on Feb-28 of
+    * non-leap years.
     */
   def age(dob: Column, asOf: Column): Column =
-    floor(months_between(asOf, dob) / 12).cast("int")
+    (year(asOf) - year(dob)
+      - when(month(asOf) < month(dob)
+        || (month(asOf) === month(dob) && dayofmonth(asOf) < dayofmonth(dob)), 1)
+        .otherwise(0)).cast("int")
 
   /** H3: age → labeled bucket (`scripts/etl.py:49-62`). */
   def ageGroup(age: Column): Column =
@@ -54,7 +60,10 @@ object Transforms {
     * off ±0.5, where ln(1−2|u|) would be −∞ and silently zero the row.
     */
   def laplaceNoisedKeyed(value: Column, key: Column, epsilon: Double, salt: Long = 42L): Column = {
-    val h = pmod(key.cast("long") * lit(2654435761L) + lit(salt), lit(1000003L))
+    // reduce the key mod p BEFORE multiplying: (k mod p)·m ≤ 1e6·2.7e9
+    // never overflows a long, and modular arithmetic makes the result
+    // identical to (k·m + s) mod p computed without overflow
+    val h = pmod(pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(salt), lit(1000003L))
     val u = (h.cast("double") + 0.5) / 1000003.0 - 0.5
     greatest(lit(0.0), value + (lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))))
   }

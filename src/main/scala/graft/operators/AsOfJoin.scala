@@ -40,7 +40,9 @@ object AsOfJoin {
           leftCols.filterNot(c => c == keyCol || c == tsCol)
             .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
           .select((leftCols ++ Seq("__side", "__p")).map(col): _*))
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    // the payload struct is the final sort key so right-side ties at the
+    // same (key, ts) resolve deterministically regardless of partitioning
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     payloadCols.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>

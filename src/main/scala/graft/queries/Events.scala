@@ -94,7 +94,11 @@ object Events {
     val q = stream.writeStream.format("memory").queryName(sink)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(sink).orderBy("hour", "event_type")
+    // detach the result from the memory sink (checkpoint cuts lineage)
+    // so the temp view can be dropped instead of leaking per invocation
+    val out = s.table(sink).orderBy("hour", "event_type").localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   // --- semi-structured JSON extraction (H15 extension) --------------------

@@ -98,7 +98,10 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val target = spark.read.parquet(tablePath)
-        val merged = graft.warehouse.Merge.upsert(target, batch, keys)
+        // a single micro-batch can carry the same key twice (several
+        // file drops); upsert requires key-unique incoming, so collapse
+        // first (arbitrary survivor among exact-key duplicates)
+        val merged = graft.warehouse.Merge.upsert(target, batch.dropDuplicates(keys), keys)
         graft.warehouse.Merge.rewriteTable(spark, merged, tablePath)
       }
       .start()

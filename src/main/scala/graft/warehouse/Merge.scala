@@ -30,19 +30,28 @@ object Merge {
     target.unionByName(
       incoming.join(target.select(keys.head, keys.tail: _*), keys, "left_anti"))
 
-  /** Atomic table rewrite: write to a temp dir, then swap. The rewrite
-    * is the price of upsert-on-parquet; at scale, partition the table
-    * and rewrite only partitions containing touched keys.
+  /** Table rewrite via a two-rename swap: write tmp, move the live
+    * table aside, move tmp into place, drop the old copy. A crash
+    * between the renames leaves the data recoverable under `.old` —
+    * the previous delete-then-rename order had a window where the only
+    * copy was `.tmp`. True atomicity needs a pointer swap (metastore /
+    * table-format commit), which is the production path at scale; this
+    * is the best a bare filesystem offers. At scale also prefer
+    * rewriting only the partitions containing touched keys.
     */
   def rewriteTable(spark: SparkSession, df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val tmp = path + ".tmp"
+    val old = path + ".old"
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val oldP = new org.apache.hadoop.fs.Path(old)
+    fs.delete(oldP, true)
+    if (fs.exists(dst)) fs.rename(dst, oldP)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(oldP, true)
   }
 }

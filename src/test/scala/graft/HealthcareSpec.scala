@@ -56,10 +56,11 @@ class HealthcareSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("visit_year=")).sorted
     assert(dirs.toSeq === Seq("visit_year=2023", "visit_year=2024", "visit_year=2025", "visit_year=2026"))
     // a year filter becomes a partition filter at the scan (pruning),
-    // not a row-level data filter
+    // not a row-level data filter: visit_year must appear INSIDE the
+    // PartitionFilters list
     val plan = an.visitsInYear(2024).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("visit_year#") || plan.contains("visit_year = 2024"),
-      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(_.contains("visit_year")), s"PartitionFilters=$pf")
   }
 
   test("incremental rebuild is a no-op on identical input") {

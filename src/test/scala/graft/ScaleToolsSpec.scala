@@ -58,9 +58,15 @@ class ScaleToolsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ivf.size === 10)
     assert((ivf & bf).nonEmpty) // probing 3/8 cells retains true neighbors
-    // scanned fraction strictly below full scan
-    val probed = cached.filter(col("cell").isin(
-      model.clusterCenters.indices: _*)).count()
-    assert(probed === cached.count())
+    // probing must scan strictly fewer rows than the full table:
+    // recompute the 3 Euclidean-nearest cells exactly as ivfTopK does
+    val qv = embs.filter(col("vec_id") === 0L)
+      .selectExpr("transform(embedding, x -> cast(x as double)) v")
+      .head().getSeq[Double](0).toArray
+    val probeCells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum }
+      .take(3).map(_._2)
+    val probed = cached.filter(col("cell").isin(probeCells: _*)).count()
+    assert(probed > 0 && probed < cached.count())
   }
 }

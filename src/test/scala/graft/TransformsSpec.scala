@@ -16,6 +16,12 @@ class TransformsSpec extends SparkSpec {
     ).toDF("dob", "expected")
       .withColumn("age", Transforms.age(col("dob").cast("date"), lit("2026-08-12").cast("date")))
     assert(df.filter(col("age") =!= col("expected")).count() === 0)
+    // Feb-29 DOB on Feb-28 of a non-leap year: birthday not reached yet
+    // ((2,28) < (2,29) in the reference's tuple compare) — the
+    // months_between formulation got this wrong
+    val leap = Seq(("1996-02-29", 29), ("1996-02-28", 30)).toDF("dob", "expected")
+      .withColumn("age", Transforms.age(col("dob").cast("date"), lit("2026-02-28").cast("date")))
+    assert(leap.filter(col("age") =!= col("expected")).count() === 0)
   }
 
   test("ageGroup buckets match reference labels at boundaries") {

@@ -87,7 +87,12 @@ def main():
             results[name] = f"READ-FAIL {e}"
             continue
         if name not in oracles:
-            results[name] = f"rows-only ({len(mine)} rows)" + ("  ⚠ ZERO" if len(mine) == 0 else "")
+            # every registered rows-only query is expected to produce rows
+            # at all SFs; an empty result is a regression, not a pass
+            if len(mine) == 0:
+                results[name] = "ROWS-ONLY-EMPTY (0 rows — regression)"
+            else:
+                results[name] = f"rows-only ({len(mine)} rows)"
             continue
         try:
             ref = con.execute(oracles[name]).fetchdf()
