@@ -15,12 +15,42 @@ import graft.text.TextAnalysis
   * should call [[clearCaches]] between batches. Lazy localCheckpoint
   * was tried and abandoned: under AQE's concurrent stage submission it
   * re-materializes the subtree per stage, with pathological blowups.
+  *
+  * Hot-key bounds: real web corpora contain boilerplate shingles shared
+  * by millions of documents; a self-join bucket on such a key is
+  * quadratic. Pair generation therefore caps document frequency
+  * ([[jaccardPairs]] `dfCap`) and LSH bucket size ([[lshCandidates]] /
+  * [[simhashPairs]] `bucketCap`) by default, logging what was dropped —
+  * pass 0 to opt out explicitly.
   */
 object Dedup {
 
-  /** Release cached dedup intermediates (all session cache entries). */
-  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.catalog.clearCache()
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default document-frequency / bucket-size bound. A key this hot is
+    * boilerplate, not signal: it contributes ≤ cap² pairs instead of
+    * n_docs², and near-dup pairs that share *only* boilerplate are the
+    * pairs we want to miss.
+    */
+  val DefaultHotKeyCap = 1000
+
+  // Persist handles created by this object, so cleanup releases exactly
+  // our intermediates and nothing else in the session cache.
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    p
+  }
+
+  /** Release cached dedup intermediates — only the handles this object
+    * persisted, leaving unrelated session cache entries alone.
+    */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+  }
 
   /** Exact dedup: hash-groupBy on the content columns, keeping the
     * minimum id per group. One shuffle on the content hash.
@@ -63,20 +93,25 @@ object Dedup {
       .repartition(col(idCol))
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, dfCap: Int = 0,
+      threshold: Double, n: Int = 3, dfCap: Int = DefaultHotKeyCap,
       preDedup: Boolean = true): DataFrame = {
     val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
     val sh0 = shingleTable(base, idCol, textCol, n)
     val sh = if (dfCap > 0) {
-      val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+      // The df agg is a shuffle we'd pay anyway as a join side; persist
+      // it so the eager dropped-count report reuses the same pass.
+      val hot = persistTracked(
+        sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap))
+      val nHot = hot.count()
+      if (nHot > 0) log.warn(s"jaccardPairs: dropping $nHot shingles with df > $dfCap")
       sh0.join(hot, Seq("shingle"), "left_anti")
     } else sh0
     // Join on the 8-byte shingle hash, not the string: cheaper shuffle
     // and compare. The hashed table feeds three consumers (sizes + both
     // join sides), so materialize it once; at warehouse scale this
     // becomes an explicit intermediate table instead of a cache.
-    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = persistTracked(
+      sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h")))
     val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = hashed.toDF("id_a", "sh_h")
     val b = hashed.toDF("id_b", "sh_h")
@@ -121,16 +156,30 @@ object Dedup {
   /** LSH banding: k perms → `bands` bands of k/bands rows; docs collide
     * when any band hash matches. Candidate generation is a self-join on
     * (band_id, band_hash) — shuffle-bounded by bucket sizes, never n².
+    * Buckets holding more than `bucketCap` docs (degenerate bands —
+    * boilerplate-dominated signatures) are dropped with a logged count,
+    * bounding any single bucket's pair fan-out at cap²; 0 opts out.
     * est_jaccard = fraction of matching signature components.
     */
-  def lshCandidates(sigs0: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
+  def lshCandidates(sigs0: DataFrame, idCol: String, bands: Int = 8,
+      bucketCap: Int = DefaultHotKeyCap): DataFrame = {
     // three consumers (band explode + two sig joins): materialize once
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = persistTracked(sigs0)
     val r = NumPerms / bands
     val bandCols = transform(sequence(lit(0), lit(bands - 1)),
       j => struct(j.as("band_id"), xxhash64(concat_ws(",", j, slice(col("sig"), j * r + 1, lit(r)))).as("band_hash")))
-    val exploded = sigs.select(col(idCol), explode(bandCols).as("b"))
+    val exploded0 = sigs.select(col(idCol), explode(bandCols).as("b"))
       .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+    val exploded = if (bucketCap > 0) {
+      val hot = persistTracked(exploded0.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > bucketCap))
+      val nHot = hot.count()
+      if (nHot > 0) log.warn(s"lshCandidates: dropping $nHot LSH buckets with > $bucketCap docs")
+      // USING-join output reorders columns (using cols first): reselect
+      // by name so the positional toDF renames below stay correct
+      exploded0.join(hot, Seq("band_id", "band_hash"), "left_anti")
+        .select(col(idCol), col("band_id"), col("band_hash"))
+    } else exploded0
     val cand = exploded.toDF("id_a", "band_id", "band_hash")
       .join(exploded.toDF("id_b", "band_id", "band_hash"), Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -149,9 +198,15 @@ object Dedup {
   /** 64-bit SimHash over word tokens: per-token xxhash64, bit j of the
     * signature is the sign of Σ_tokens (±1 on bit j). One explode + one
     * groupBy; the 64 bit-sums partial-aggregate map-side.
+    *
+    * Composes after exact dedup by default (like [[jaccardPairs]] /
+    * [[minhashSignatures]]): k identical copies share one signature and
+    * would otherwise multiply the band join's fan-out by k².
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      preDedup: Boolean = true): DataFrame = {
+    val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
+    val tok = base.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col(idCol), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
@@ -165,20 +220,35 @@ object Dedup {
   /** Near-dup pairs with Hamming distance ≤ maxHamming, found by
     * banding the 64-bit signature into 4×16-bit keys (any exact-band
     * match is a candidate — guaranteed complete for maxHamming ≤ 3 by
-    * pigeonhole; a recall/efficiency trade-off above that).
+    * pigeonhole; a recall/efficiency trade-off above that). Buckets
+    * larger than `bucketCap` are dropped like in [[lshCandidates]];
+    * the Hamming filter runs BEFORE the cross-band `.distinct()` so
+    * the dedup shuffle carries only surviving pairs.
     */
-  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val banded = sh.select(col(idCol), col("simhash"),
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
+      bucketCap: Int = DefaultHotKeyCap): DataFrame = {
+    // parent plan is the 64-way bit-sum aggregate; three consumers
+    // below (bucket sizes + both self-join sides) → materialize once
+    val banded0 = persistTracked(sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_id"),
           col("simhash").bitwiseAND(lit(0xffffL << (16 * k))).as("band_val"))): _*)).as("b"))
-      .select(col(idCol), col("simhash"), col("b.band_id"), col("b.band_val"))
+      .select(col(idCol), col("simhash"), col("b.band_id"), col("b.band_val")))
+    val banded = if (bucketCap > 0) {
+      val hot = persistTracked(banded0.groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > bucketCap))
+      val nHot = hot.count()
+      if (nHot > 0) log.warn(s"simhashPairs: dropping $nHot simhash bands with > $bucketCap docs")
+      // reselect by name: USING-join output order differs from banded0's
+      banded0.join(hot, Seq("band_id", "band_val"), "left_anti")
+        .select(col(idCol), col("simhash"), col("band_id"), col("band_val"))
+    } else banded0
     banded.toDF("id_a", "sh_a", "band_id", "band_val")
       .join(banded.toDF("id_b", "sh_b", "band_id", "band_val"), Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

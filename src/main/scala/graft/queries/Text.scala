@@ -114,9 +114,11 @@ object Text {
     "q40_ngram_jaccard",
     """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
-      |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
       |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
       |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -163,9 +165,11 @@ object Text {
     "q67_corpus_curation",
     s"""WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
-       |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+       |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
        |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
        |       WHERE len(t) >= 3),
+       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+       |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -54,11 +54,39 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs collide at hamming 0, near-dups within 3") {
-    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text", preDedup = false)
     val pairs = Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
     assert(pairs((0L, 1L)) === 0)
     assert(pairs.get((0L, 2L)).forall(_ <= 3))
+  }
+
+  test("simhash default composes after exact dedup: copies collapse to representatives") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    assert(sh.count() === 3) // 0 (rep of 0,1), 2, 3 — copy id 1 is gone
+    val pairs = Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((0L, 1L))) // exact copy handled by exact dedup, not the band join
+  }
+
+  test("dfCap drops boilerplate shingles from the pair join") {
+    // six distinct docs whose ONLY shared shingle is the boilerplate
+    // tail "shared shingle base" (df = 6)
+    val boiler = (0 until 6).map(i => (i.toLong, s"u$i v$i w$i shared shingle base"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(boiler, "doc_id", "text", threshold = 0.1, dfCap = 0)
+    assert(uncapped.count() === 15) // all C(6,2) pairs via the hot shingle
+    val capped = Dedup.jaccardPairs(boiler, "doc_id", "text", threshold = 0.1, dfCap = 5)
+    assert(capped.count() === 0) // hot shingle dropped → no pair survives
+  }
+
+  test("LSH and simhash bucket caps drop degenerate buckets") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", preDedup = false)
+    // ids 0 and 1 are identical → every band bucket they occupy has ≥ 2
+    // docs; bucketCap = 1 kills all multi-doc buckets → no candidates
+    assert(Dedup.lshCandidates(sigs, "doc_id", bucketCap = 1).count() === 0)
+    val sh = Dedup.simhash(docs, "doc_id", "text", preDedup = false)
+    assert(Dedup.simhashPairs(sh, "doc_id", bucketCap = 1).count() === 0)
   }
 
   test("rolling hash: deterministic, content-sensitive, codegen == eval") {
