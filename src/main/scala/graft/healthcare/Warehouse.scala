@@ -24,7 +24,14 @@ class Warehouse(spark: SparkSession, root: String, user: String = "etl_user") {
   val factVisits = s"$root/fact_visits"
   val auditPath = s"$root/audit_log"
 
-  private def exists(p: String) = new java.io.File(p).exists()
+  // same filesystem API as the writes in Merge — a java.io.File probe
+  // would silently report "missing" on any non-local fs and restart
+  // surrogate keys from scratch
+  private def exists(p: String) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(p))
+  }
 
   /** §3.1 ETL: set-oriented staging load (the reference's per-row
     * INSERT loop becomes one vectorized write), with H1–H3/B7
@@ -69,6 +76,9 @@ class Warehouse(spark: SparkSession, root: String, user: String = "etl_user") {
 
   /** Incremental dim build (`dim_patients.sql:20-47`): anti-join new
     * naturals, assign contiguous surrogate keys above the current max.
+    * Existing rows are immutable here (type-1 inserts only), so the
+    * incremental load APPENDS just the new keyed rows — O(new), never a
+    * rewrite of the table, and prior files stay byte-identical.
     */
   private def buildDim(staged: DataFrame, path: String, naturalKey: String,
       keyName: String): Unit = {
@@ -83,8 +93,8 @@ class Warehouse(spark: SparkSession, root: String, user: String = "etl_user") {
     val keyed = Keys.addSurrogate(fresh, keyName, Seq(col(naturalKey)), start = maxKey)
       .withColumn("valid_from", current_timestamp())
       .withColumn("is_current", lit(true))
-    val out = if (existing == null) keyed else existing.unionByName(keyed)
-    Merge.rewriteTable(spark, out, path)
+    if (existing == null) Merge.rewriteTable(spark, keyed, path)
+    else keyed.write.mode(SaveMode.Append).parquet(path)
   }
 
   /** Fact build (`fact_visits.sql`): anti-join new visits, resolve FKs
@@ -116,10 +126,13 @@ class Warehouse(spark: SparkSession, root: String, user: String = "etl_user") {
       .withColumn("visit_year", year(col("visit_date")))
     val keyed = Keys.addSurrogate(resolved, "visit_key", Seq(col("visit_id")), start = maxKey)
 
-    val out = if (exists(factVisits))
-      spark.read.parquet(factVisits).unionByName(keyed.select(spark.read.parquet(factVisits).columns.map(col): _*))
-    else keyed
-    Merge.rewriteTable(spark, out, factVisits, partitionBy = Seq("visit_year"))
+    // facts are insert-only after the anti-join, so incremental loads
+    // append into the visit_year layout: only partitions receiving new
+    // rows gain files, all other partition dirs are untouched
+    if (exists(factVisits))
+      keyed.write.mode(SaveMode.Append).partitionBy("visit_year").parquet(factVisits)
+    else
+      Merge.rewriteTable(spark, keyed, factVisits, partitionBy = Seq("visit_year"))
     Audit.log(spark, auditPath, Audit.LOAD, "fact_visits", user)
   }
 

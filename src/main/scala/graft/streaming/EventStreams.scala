@@ -89,20 +89,29 @@ object EventStreams {
     * each micro-batch into the warehouse table with upsert semantics —
     * the streaming form of the reference's hourly idempotent re-load
     * (`airflow_dags.py:57-78` + ON CONFLICT).
+    *
+    * The target lives in `Merge.upsertBucketed`'s key-hash-partitioned
+    * layout, so each micro-batch rewrites only the bucket dirs its keys
+    * hash to — O(batch × table/nBuckets) per batch, not O(table). The
+    * first batch migrates an unbucketed table once.
     */
   def ingestMerge(spark: SparkSession, srcDir: String, tablePath: String,
-      keys: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(tablePath).schema
+      keys: Seq[String], checkpoint: String,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.StructType
+    // drop-in files carry the logical schema; the derived bucket column
+    // exists only in the table's physical layout
+    val schema = StructType(spark.read.parquet(tablePath).schema
+      .filterNot(_.name == graft.warehouse.Merge.BucketCol))
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = spark.read.parquet(tablePath)
         // a single micro-batch can carry the same key twice (several
         // file drops); upsert requires key-unique incoming, so collapse
         // first (arbitrary survivor among exact-key duplicates)
-        val merged = graft.warehouse.Merge.upsert(target, batch.dropDuplicates(keys), keys)
-        graft.warehouse.Merge.rewriteTable(spark, merged, tablePath)
+        graft.warehouse.Merge.upsertBucketed(
+          spark, tablePath, batch.dropDuplicates(keys), keys, nBuckets)
       }
       .start()
   }

@@ -1,6 +1,8 @@
 package graft.warehouse
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Key-based upsert / incremental-load semantics (SURVEY.md §2 A7, C5).
   *
@@ -47,11 +49,66 @@ object Merge {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val oldP = new org.apache.hadoop.fs.Path(old)
+    val dst = new Path(path)
+    val oldP = new Path(old)
     fs.delete(oldP, true)
     if (fs.exists(dst)) fs.rename(dst, oldP)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.rename(new Path(tmp), dst)
     fs.delete(oldP, true)
+  }
+
+  // ---- partition-scoped (bucketed) upsert ---------------------------------
+
+  /** Derived partition column for [[upsertBucketed]] tables. */
+  val BucketCol = "__bucket"
+
+  /** Attach the key-hash bucket a row's key maps to. The bucket is a
+    * pure function of the key columns, so the current and any updated
+    * version of a key always land in the same partition directory —
+    * the property that makes partition-scoped rewrite correct.
+    */
+  def withBucket(df: DataFrame, keys: Seq[String], nBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+
+  /** Upsert that rewrites only touched partitions: the table lives
+    * partitioned by `__bucket = hash(keys) mod nBuckets`; a merge reads
+    * and rewrites just the bucket dirs the incoming keys hash to
+    * (partition pruning on the scan, per-dir swap on the write), so the
+    * cost is O(|incoming| × table/nBuckets), not O(table) — every other
+    * partition's files are left byte-identical. A table not yet in the
+    * bucketed layout is migrated once (one full rewrite).
+    */
+  def upsertBucketed(spark: SparkSession, tablePath: String, incoming0: DataFrame,
+      keys: Seq[String], nBuckets: Int = 64): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val incoming = withBucket(incoming0, keys, nBuckets)
+    if (!fs.exists(new Path(tablePath))) {
+      incoming.write.partitionBy(BucketCol).parquet(tablePath)
+      return
+    }
+    if (!spark.read.parquet(tablePath).columns.contains(BucketCol))
+      rewriteTable(spark, withBucket(spark.read.parquet(tablePath), keys, nBuckets),
+        tablePath, Seq(BucketCol))
+    val target = spark.read.parquet(tablePath)
+    // bucket values are bounded by nBuckets — a scalar-sized collect
+    val touched = incoming.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+    val affected = target.filter(col(BucketCol).isin(touched: _*))
+    val merged = upsert(affected, incoming, keys)
+    // stage the merged buckets, then swap each dir in; displaced dirs go
+    // to a sibling trash dir (NOT `<dir>.old` inside the table, which
+    // partition discovery would misread as a partition value)
+    val tmp = new Path(tablePath + ".tmppart")
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp.toString)
+    val trash = new Path(tablePath + ".oldpart")
+    fs.delete(trash, true)
+    fs.mkdirs(trash)
+    for (st <- fs.listStatus(tmp) if st.isDirectory) {
+      val dst = new Path(tablePath, st.getPath.getName)
+      if (fs.exists(dst)) fs.rename(dst, new Path(trash, st.getPath.getName))
+      fs.rename(st.getPath, dst)
+    }
+    fs.delete(tmp, true)
+    fs.delete(trash, true)
   }
 }

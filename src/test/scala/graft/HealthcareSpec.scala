@@ -70,6 +70,45 @@ class HealthcareSpec extends SparkSpec {
     assert(spark.read.parquet(wh.dimPatients).count() === 1000)
   }
 
+  /** relative file path → (length, mtime) for every file under root */
+  private def snapshot(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val f = p.toFile
+        out(base.relativize(p).toString) = (f.length, f.lastModified)
+      }
+    }
+    out.toMap
+  }
+
+  test("incremental fact load appends without rewriting prior partitions") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-wh-inc").toString
+    val w = new Warehouse(spark, root2)
+    val patients = DataGenerator.patients(spark, 200)
+    val providers = DataGenerator.providers(spark, 10)
+    val visits = DataGenerator.visits(spark, 200, 10)
+    w.loadStaging(patients, providers, visits)
+    w.build()
+    val before = snapshot(w.factVisits)
+    val factBefore = spark.read.parquet(w.factVisits).count()
+    // second load: one brand-new 2026 visit on top of the same input
+    val extra = visits.limit(1)
+      .withColumn("visit_id", lit(999999L))
+      .withColumn("visit_date", lit("2026-02-10").cast("date"))
+    w.loadStaging(patients, providers, visits.unionByName(extra))
+    w.build()
+    val after = snapshot(w.factVisits)
+    assert(spark.read.parquet(w.factVisits).count() === factBefore + 1)
+    // every pre-existing file in an untouched year partition is
+    // byte-identical (same length + mtime): the merge never rewrote it
+    val prior = before.keySet.filter(p =>
+      Seq("visit_year=2023", "visit_year=2024", "visit_year=2025").exists(p.startsWith))
+    assert(prior.nonEmpty)
+    prior.foreach { p => assert(after.get(p) === before.get(p), s"rewritten: $p") }
+  }
+
   test("noise column clamps at zero and moves the mean only slightly") {
     val r = an.noiseImpact.head()
     assert(spark.read.parquet(wh.factVisits)

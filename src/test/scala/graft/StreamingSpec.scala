@@ -91,8 +91,52 @@ class StreamingSpec extends SparkSpec {
         .write.mode("append").parquet(src)
       q.processAllAvailable()
       val out = spark.read.parquet(table).orderBy("id").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq
       assert(out === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  /** relative file path → (length, mtime) for every file under root */
+  private def snapshot(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val f = p.toFile
+        out(base.relativize(p).toString) = (f.length, f.lastModified)
+      }
+    }
+    out.toMap
+  }
+
+  test("ingestMerge rewrites only the bucket partitions its keys touch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val table = s"$dir/table"
+    val src = s"$dir/incoming"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x").write.parquet(table)
+    val q = EventStreams.ingestMerge(spark, src, table, Seq("id"), ckpt, nBuckets = 8)
+    try {
+      // batch 1: migrates the table into the bucketed layout + merges
+      Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("id", "v", "x")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val before = snapshot(table)
+      // batch 2 updates key 3 only → only key 3's bucket dir may change
+      Seq((3L, "C", 31.0)).toDF("id", "v", "x").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val after = snapshot(table)
+      val b3 = Seq(3L).toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(8)).cast("int")).head().getInt(0)
+      val changed = (before.keySet ++ after.keySet).filter(p => before.get(p) != after.get(p))
+      assert(changed.nonEmpty)
+      assert(changed.forall(_.contains(s"__bucket=$b3")), s"unexpectedly changed: $changed")
+      val out = spark.read.parquet(table).orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq
+      assert(out === Seq((1L, "a"), (2L, "B"), (3L, "C")))
     } finally q.stop()
   }
 }
