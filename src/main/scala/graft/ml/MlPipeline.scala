@@ -61,11 +61,67 @@ object MlPipeline {
     (splits.map(_._1).reduce(_ unionByName _), splits.map(_._2).reduce(_ unionByName _))
   }
 
-  /** J2+J4: label-encode event_type, assemble, RF classifier
+  /** Full classifier evaluation (J8): the sklearn
+    * `classification_report` + `feature_importances_` analogue
+    * (`ml_pipeline.py:156-166`) as DataFrames.
+    */
+  case class ClassifierResult(model: PipelineModel, accuracy: Double,
+      report: DataFrame, importances: DataFrame)
+
+  case class RegressorResult(model: PipelineModel, rmse: Double, r2: Double,
+      importances: DataFrame)
+
+  /** Per-class precision/recall/F1/support from a scored test set —
+    * computed relationally from one confusion-matrix aggregate (tiny
+    * shuffle on (label, prediction)), no per-class driver loop.
+    */
+  def classificationReport(pred: DataFrame, labelCol: String = "label",
+      predCol: String = "prediction"): DataFrame = {
+    val cm = pred.groupBy(col(labelCol).cast("double").as("actual"),
+        col(predCol).cast("double").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val actual = cm.groupBy(col("actual").as("class")).agg(sum("n").as("support"))
+    val predicted = cm.groupBy(col("predicted").as("class")).agg(sum("n").as("n_pred"))
+    val tp = cm.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("class"), col("n").as("tp"))
+    actual.join(predicted, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left_outer")
+      .na.fill(0L, Seq("support", "n_pred", "tp"))
+      .select(col("class"),
+        when(col("n_pred") > 0, col("tp") / col("n_pred")).otherwise(0.0).as("precision"),
+        when(col("support") > 0, col("tp") / col("support")).otherwise(0.0).as("recall"),
+        col("support"))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        .otherwise(0.0))
+      .select("class", "precision", "recall", "f1", "support")
+      .orderBy("class")
+  }
+
+  /** `feature_importances_` as a (feature, importance) DataFrame,
+    * sorted descending like the reference's report.
+    */
+  def featureImportances(model: PipelineModel): DataFrame = {
+    import org.apache.spark.ml.classification.RandomForestClassificationModel
+    import org.apache.spark.ml.regression.RandomForestRegressionModel
+    val names = model.stages.collectFirst { case a: VectorAssembler => a.getInputCols }
+      .getOrElse(throw new IllegalArgumentException("pipeline has no VectorAssembler"))
+    val imps = model.stages.collectFirst {
+      case m: RandomForestClassificationModel => m.featureImportances
+      case m: RandomForestRegressionModel => m.featureImportances
+    }.getOrElse(throw new IllegalArgumentException("pipeline has no forest model"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    names.zip(imps.toArray).toSeq.toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  /** J2+J4+J8: label-encode event_type, assemble, RF classifier
     * (100 trees, depth 10, seed 42 — `ml_pipeline.py:143-150`);
     * `class_weight='balanced'` parity via weightCol = n / (k·n_class).
+    * Returns accuracy plus the per-class report and importances.
     */
-  def trainClassifier(features: DataFrame): (PipelineModel, Double) = {
+  def trainClassifier(features: DataFrame): ClassifierResult = {
     val (train0, test) = stratifiedSplit(features, "label")
     val counts = train0.groupBy("label").count()
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
@@ -83,16 +139,18 @@ object MlPipeline {
         .setNumTrees(100).setMaxDepth(10).setSeed(42)
         .setLabelCol("label").setFeaturesCol("features").setWeightCol("w")))
     val model = pipeline.fit(train)
+    // one scored test set feeds both the evaluator and the report
+    val pred = model.transform(test.withColumn("w", lit(1.0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acc = new MulticlassClassificationEvaluator()
-      .setLabelCol("label").setMetricName("accuracy")
-      .evaluate(model.transform(test.withColumn("w", lit(1.0))))
-    (model, acc)
+      .setLabelCol("label").setMetricName("accuracy").evaluate(pred)
+    ClassifierResult(model, acc, classificationReport(pred), featureImportances(model))
   }
 
-  /** J5: RF regressor for `value` (100 trees, depth 15, seed 42 —
-    * `ml_pipeline.py:197-203`). Returns (model, rmse, r2).
+  /** J5+J8: RF regressor for `value` (100 trees, depth 15, seed 42 —
+    * `ml_pipeline.py:197-203`), with importances.
     */
-  def trainRegressor(features: DataFrame): (PipelineModel, Double, Double) = {
+  def trainRegressor(features: DataFrame): RegressorResult = {
     val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
     val pipeline = new Pipeline().setStages(Array(
       assembler(RegressionFeatureCols),
@@ -101,9 +159,10 @@ object MlPipeline {
         .setLabelCol("value").setFeaturesCol("features")))
     val model = pipeline.fit(train.drop("label"))
     val pred = model.transform(test)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rmse = new RegressionEvaluator().setLabelCol("value").setMetricName("rmse").evaluate(pred)
     val r2 = new RegressionEvaluator().setLabelCol("value").setMetricName("r2").evaluate(pred)
-    (model, rmse, r2)
+    RegressorResult(model, rmse, r2, featureImportances(model))
   }
 
   /** J6+J7: standard-scale features then isolation-forest anomaly

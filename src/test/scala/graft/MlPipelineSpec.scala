@@ -25,15 +25,42 @@ class MlPipelineSpec extends SparkSpec {
     assert(tr.count() + te.count() === features.count())
   }
 
-  test("classifier trains and beats the trivial floor") {
-    val (_, acc) = MlPipeline.trainClassifier(features)
-    assert(acc > 0.5) // events are dense in time → labels skew positive; sanity floor
+  test("classifier trains, beats the trivial floor, reports per class") {
+    val res = MlPipeline.trainClassifier(features)
+    assert(res.accuracy > 0.5) // events are dense in time → labels skew positive; sanity floor
+    // J8: one report row per class, metrics in [0,1], support sums to test size
+    val report = res.report.collect()
+    assert(report.map(_.getAs[Double]("class")).toSet === Set(0.0, 1.0))
+    report.foreach { r =>
+      Seq("precision", "recall", "f1").foreach { m =>
+        val v = r.getAs[Double](m)
+        assert(v >= 0.0 && v <= 1.0, s"$m=$v")
+      }
+      assert(r.getAs[Long]("support") > 0)
+    }
+    // importances: one weight per assembled feature, summing to ~1
+    val imp = res.importances.collect()
+    assert(imp.length === MlPipeline.FeatureCols.length + 1) // + event_type_idx
+    assert(math.abs(imp.map(_.getAs[Double]("importance")).sum - 1.0) < 1e-6)
   }
 
-  test("regressor trains with finite errors") {
-    val (_, rmse, r2) = MlPipeline.trainRegressor(features)
-    assert(rmse > 0 && !rmse.isNaN)
-    assert(r2 <= 1.0 && !r2.isNaN)
+  test("regressor trains with finite errors and importances") {
+    val res = MlPipeline.trainRegressor(features)
+    assert(res.rmse > 0 && !res.rmse.isNaN)
+    assert(res.r2 <= 1.0 && !res.r2.isNaN)
+    assert(res.importances.count() === MlPipeline.RegressionFeatureCols.length)
+  }
+
+  test("classificationReport matches hand-computed confusion counts") {
+    import spark.implicits._
+    // actual:  1 1 1 0 0 ; predicted: 1 0 1 0 1
+    val pred = Seq((1.0, 1.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0), (0.0, 1.0))
+      .toDF("label", "prediction")
+    val rep = MlPipeline.classificationReport(pred).collect()
+      .map(r => r.getAs[Double]("class") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"), r.getAs[Long]("support"))).toMap
+    assert(rep(1.0) === ((2.0 / 3.0, 2.0 / 3.0, 3L)))
+    assert(rep(0.0) === ((1.0 / 2.0, 1.0 / 2.0, 2L)))
   }
 
   test("anomaly scores flag ~contamination share, outliers score high") {
