@@ -49,9 +49,16 @@ object Embeddings {
   }
 
   // --- IVF (KMeans-cell) approximate top-k (rows-only) --------------------
+  // Build-once/probe-many: the index is written partitioned by cell and
+  // the probe scans only the nProbe winning cell directories (partition
+  // pruning) — the layout a warehouse-scale ANN store would use.
   def annIvf: Q = Q.rowsOnly("q61_ann_ivf") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
-    val (indexed, model) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
-    Similarity.ivfTopK(indexed, model, "vec_id", "embedding", 0L, 10, nProbe = 3)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+    val qv = embs.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
+      nProbe = 3, excludeId = Some(0L))
   }
 }

@@ -142,6 +142,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF layout: vectors land partitioned by `cell` with a
+    * (cell, centroid) sidecar, so probing at rest is plain partition
+    * pruning — a 1000-executor probe opens nProbe directories, not the
+    * table. Refitting per query (what [[ivfIndex]] alone implies) is
+    * the wrong plan at scale; build once, probe many.
+    */
+  def writeIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, path: String, seed: Long = 42L): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (indexed, model) = ivfIndex(embs, idCol, vecCol, nCells, seed)
+    indexed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path + "/vectors")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/centroids")
+  }
+
+  /** Top-k against a persisted IVF index for an external query vector
+    * (the ANN serving shape). Reads the centroid sidecar (nCells rows),
+    * ranks cells by the index's assignment metric (Euclidean), and
+    * scans ONLY the nProbe winning cell partitions.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, qv: Array[Double], k: Int,
+      nProbe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+    val cells = spark.read.parquet(path + "/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[scala.collection.Seq[Double]]("centroid"))
+      .sortBy { case (_, c) => c.iterator.zip(qv.iterator).map { case (a, b) => (a - b) * (a - b) }.sum }
+      .take(nProbe).map(_._1)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val qvLit = array(qv.map(lit): _*)
+    val base = spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(cells.toSeq: _*)) // → PartitionFilters at the scan
+    excludeId.fold(base)(q => base.filter(col(idCol) =!= q))
+      .select(col(idCol),
+        round(dot(asDouble(col(vecCol)), qvLit) / (norm(asDouble(col(vecCol))) * qn), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: candidates = vectors sharing any LSH bucket
     * with the query (union over tables), then exact cosine on the
     * candidate set only. Recall/cost tunes via Tables × BitsPerTable.

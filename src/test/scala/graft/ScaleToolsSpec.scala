@@ -69,4 +69,27 @@ class ScaleToolsSpec extends SparkSpec {
     val probed = cached.filter(col("cell").isin(probeCells: _*)).count()
     assert(probed > 0 && probed < cached.count())
   }
+
+  test("persisted IVF index probe scans only nProbe cell partitions") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+    val qv = embs.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val topk = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding", qv, 10,
+      nProbe = 3, excludeId = Some(0L))
+    assert(topk.count() === 10)
+    // the probe's parquet scan must read exactly the 3 probed cell dirs
+    val scan = topk.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.selectedPartitions.partitionCount === 3,
+      s"scanned ${scan.get.selectedPartitions.partitionCount} partitions")
+    // and the result agrees with refitting + probing in memory
+    val (indexed, model) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val inMem = Similarity.ivfTopK(indexed, model, "vec_id", "embedding", 0L, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topk.collect().map(_.getAs[Long]("vec_id")).toSeq === inMem)
+  }
 }
