@@ -52,6 +52,17 @@ object PrivacyEngine {
       .drop("__gs")
   }
 
+  /** The reference's age-group hierarchy as the default coarser
+    * (`privacy_engine.py:101-113`: adjacent adult buckets merge into
+    * one 'Adult' super-bucket, everything older coarsens to the senior
+    * bucket), transposed onto [[graft.functions.Transforms.ageGroup]]'s
+    * labels.
+    */
+  def ageGroupCoarser(ageGroup: Column): Column =
+    when(ageGroup.isin("Young Adult (18-34)", "Adult (35-49)", "Middle-Aged (50-64)"),
+      lit("Adult (18-64)"))
+      .otherwise(lit("Senior (65+)"))
+
   /** K4: l-diversity — distinct sensitive values per QI group
     * (`privacy_engine.py:124-166`). Exact countDistinct; at 100 TB
     * swap for approx_count_distinct per documented scale variant.

@@ -13,7 +13,8 @@ object Privacy {
   private val QI2 = Seq("c_nationkey", "c_mktsegment")
   private val QI1 = Seq("c_nationkey")
 
-  val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, lDiversity, tCloseness, auditScore)
+  val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize, lDiversity,
+    tCloseness, auditScore)
 
   // --- K1: k-anonymity report --------------------------------------------
   def kAnonymity: Q = Q(
@@ -56,6 +57,39 @@ object Privacy {
   ) { (s, dir) =>
     PrivacyEngine.generalize(Tables.customer(s, dir), QI2, 5, "c_mktsegment", lit("OTHER"))
       .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+  }
+
+  // --- K3 (reference-shaped): age-hierarchy generalization ----------------
+  // The reference's label-merging hierarchy (`privacy_engine.py:101-113`)
+  // applied to a derived age_group QI: rows in (nation, age_group)
+  // groups smaller than k get their bucket coarsened one level.
+  def ageGeneralize: Q = Q(
+    "q69_age_generalize",
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN age < 18 THEN 'Child (0-17)'
+      |         WHEN age < 35 THEN 'Young Adult (18-34)'
+      |         WHEN age < 50 THEN 'Adult (35-49)'
+      |         WHEN age < 65 THEN 'Middle-Aged (50-64)'
+      |         ELSE 'Senior (65+)' END AS age_group
+      |  FROM (SELECT c_custkey, c_nationkey, 18 + c_custkey % 72 AS age FROM customer)),
+      |sized AS (
+      |  SELECT c_custkey, age_group,
+      |    count(*) OVER (PARTITION BY c_nationkey, age_group) AS gs
+      |  FROM base)
+      |SELECT c_custkey,
+      |  CASE WHEN gs < 5 THEN
+      |    CASE WHEN age_group IN ('Young Adult (18-34)', 'Adult (35-49)', 'Middle-Aged (50-64)')
+      |         THEN 'Adult (18-64)' ELSE 'Senior (65+)' END
+      |  ELSE age_group END AS age_group
+      |FROM sized
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+      graft.functions.Transforms.ageGroup(lit(18) + col("c_custkey") % 72).as("age_group"))
+    PrivacyEngine.generalize(base, Seq("c_nationkey", "age_group"), 5, "age_group",
+      PrivacyEngine.ageGroupCoarser(col("age_group")))
+      .select("c_custkey", "age_group").orderBy("c_custkey")
   }
 
   // --- K4: l-diversity -----------------------------------------------------
