@@ -151,7 +151,19 @@ object Text {
   }
 
   // --- rolling-hash fingerprint (native codegen Expression) ---------------
-  def rollingFingerprint: Q = Q.rowsOnly("q43_rolling_fingerprint") { (s, dir) =>
+  // Oracle: the polynomial h = (h·131 + byte) mod 1e9+7 re-expressed as
+  // a DuckDB list fold. ascii(char) == UTF-8 byte holds because the
+  // corpus is ASCII (verified max codepoint 121); non-ASCII corpora
+  // would need a byte-level fold instead.
+  def rollingFingerprint: Q = Q(
+    "q43_rolling_fingerprint",
+    """SELECT doc_id, list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |  (h, b) -> (h * 131 + b) % 1000000007) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), RollingHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")

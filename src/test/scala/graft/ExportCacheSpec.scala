@@ -45,9 +45,10 @@ class ExportCacheSpec extends SparkSpec {
   }
 
   test("approximate variants land near the exact answers") {
+    // HLL++ at rsd=0.02: 3σ ≈ 6% relative error bound
     val ad = graft.queries.Scale.approxDistinct.fn(spark, "/root/testdata/sf0.001")
     assert(ad.filter(abs(col("approx_customers") - col("exact_customers"))
-      > col("exact_customers") * 0.1).count() === 0)
+      > col("exact_customers") * 0.06).count() === 0)
     val ap = graft.queries.Scale.approxPercentile.fn(spark, "/root/testdata/sf0.001")
     assert(ap.filter(abs(col("p90_approx") - col("p90_exact"))
       > col("p90_exact") * 0.05).count() === 0)
