@@ -56,6 +56,10 @@ object IsolationForestLite {
     val rows = rnd.shuffle(
       sampled.collect().toVector.map(r => Array.tabulate(featureCols.length)(r.getDouble)))
       .take(needed).toArray
+    // empty input: a single-leaf forest that scores everything 0.5
+    // rather than crashing on rnd.nextInt(0)
+    if (rows.isEmpty)
+      return Model(Array.fill(numTrees)(Array(Node(-1, 0.0, -1, -1, 0))), sampleSize)
     val maxDepth = math.ceil(math.log(sampleSize.toDouble) / math.log(2.0)).toInt
     val trees = Array.fill(numTrees) {
       val sample = Array.fill(math.min(sampleSize, rows.length))(rows(rnd.nextInt(rows.length)))
@@ -97,8 +101,10 @@ object IsolationForestLite {
     val scoreUdf = udf((xs: Seq[Double]) => bc.value.score(xs.toArray))
     val scored = df.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
-    val thr = scored.agg(
-      expr(s"percentile(anomaly_score, ${1.0 - contamination})")).head().getDouble(0)
+    val thrRow = scored.agg(
+      expr(s"percentile(anomaly_score, ${1.0 - contamination})")).head()
+    // empty input → null percentile → flag nothing
+    val thr = if (thrRow.isNullAt(0)) Double.PositiveInfinity else thrRow.getDouble(0)
     scored.withColumn("is_anomaly", (col("anomaly_score") > thr).cast("int"))
   }
 }

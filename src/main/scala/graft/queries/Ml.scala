@@ -24,7 +24,8 @@ object Ml {
       |    CAST(sum(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS sq
       |  FROM events GROUP BY event_type)
       |SELECT e.event_id,
-      |  CASE WHEN abs((e.value - m.s / m.n) / sqrt((m.sq - m.s * m.s / m.n) / (m.n - 1))) > 3
+      |  CASE WHEN m.n > 1 AND (m.sq - m.s * m.s / m.n) > 0
+      |            AND abs((e.value - m.s / m.n) / sqrt((m.sq - m.s * m.s / m.n) / (m.n - 1))) > 3
       |       THEN 1 ELSE 0 END AS is_anomaly
       |FROM events e JOIN m ON e.event_type = m.event_type
       |ORDER BY e.event_id""".stripMargin,
@@ -34,10 +35,14 @@ object Ml {
       count(lit(1)).as("n"),
       dsum(col("value")).as("s"),
       sum((col("value") * col("value")).cast("decimal(24,4)")).cast("double").as("sq"))
+    // degenerate groups (single row / zero variance) would divide 0/0:
+    // Spark's NaN compares greater-than-anything while DuckDB yields
+    // NULL→0 — guard both engines to a deterministic 0
     events.join(broadcast(m), "event_type")
       .select(col("event_id"),
-        when(abs((col("value") - col("s") / col("n"))
-          / sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))) > 3, 1)
+        when(col("n") > 1 && (col("sq") - col("s") * col("s") / col("n")) > 0
+          && abs((col("value") - col("s") / col("n"))
+            / sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))) > 3, 1)
           .otherwise(0).as("is_anomaly"))
       .orderBy("event_id")
   }

@@ -45,4 +45,17 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.join(left, right, "user_id", "ts", Seq("v")).head()
     assert(out.getAs[Double]("v") === 7.0)
   }
+
+  test("a caller-supplied tie-break id picks among same-(key,ts) right rows") {
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    // two right rows at the identical (key, ts); payload order would pick
+    // 9.0 (max payload) — the id tie-break must pick row_id 2's value
+    val right = Seq(
+      (5L, ts("2024-01-01 10:00:00"), 1L, 9.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, 4.0),
+    ).toDF("user_id", "ts", "row_id", "v")
+    val out = AsOfJoin.join(left, right, "user_id", "ts", Seq("v"),
+      tieBreakCol = Some("row_id")).head()
+    assert(out.getAs[Double]("v") === 4.0)
+  }
 }

@@ -84,6 +84,17 @@ class MlPipelineSpec extends SparkSpec {
     assert(scored.filter(col("id") === 9999L).head().getAs[Int]("is_anomaly") === 1)
   }
 
+  test("isolation forest on empty input returns no flags instead of crashing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")
+    val model = IsolationForestLite.fit(empty, Seq("x", "y"), numTrees = 10)
+    assert(IsolationForestLite.transform(empty, model, Seq("x", "y")).count() === 0)
+    // and a degenerate model still scores non-empty input without error
+    val some = Seq((1L, 0.0, 0.0)).toDF("id", "x", "y")
+    assert(IsolationForestLite.transform(some, model, Seq("x", "y"))
+      .filter(col("is_anomaly") === 1).count() === 0)
+  }
+
   test("prediction upsert replaces stale predictions") {
     import spark.implicits._
     val oldP = Seq((1L, 0.2), (2L, 0.3)).toDF("event_id", "score")
