@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is timed
+  * `runs` times (default 3; `-n N` or SPARK_GRAFT_BENCH_RUNS) and the
+  * per-query MINIMUM is reported — the host is co-tenant, so a single
+  * sample conflates scheduler noise with plan cost; min-of-N is the
+  * standard noise floor estimate.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = args.sliding(2).collectFirst { case Array("-n", n) => n.toInt }
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt))
+      .getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,21 +26,32 @@ object Bench {
     // query doesn't absorb session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        // a crashed query must not masquerade as a fast one
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (r <- 1 to runs) {
+      // drop cached intermediates so each repeat re-executes the full
+      // plan instead of reading the previous run's persisted subtrees
+      // (cross-query reuse WITHIN a run is by design and stays)
+      graft.dedup.Dedup.clearCaches(spark)
+      spark.catalog.clearCache()
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (!best.contains(name) || (dt < best(name) && best(name) >= 0) || best(name) < 0)
+            best(name) = dt
+        } catch { case e: Throwable =>
+          // a crashed query must not masquerade as a fast one
+          System.err.println(s"[bench] $name FAILED run $r: ${e.getMessage}")
+          if (!best.contains(name)) best(name) = -1.0
+        }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = names.map { case (k, _) => "\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // failures excluded; marked -1 per query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = names.map(n => best(n._1)).filter(_ >= 0).sum // failures excluded; marked -1 per query
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
