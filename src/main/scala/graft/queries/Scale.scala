@@ -10,7 +10,34 @@ import graft.{Q, Tables}
   */
 object Scale {
 
-  val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile, groupingSets)
+  val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile, groupingSets,
+    saltedSkewJoin)
+
+  // --- salted join on a pathologically skewed key -------------------------
+  // 90% of events collapse onto key 0 — the shape where one reducer
+  // receives the whole table in a plain shuffled join. Skew.saltedJoin
+  // spreads the hot key across `factor` reducers; the oracle runs the
+  // UNSALTED equivalent, proving the rewrite is result-identical.
+  def saltedSkewJoin: Q = Q(
+    "q68_salted_skew_join",
+    """WITH e AS (
+      |  SELECT CASE WHEN event_id % 10 = 0 THEN event_id % 25 ELSE 0 END AS k, value
+      |  FROM events)
+      |SELECT n.n_name, count(*) AS cnt,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM e JOIN nation n ON n.n_nationkey = e.k
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin,
+  ) { (s, dir) =>
+    val skewed = Tables.events(s, dir).select(
+      when(col("event_id") % 10 === 0, col("event_id") % 25).otherwise(0L).as("k"),
+      col("value"))
+    val dim = Tables.nation(s, dir).select(col("n_nationkey").as("k"), col("n_name"))
+    graft.warehouse.Skew.saltedJoin(skewed, dim, "k", factor = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("value_sum"))
+      .orderBy("n_name")
+  }
 
   // --- ROLLUP with subtotal + grand-total rows ----------------------------
   def rollup: Q = Q(

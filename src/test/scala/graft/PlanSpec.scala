@@ -59,4 +59,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(p.contains("Exchange hashpartitioning"))
   }
+
+  test("salted skew join keys the join on (k, __salt), no cartesian") {
+    val p = plan("q68_salted_skew_join")
+    assert(p.contains("__salt"))
+    assert(!p.contains("CartesianProduct"))
+    // with broadcast off (the at-scale shape where salting matters) the
+    // shuffle must partition on BOTH key and salt — that's what spreads
+    // the hot key across reducers
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p2 = SparkEntry.queries("q68_salted_skew_join")(s, sf)
+      .queryExecution.executedPlan.toString
+    val shufflesOnSalt = "hashpartitioning\\(k[^)]*__salt".r.findAllIn(p2).size
+    assert(shufflesOnSalt >= 1, p2.take(1500))
+  }
 }
