@@ -38,6 +38,39 @@ object Dedup {
   // our intermediates and nothing else in the session cache.
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  // Hot-key drop reporting is attached as an observed metric on the
+  // capped plan, so *constructing* a pairs DataFrame launches no Spark
+  // job (an eager count here used to run one at plan-build time); the
+  // warning fires from a QueryExecutionListener when an action actually
+  // executes the plan. The metric name must be DETERMINISTIC in the
+  // subtree (op/cap + the child plan's semantic hash): a per-call nonce
+  // would make two otherwise-identical dedup plans differ, and the
+  // CacheManager's identical-plan dedupe — which lets q67 reuse q40's
+  // persisted shingle table — stops firing (measured 1.7 s → 4.6 s).
+  // Spark allows duplicate observe names when the plans are identical
+  // (the CTE/self-join rule), so equal subtrees composing into one
+  // query stay legal, and distinct subtrees get distinct hashes.
+  private val listenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  private def observeDrops(hot: DataFrame, what: String, cap: Int): DataFrame = {
+    val spark = hot.sparkSession
+    if (listenerSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_dedup__") && row.getLong(0) > 0)
+              log.warn(s"${name.stripPrefix("graft_dedup__")}: dropping ${row.getLong(0)} hot keys over the cap")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    hot.observe(
+      s"graft_dedup__${what}_cap${cap}_h${hot.queryExecution.analyzed.semanticHash()}",
+      count(lit(1)).as("n_hot"))
+  }
+
   private def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tracked.add(p)
@@ -83,9 +116,17 @@ object Dedup {
     * Near-dup detection composes AFTER exact dedup: k identical copies
     * would otherwise multiply the pair join's fan-out by k² — the
     * dominant cost on real dup-heavy corpora.
+    *
+    * The grouping key is `(xxhash64(text), length(text))`, not the raw
+    * text: the dedup shuffle then sorts/compares fixed-width 12-byte
+    * keys instead of full document bodies, with the text carried as a
+    * value (`min_by` id ties the representative to the min-id row).
+    * Equal (hash, len) on unequal text is a 2⁻⁶⁴ event — the standard
+    * content-hash dedup contract.
     */
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    df.groupBy(xxhash64(col(textCol)).as("__th"), length(col(textCol)).as("__tl"))
+      .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
       // the dedup shuffle is tiny, so AQE coalesces it to ~1 partition;
       // re-spread before the 100x shingle explode that follows, or that
@@ -98,12 +139,9 @@ object Dedup {
     val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
     val sh0 = shingleTable(base, idCol, textCol, n)
     val sh = if (dfCap > 0) {
-      // The df agg is a shuffle we'd pay anyway as a join side; persist
-      // it so the eager dropped-count report reuses the same pass.
-      val hot = persistTracked(
-        sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap))
-      val nHot = hot.count()
-      if (nHot > 0) log.warn(s"jaccardPairs: dropping $nHot shingles with df > $dfCap")
+      val hot = observeDrops(
+        sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap),
+        "jaccardPairs", dfCap)
       sh0.join(hot, Seq("shingle"), "left_anti")
     } else sh0
     // Join on the 8-byte shingle hash, not the string: cheaper shuffle
@@ -171,10 +209,9 @@ object Dedup {
     val exploded0 = sigs.select(col(idCol), explode(bandCols).as("b"))
       .select(col(idCol), col("b.band_id"), col("b.band_hash"))
     val exploded = if (bucketCap > 0) {
-      val hot = persistTracked(exploded0.groupBy("band_id", "band_hash")
-        .agg(count(lit(1)).as("sz")).filter(col("sz") > bucketCap))
-      val nHot = hot.count()
-      if (nHot > 0) log.warn(s"lshCandidates: dropping $nHot LSH buckets with > $bucketCap docs")
+      val hot = observeDrops(exploded0.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > bucketCap),
+        "lshCandidates", bucketCap)
       // USING-join output reorders columns (using cols first): reselect
       // by name so the positional toDF renames below stay correct
       exploded0.join(hot, Seq("band_id", "band_hash"), "left_anti")
@@ -235,10 +272,9 @@ object Dedup {
           col("simhash").bitwiseAND(lit(0xffffL << (16 * k))).as("band_val"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band_id"), col("b.band_val")))
     val banded = if (bucketCap > 0) {
-      val hot = persistTracked(banded0.groupBy("band_id", "band_val")
-        .agg(count(lit(1)).as("sz")).filter(col("sz") > bucketCap))
-      val nHot = hot.count()
-      if (nHot > 0) log.warn(s"simhashPairs: dropping $nHot simhash bands with > $bucketCap docs")
+      val hot = observeDrops(banded0.groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > bucketCap),
+        "simhashPairs", bucketCap)
       // reselect by name: USING-join output order differs from banded0's
       banded0.join(hot, Seq("band_id", "band_val"), "left_anti")
         .select(col(idCol), col("simhash"), col("band_id"), col("band_val"))

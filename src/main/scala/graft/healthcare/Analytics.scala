@@ -79,9 +79,13 @@ class Analytics(wh: Warehouse) {
         / sum(col("patients")).over(Window.partitionBy()), 2))
       .orderBy("cohort")
 
-  /** `dashboard.py:155-166`-style specialty utilization. */
+  /** `dashboard.py:155-166`-style specialty utilization. The fact side
+    * drops its natural FK copies first — both sides carry provider_id,
+    * and the bare reference was ambiguous (caught by the golden spec;
+    * this function previously had no executing test).
+    */
   def specialtyStats: DataFrame =
-    providers.join(fact, Seq("provider_key"), "left_outer")
+    providers.join(fact.drop("provider_id", "patient_id"), Seq("provider_key"), "left_outer")
       .groupBy("specialty")
       .agg(countDistinct(col("provider_id")).as("providers"),
         count(col("visit_key")).as("visits"),

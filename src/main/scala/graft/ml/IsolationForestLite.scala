@@ -91,18 +91,25 @@ object IsolationForestLite {
   }
 
   /** Adds `anomaly_score` and `is_anomaly` (top `contamination` share
-    * by score — exact percentile threshold, matching the reference's
-    * contamination=0.05 semantics).
+    * by score — matching the reference's contamination=0.05 semantics).
+    *
+    * `exactThreshold = true` (the deterministic gate default) computes
+    * the cut as an exact interpolated percentile, which holds all score
+    * values per group; at warehouse scale pass `false` to use
+    * `approx_percentile` (fixed-memory sketch, rank error ≤ 1/accuracy)
+    * — the same documented approx-at-scale policy as D3/D7.
     */
   def transform(df: DataFrame, model: Model, featureCols: Seq[String],
-      contamination: Double = 0.05): DataFrame = {
+      contamination: Double = 0.05, exactThreshold: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val scoreUdf = udf((xs: Seq[Double]) => bc.value.score(xs.toArray))
     val scored = df.withColumn("anomaly_score",
       scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
-    val thrRow = scored.agg(
-      expr(s"percentile(anomaly_score, ${1.0 - contamination})")).head()
+    val pct =
+      if (exactThreshold) s"percentile(anomaly_score, ${1.0 - contamination})"
+      else s"approx_percentile(anomaly_score, ${1.0 - contamination}, 10000)"
+    val thrRow = scored.agg(expr(pct)).head()
     // empty input → null percentile → flag nothing
     val thr = if (thrRow.isNullAt(0)) Double.PositiveInfinity else thrRow.getDouble(0)
     scored.withColumn("is_anomaly", (col("anomaly_score") > thr).cast("int"))

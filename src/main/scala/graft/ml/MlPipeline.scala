@@ -139,12 +139,19 @@ object MlPipeline {
         .setNumTrees(100).setMaxDepth(10).setSeed(42)
         .setLabelCol("label").setFeaturesCol("features").setWeightCol("w")))
     val model = pipeline.fit(train)
-    // one scored test set feeds both the evaluator and the report
+    // one scored test set feeds both the evaluator and the report; the
+    // report is materialized (≤ #classes rows) so the cache can be
+    // released before returning instead of pinning the scored set for
+    // the caller's lifetime
     val pred = model.transform(test.withColumn("w", lit(1.0)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acc = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setMetricName("accuracy").evaluate(pred)
-    ClassifierResult(model, acc, classificationReport(pred), featureImportances(model))
+    val reportDf = classificationReport(pred)
+    val report = pred.sparkSession.createDataFrame(
+      java.util.Arrays.asList(reportDf.collect(): _*), reportDf.schema)
+    pred.unpersist(blocking = false)
+    ClassifierResult(model, acc, report, featureImportances(model))
   }
 
   /** J5+J8: RF regressor for `value` (100 trees, depth 15, seed 42 —
@@ -162,6 +169,8 @@ object MlPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rmse = new RegressionEvaluator().setLabelCol("value").setMetricName("rmse").evaluate(pred)
     val r2 = new RegressionEvaluator().setLabelCol("value").setMetricName("r2").evaluate(pred)
+    // both evaluations have run; nothing downstream reads pred again
+    pred.unpersist(blocking = false)
     RegressorResult(model, rmse, r2, featureImportances(model))
   }
 

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns plus a typed metadata struct, with decode /
   * feature-extract / resize / frame-sample operators.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `FakeCodec` derives deterministic pixels/samples from
-  * the byte content, so every operator is reproducible and testable.
+  * Image decode is REAL — JDK `javax.imageio` (see [[ImageIoCodec]]),
+  * no added dependencies. Audio/video codec calls are STUBBED (no
+  * audio/video libraries in this environment): `FakeCodec` derives
+  * deterministic pixels/samples from the byte content, so every
+  * operator is reproducible and testable.
   * The Spark-side contracts — schema, per-partition batch processing,
   * explode shapes, partition counts — are real; swapping `FakeCodec`
   * for JavaCPP/FFmpeg bindings changes no dataflow. On a Python stack
@@ -26,7 +28,40 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long,
       frame_bytes: Array[Byte])
 
-  /** STUB codec — deterministic fakes standing in for real decoders. */
+  /** Real image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+    * readers ship with the JDK — zero added dependencies). Pixels come
+    * back as row-major 8-bit luminance (ITU-R BT.601 integer weights).
+    * Returns None when the bytes aren't a decodable image, so callers
+    * fall back to [[FakeCodec]] for synthetic or unsupported content —
+    * audio/video stay honestly stubbed.
+    */
+  object ImageIoCodec {
+    def decode(content: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              out(y * w + x) = lum.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** STUB codec — deterministic fakes standing in for real decoders
+    * (audio/video; and non-decodable synthetic "image" bytes). */
   object FakeCodec {
     /** "Decode" = the raw bytes are the pixel/sample buffer. */
     def decode(content: Array[Byte]): Array[Byte] = content
@@ -78,7 +113,12 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val px = FakeCodec.decode(m.content)
+        // images go through the real JDK decoder when the bytes are a
+        // real image; everything else (and synthetic blobs) uses the stub
+        val px =
+          if (m.media_type == "image")
+            ImageIoCodec.decode(m.content).getOrElse(FakeCodec.decode(m.content))
+          else FakeCodec.decode(m.content)
         val mean = if (px.isEmpty) 0.0 else px.map(b => (b & 0xff).toDouble).sum / px.length
         val counts = new Array[Long](256)
         px.foreach(b => counts(b & 0xff) += 1)

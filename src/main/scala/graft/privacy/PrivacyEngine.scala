@@ -54,14 +54,20 @@ object PrivacyEngine {
 
   /** The reference's age-group hierarchy as the default coarser
     * (`privacy_engine.py:101-113`: adjacent adult buckets merge into
-    * one 'Adult' super-bucket, everything older coarsens to the senior
-    * bucket), transposed onto [[graft.functions.Transforms.ageGroup]]'s
-    * labels.
+    * one 'Adult' super-bucket), transposed onto
+    * [[graft.functions.Transforms.ageGroup]]'s labels.
+    *
+    * Reference-fidelity caveat: the reference's bare else-branch sends
+    * EVERY non-adult label to its senior bucket — which would relabel
+    * 'Child (0-17)' and 'Unknown' rows as seniors. As a library default
+    * that is a misleading generalization, so here only the adult
+    * hierarchy coarsens; Child/Unknown (already maximal buckets in this
+    * hierarchy) and Senior pass through unchanged.
     */
   def ageGroupCoarser(ageGroup: Column): Column =
     when(ageGroup.isin("Young Adult (18-34)", "Adult (35-49)", "Middle-Aged (50-64)"),
       lit("Adult (18-64)"))
-      .otherwise(lit("Senior (65+)"))
+      .otherwise(ageGroup)
 
   /** K4: l-diversity — distinct sensitive values per QI group
     * (`privacy_engine.py:124-166`). Exact countDistinct; at 100 TB

@@ -7,7 +7,17 @@ import graft.similarity.Similarity
 /** Similarity-search capabilities over the `embeddings` table. */
 object Embeddings {
 
-  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf)
+  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe)
+
+  /** Per-(session, corpus) index location: keyed by applicationId (two
+    * concurrent JVMs on the same data never race Overwrite-vs-read on
+    * one path) and the FULL sanitized dir string (two corpora can never
+    * collide the way `dir.hashCode` could).
+    */
+  private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${s.sparkContext.applicationId}_$safe"
+  }
 
   /** DuckDB fragment: left-fold double-precision dot of lists a·b. */
   private def sqlDot(a: String, b: String): String =
@@ -54,11 +64,31 @@ object Embeddings {
   // pruning) — the layout a warehouse-scale ANN store would use.
   def annIvf: Q = Q.rowsOnly("q61_ann_ivf") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+    val idx = ivfPath(s, dir)
     Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
     val qv = embs.filter(col("vec_id") === 0L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 3, excludeId = Some(0L))
+  }
+
+  // --- IVF probe-only serving path (rows-only) -----------------------------
+  // The build-once/probe-many shape: the KMeans fit + partitioned write
+  // happen at most once per (session, corpus); every invocation after
+  // that is ONLY the probe — read the nCells-row centroid sidecar, rank
+  // cells, scan the nProbe winning cell directories via partition
+  // pruning. SimilaritySpec pins that the probe scan's PartitionFilters
+  // lists exactly nProbe cells.
+  def annIvfProbe: Q = Q.rowsOnly("q70_ann_ivf_probe") { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val idx = ivfPath(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idx + "/centroids")))
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+    val qv = embs.filter(col("vec_id") === 1L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
+      nProbe = 3, excludeId = Some(1L))
   }
 }

@@ -80,7 +80,7 @@ object Privacy {
       |SELECT c_custkey,
       |  CASE WHEN gs < 5 THEN
       |    CASE WHEN age_group IN ('Young Adult (18-34)', 'Adult (35-49)', 'Middle-Aged (50-64)')
-      |         THEN 'Adult (18-64)' ELSE 'Senior (65+)' END
+      |         THEN 'Adult (18-64)' ELSE age_group END
       |  ELSE age_group END AS age_group
       |FROM sized
       |ORDER BY c_custkey""".stripMargin,

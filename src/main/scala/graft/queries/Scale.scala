@@ -83,21 +83,52 @@ object Scale {
         |ORDER BY status, segment""".stripMargin)
   }
 
-  // --- HyperLogLog distinct (rows-only: sketch values are Spark's own) ----
-  def approxDistinct: Q = Q.rowsOnly("q56_approx_distinct") { (s, dir) =>
+  // --- HyperLogLog distinct -----------------------------------------------
+  // Oracle-checked split: the exact column hash-matches DuckDB value for
+  // value; the HLL sketch value is Spark's own, so what the oracle pins
+  // is the *bound* — `approx_ok` must be TRUE (|approx−exact|/exact ≤ 6%,
+  // the 3σ bound ScaleToolsSpec proves), and the SQL side emits literal
+  // TRUE. A sketch drifting past its guarantee now fails the gate
+  // instead of hiding behind rows-only.
+  def approxDistinct: Q = Q(
+    "q56_approx_distinct",
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+      |  TRUE AS approx_ok
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-        countDistinct(col("o_custkey")).as("exact_customers"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")).cast("double")
+          / col("exact_customers") <= 0.06).as("approx_ok"))
       .orderBy("o_orderpriority")
   }
 
-  // --- approximate percentile (rows-only) ---------------------------------
-  def approxPercentile: Q = Q.rowsOnly("q57_approx_percentile") { (s, dir) =>
+  // --- approximate percentile ---------------------------------------------
+  // Same split as q56: p90_exact hash-matches quantile_cont; the KLL
+  // sketch's value is pinned via its bound (accuracy 1000 ⇒ rank error
+  // ≤ n/1000 ⇒ well inside 2% relative value error on this data).
+  def approxPercentile: Q = Q(
+    "q57_approx_percentile",
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+      |  TRUE AS approx_ok
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+  ) { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy("o_orderpriority")
-      .agg(expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"),
-        expr("percentile(o_totalprice, 0.9)").as("p90_exact"))
+      .agg(round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_exact"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx"),
+        expr("percentile(o_totalprice, 0.9)").as("exact_raw"))
+      .select(col("o_orderpriority"), col("p90_exact"),
+        (abs(col("approx") - col("exact_raw")) / col("exact_raw") <= 0.02).as("approx_ok"))
       .orderBy("o_orderpriority")
   }
 }

@@ -62,6 +62,35 @@ object Merge {
   /** Derived partition column for [[upsertBucketed]] tables. */
   val BucketCol = "__bucket"
 
+  /** Sidecar recording the table's bucket count. nBuckets is a layout
+    * invariant: rows live in `__bucket = hash(keys) mod N` dirs, so a
+    * merge run with a different N would hash incoming keys into
+    * different buckets and the anti-join would never see a key's
+    * existing row — a silent duplicate-key corruption. The leading
+    * underscore keeps parquet partition discovery from reading it.
+    */
+  private def bucketsMeta(tablePath: String) = new Path(tablePath, "_graft_nbuckets")
+
+  private def writeBucketsMeta(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, n: Int): Unit = {
+    val out = fs.create(bucketsMeta(tablePath), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted bucket count of a bucketed table, if recorded. */
+  def readBucketsMeta(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Option[Int] =
+    if (!fs.exists(bucketsMeta(tablePath))) None
+    else {
+      val in = fs.open(bucketsMeta(tablePath))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+
   /** Attach the key-hash bucket a row's key maps to. The bucket is a
     * pure function of the key columns, so the current and any updated
     * version of a key always land in the same partition directory —
@@ -82,26 +111,43 @@ object Merge {
       keys: Seq[String], nBuckets: Int = 64): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
-    val incoming = withBucket(incoming0, keys, nBuckets)
     if (!fs.exists(new Path(tablePath))) {
-      incoming.write.partitionBy(BucketCol).parquet(tablePath)
+      withBucket(incoming0, keys, nBuckets).write.partitionBy(BucketCol).parquet(tablePath)
+      writeBucketsMeta(fs, tablePath, nBuckets)
       return
     }
+    // the table's recorded N wins over the caller's argument — mixing
+    // bucket counts silently corrupts the upsert (see bucketsMeta); a
+    // pre-sidecar bucketed table records the caller's N on first touch
+    // (written only when absent, so steady-state merges leave untouched
+    // files byte-identical)
+    val recorded = readBucketsMeta(fs, tablePath)
+    val n = recorded.getOrElse(nBuckets)
+    if (n != nBuckets)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"upsertBucketed($tablePath): table is bucketed with N=$n; ignoring caller nBuckets=$nBuckets")
+    val incoming = withBucket(incoming0, keys, n)
     if (!spark.read.parquet(tablePath).columns.contains(BucketCol))
-      rewriteTable(spark, withBucket(spark.read.parquet(tablePath), keys, nBuckets),
+      rewriteTable(spark, withBucket(spark.read.parquet(tablePath), keys, n),
         tablePath, Seq(BucketCol))
+    if (recorded.isEmpty) writeBucketsMeta(fs, tablePath, n)
     val target = spark.read.parquet(tablePath)
     // bucket values are bounded by nBuckets — a scalar-sized collect
     val touched = incoming.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
     val affected = target.filter(col(BucketCol).isin(touched: _*))
     val merged = upsert(affected, incoming, keys)
     // stage the merged buckets, then swap each dir in; displaced dirs go
-    // to a sibling trash dir (NOT `<dir>.old` inside the table, which
-    // partition discovery would misread as a partition value)
+    // to a sibling per-invocation trash dir (NOT `<dir>.old` inside the
+    // table, which partition discovery would misread as a partition
+    // value; and NOT a fixed name, which a crashed run's retry would
+    // delete before anything could be recovered from it). Cleanup of a
+    // crashed invocation's trash is best-effort/manual by design — the
+    // two-rename window is the same recoverability contract as
+    // [[rewriteTable]]; true atomicity needs a metastore commit.
     val tmp = new Path(tablePath + ".tmppart")
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp.toString)
-    val trash = new Path(tablePath + ".oldpart")
-    fs.delete(trash, true)
+    val trash = new Path(tablePath + ".oldpart-" +
+      java.util.UUID.randomUUID().toString.take(8))
     fs.mkdirs(trash)
     for (st <- fs.listStatus(tmp) if st.isDirectory) {
       val dst = new Path(tablePath, st.getPath.getName)

@@ -89,6 +89,63 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashPairs(sh, "doc_id", bucketCap = 1).count() === 0)
   }
 
+  test("constructing capped pair plans launches zero Spark jobs") {
+    // the hot-key caps used to run an eager count() at plan-build time;
+    // drop reporting is now an observed metric, so building the
+    // DataFrame must not execute anything
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p1 = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val p2 = Dedup.lshCandidates(sigs, "doc_id")
+      val p3 = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), "doc_id")
+      Thread.sleep(500) // let any stray job-start events drain
+      assert(jobs.get() === 0, s"plan construction ran ${jobs.get()} jobs")
+      // the caps are still enforced when the plans DO run
+      assert(p1.count() >= 1 && p2.count() >= 1 && p3.count() >= 0)
+      assert(jobs.get() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("exactRepresentatives groups on fixed-width (hash, length) keys, same result") {
+    val long1 = ("lorem ipsum dolor sit amet " * 200) + "alpha"
+    val long2 = ("lorem ipsum dolor sit amet " * 200) + "beta" // same length ballpark, ≠ content
+    val df = Seq((10L, long1), (3L, long1), (7L, long2), (1L, "short doc"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.exactRepresentatives(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reps === Map(3L -> long1, 7L -> long2, 1L -> "short doc"))
+  }
+
+  test("stress corpus: capped candidate counts stay within n·cap (the 100 TB bound)") {
+    // the adversarial duplicate-heavy shape of tools/make_stress.py:
+    // every distinct text has 8 exact copies, and all docs share one
+    // boilerplate sentence — uncapped, the boilerplate shingles alone
+    // would fan out C(250,2) ≈ 31k pairs and exact copies would square it
+    val nBase = 250L
+    val cap = 20
+    val stress = spark.range(nBase * 8)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          lit("all stress documents share this exact boilerplate sentence"),
+          concat(lit("unique"), col("id") % nBase),
+          concat(lit("payload"), (col("id") % nBase) * 7),
+          concat(lit("tail"), (col("id") % nBase) * 13)).as("text"))
+    val bound = nBase * cap
+    val jac = Dedup.jaccardPairs(stress, "doc_id", "text", threshold = 0.0, dfCap = cap)
+    assert(jac.count() <= bound)
+    val sigs = Dedup.minhashSignatures(stress, "doc_id", "text")
+    assert(Dedup.lshCandidates(sigs, "doc_id", bucketCap = cap).count() <= bound)
+    val sh = Dedup.simhash(stress, "doc_id", "text")
+    assert(Dedup.simhashPairs(sh, "doc_id", maxHamming = 3, bucketCap = cap).count() <= bound)
+    Dedup.clearCaches(spark)
+  }
+
   test("rolling hash: deterministic, content-sensitive, codegen == eval") {
     val out = docs.select(col("doc_id"), RollingHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

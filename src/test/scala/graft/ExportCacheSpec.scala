@@ -45,12 +45,13 @@ class ExportCacheSpec extends SparkSpec {
   }
 
   test("approximate variants land near the exact answers") {
-    // HLL++ at rsd=0.02: 3σ ≈ 6% relative error bound
+    // q56/q57 now emit the bound check themselves (`approx_ok`, pinned
+    // TRUE by the DuckDB oracle); this spec asserts every group passes
+    // — HLL++ at rsd=0.02 has a 3σ ≈ 6% relative error bound, and
+    // approx_percentile at accuracy 1000 stays within 2% here.
     val ad = graft.queries.Scale.approxDistinct.fn(spark, "/root/testdata/sf0.001")
-    assert(ad.filter(abs(col("approx_customers") - col("exact_customers"))
-      > col("exact_customers") * 0.06).count() === 0)
+    assert(ad.filter(!col("approx_ok")).count() === 0)
     val ap = graft.queries.Scale.approxPercentile.fn(spark, "/root/testdata/sf0.001")
-    assert(ap.filter(abs(col("p90_approx") - col("p90_exact"))
-      > col("p90_exact") * 0.05).count() === 0)
+    assert(ap.filter(!col("approx_ok")).count() === 0)
   }
 }

@@ -84,6 +84,24 @@ class MlPipelineSpec extends SparkSpec {
     assert(scored.filter(col("id") === 9999L).head().getAs[Int]("is_anomaly") === 1)
   }
 
+  test("exact and approx contamination thresholds agree (J7 scale flag)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, (i % 97).toDouble, (i * 7 % 89).toDouble))
+      .toDF("id", "x", "y")
+    val model = IsolationForestLite.fit(df, Seq("x", "y"), numTrees = 50)
+    val exact = IsolationForestLite.transform(df, model, Seq("x", "y"),
+      contamination = 0.05, exactThreshold = true)
+    val approx = IsolationForestLite.transform(df, model, Seq("x", "y"),
+      contamination = 0.05, exactThreshold = false)
+    val ne = exact.filter(col("is_anomaly") === 1).count()
+    val na = approx.filter(col("is_anomaly") === 1).count()
+    // approx_percentile at accuracy 10000 over 2000 rows is rank-exact
+    // up to interpolation vs nearest-value: the flagged sets may differ
+    // by at most the sketch's rank tolerance (1% of rows here)
+    assert(math.abs(ne - na) <= 20, s"exact=$ne approx=$na")
+    assert(ne > 0 && na > 0)
+  }
+
   test("isolation forest on empty input returns no flags instead of crashing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")

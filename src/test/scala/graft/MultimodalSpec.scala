@@ -45,6 +45,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_.frame_bytes.isEmpty).count() === 0)
   }
 
+  test("ImageIoCodec decodes a real PNG to known luminance pixels") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff) // white
+    img.setRGB(1, 0, 0x000000) // black
+    img.setRGB(0, 1, 0xff0000) // red
+    img.setRGB(1, 1, 0x808080) // mid gray
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    // BT.601 integer luminance, row-major: 255, 0, 76 (255·299/1000), 128
+    val px = Multimodal.ImageIoCodec.decode(bytes).get
+    assert(px.map(_ & 0xff).toSeq === Seq(255, 0, 76, 128))
+    // the real decoder feeds extractFeatures for decodable images: the
+    // mean is the luminance mean, not a raw-byte-stream statistic
+    import spark.implicits._
+    val item = Multimodal.MediaItem(7L, "image", bytes, Multimodal.MediaMeta(2, 2, 0L, "png"))
+    val feats = Multimodal.extractFeatures(Seq(item).toDS()).collect()
+    assert(feats.head.mean_intensity === (255 + 0 + 76 + 128) / 4.0)
+    // non-image bytes fall back to the stub instead of throwing
+    assert(Multimodal.ImageIoCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("table shape round-trips through parquet with binary column") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
     Multimodal.asTable(corpus).write.mode("overwrite").parquet(dir)
