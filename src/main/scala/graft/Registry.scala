@@ -7,5 +7,6 @@ object Registry {
   def all: Seq[Q] =
     queries.Relational.all ++ queries.Privacy.all ++ queries.Etl.all ++
       queries.Text.all ++ queries.Embeddings.all ++ queries.Events.all ++
-      queries.Ml.all ++ queries.Scale.all ++ queries.Extras.all
+      queries.Ml.all ++ queries.Scale.all ++ queries.Extras.all ++
+      queries.Curation.all
 }

@@ -20,17 +20,39 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = s.read.parquet(p(dir, "part"))
   def orders(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "orders"))
   def lineitem(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "lineitem"))
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet, which
-    * Spark refuses to read as a timestamp. Read nanos as long, then
-    * truncate to microseconds — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS → TIMESTAMP — so both engines see identical
-    * microsecond-precision values.
+  /** The driver's `events.ts` is physically INT64 TIMESTAMP(NANOS)
+    * parquet, which Spark refuses to read as a timestamp. Read nanos as
+    * long, then truncate to microseconds — the same truncation DuckDB
+    * applies when casting TIMESTAMP_NS → TIMESTAMP — so both engines
+    * see identical microsecond-precision values.
+    *
+    * Dispatch on the ACTUAL read schema, not an assumption: a corpus
+    * rewritten by another engine (e.g. `tools/make_stress.py`'s DuckDB
+    * COPY) carries plain µs TIMESTAMP, where `ts` arrives as a proper
+    * timestamp and needs no conversion — hard-coding the nanos path
+    * broke every events query on such corpora.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.expr
-    s.read.parquet(p(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(s.read.parquet(p(dir, "events")))
+  }
+
+  /** Normalize an events-shaped frame's `ts` to plain TIMESTAMP,
+    * whatever the writer produced (also used by the streaming ingest,
+    * which reads the same files through `readStream`).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      // e.g. TIMESTAMP_NTZ (DuckDB COPY writes tz-less µs): everything
+      // here is UTC, so reinterpreting in the pinned UTC session zone
+      // is value-identical — and downstream unix_micros/window code
+      // requires plain TIMESTAMP
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))

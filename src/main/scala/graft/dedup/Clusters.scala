@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster formation: connected components over the near-dup
+  * pair graph — the canonical final step of dedup at scale (pairs say
+  * who matches whom; the component says which rows are one document,
+  * so curation can keep exactly one representative per component even
+  * when A~B and B~C but A and C never paired directly).
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round every vertex takes the minimum of
+  * its own label and its neighbors' labels; fixpoint = every vertex
+  * carries its component's minimum id. Each round is one keyed join +
+  * one aggregate — both shuffle-bounded, nothing driver-side except
+  * the scalar changed-count that decides convergence. Rounds needed =
+  * component diameter: near-dup components are dense near-cliques
+  * (2–3 rounds in practice). For adversarial long-chain graphs swap in
+  * alternating large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"), which converges in O(log n)
+  * rounds with the same per-round dataflow shape.
+  */
+object Clusters {
+
+  /** (idCol, cluster_id) for every vertex; cluster_id = min id in the
+    * vertex's connected component (vertices absent from `edges` are
+    * their own singleton cluster). At warehouse scale, checkpoint
+    * `labels` every ~10 rounds to cut lineage; here maxIter bounds it.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list; self-loops add nothing to propagation
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // `cached` is always the handle persist() was called on — the only
+    // plan the cache knows; unpersisting a projection of it would be a
+    // silent no-op and every round would stay pinned
+    var cached = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
+      // carry the previous label through the propagation select: the
+      // convergence count is then a filter over the SAME materialized
+      // round, not an extra per-round join back against `labels`
+      val round = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"),
+          col("label").as("prev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = round.filter(col("next") =!= col("prev")).count()
+      cached.unpersist(blocking = false)
+      cached = round
+      labels = round.select(col("id"), col("next").as("label"))
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist(blocking = false)
+    // the final round stays persisted (the convergence count already
+    // materialized it; unpersisting here would force the caller's
+    // action to replay every iteration's lineage) — tracked so
+    // Dedup.clearCaches releases it between corpora
+    Dedup.track(cached)
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Exact-duplicate edges (member → min-id representative of its text
+    * group), keyed on fixed-width (xxhash64, length) like
+    * [[Dedup.exactRepresentatives]] — a window over the hash groups,
+    * no self-join on document bodies. Composes with near-dup pairs so
+    * components span exact copies AND their near-duplicates.
+    */
+  def exactEdges(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), length(col(textCol)))
+    df.select(col(idCol).as("src"), min(col(idCol)).over(w).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+}

@@ -77,6 +77,11 @@ object Dedup {
     p
   }
 
+  /** Register an already-persisted handle for [[clearCaches]] release
+    * (used by [[Clusters]] for its converged label table).
+    */
+  private[dedup] def track(df: DataFrame): Unit = tracked.add(df)
+
   /** Release cached dedup intermediates — only the handles this object
     * persisted, leaving unrelated session cache entries alone.
     */

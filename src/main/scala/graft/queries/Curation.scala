@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.dedup.{Clusters, Dedup}
+import graft.text.TextAnalysis
+
+/** Corpus-curation operators beyond pair generation: duplicate-cluster
+  * formation (connected components), deterministic eval-split sampling,
+  * token-budget shard packing, and PII redaction — the steps between
+  * "pairs found" and "training shards written" in an LLM data pipeline.
+  */
+object Curation {
+
+  val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact)
+
+  // --- q71: connected-components duplicate clusters ------------------------
+  // Pairs say who matches whom; the component says which docs are ONE
+  // document (A~B, B~C ⇒ {A,B,C} even though A,C never paired). Edges =
+  // exact-duplicate edges (member → representative) ∪ near-dup Jaccard
+  // pairs over representatives; the oracle recomputes the same
+  // components via a recursive-CTE transitive closure.
+  def dedupClusters: Q = Q(
+    "q71_dedup_clusters",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, min(lab) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
+    Clusters.connectedComponents(docs.select("doc_id"), "doc_id", edges, "src", "dst")
+      .orderBy("doc_id")
+  }
+
+  // --- q72: deterministic hash sampling ------------------------------------
+  // Eval-holdout selection must be a pure function of the key — stable
+  // across engines, retries, partitionings, and corpus growth (a doc is
+  // in or out forever, no RNG state). Keep rows whose md5(key) prefix
+  // falls below the fraction threshold: '28f5' / 16^4 ≈ 16%. Pure
+  // per-row filter — no shuffle, no sort, embarrassingly parallel.
+  def hashSample: Q = Q(
+    "q72_hash_sample",
+    """SELECT doc_id FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5'
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  // --- q73: token-budget shard packing -------------------------------------
+  // Assign docs to training shards of ~2000 tokens by running token
+  // offset, partitioned by language (shards are homogeneous per lang
+  // and the window state is bounded per partition — the scale-safe
+  // shape; an unpartitioned ORDER BY would serialize the corpus
+  // through one task). shard = floor(start_offset / budget).
+  def packShards: Q = Q(
+    "q73_pack_shards",
+    """SELECT doc_id, lang,
+      |  CAST(floor((CAST(sum(len(string_split(text, ' '))) OVER
+      |      (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+      |    - len(string_split(text, ' '))) / 2000.0) AS BIGINT) AS shard
+      |FROM documents
+      |ORDER BY lang, doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val ntok = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        floor((sum(ntok).over(w) - ntok) / 2000.0).cast("long").as("shard"))
+      .orderBy("lang", "doc_id")
+  }
+
+  // --- q74: PII redaction ---------------------------------------------------
+  // Scrub emails and phone-shaped digit runs before training. The query
+  // injects deterministic PII derived from doc_id so the redaction is
+  // exercised on every row (the corpus itself is lorem-ish), then both
+  // engines must produce byte-identical scrubbed text — pinning that
+  // the regex semantics (char classes, greed, replace-all) agree.
+  def piiRedact: Q = Q(
+    "q74_pii_redact",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@mail.example.com or call +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |    '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g') AS redacted
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(withPii, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+          "\\+?[0-9][0-9-]{6,}", "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+}

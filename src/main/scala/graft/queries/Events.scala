@@ -83,9 +83,9 @@ object Events {
   ) { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet") // schema probe only
-    val stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeEventsTs(
+      s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .withWatermark("ts", "2 hours")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Clusters, Dedup}
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(
+      vertices.toDF("id"), "id",
+      edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: chain, triangle, and isolated vertex get min-id labels") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12, isolated 99
+    val labels = cc(Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("components: edge direction and self-loops are irrelevant") {
+    val a = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (2L, 3L)))
+    val b = cc(Seq(1L, 2L, 3L), Seq((1L, 3L), (3L, 2L), (2L, 2L)))
+    assert(a === b)
+    assert(a === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exactEdges ties every copy to its min-id representative") {
+    val docs = Seq((5L, "aaa"), (9L, "aaa"), (2L, "aaa"), (7L, "bbb"), (1L, "ccc"))
+      .toDF("doc_id", "text")
+    val edges = Clusters.exactEdges(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((5L, 2L), (9L, 2L))) // singletons produce no edge
+  }
+
+  test("exact copies and transitive near-dups land in one cluster") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val mid = base.replace("today", "tonight")         // near-dup of base
+    val far = mid.replace("quick", "sluggish")         // near-dup of mid, farther from base
+    val docs = Seq((0L, base), (1L, base), (2L, mid), (3L, far),
+      (4L, "completely different words describing nothing in common at all"))
+      .toDF("doc_id", "text")
+    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
+    val labels = Clusters.connectedComponents(docs.select("doc_id"), "doc_id",
+      edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0,1 exact copies; 2 near-dups 0; 3 near-dups 2 → all one cluster,
+    // even if (0,3) never paired directly; 4 stays its own
+    assert(labels(0L) === 0L && labels(1L) === 0L && labels(2L) === 0L && labels(3L) === 0L)
+    assert(labels(4L) === 4L)
+    Dedup.clearCaches(spark)
+  }
+}
