@@ -11,17 +11,18 @@ import org.apache.spark.storage.StorageLevel
   * so curation can keep exactly one representative per component even
   * when A~B and B~C but A and C never paired directly).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round every vertex takes the minimum of
-  * its own label and its neighbors' labels; fixpoint = every vertex
-  * carries its component's minimum id. Each round is one keyed join +
-  * one aggregate — both shuffle-bounded, nothing driver-side except
-  * the scalar changed-count that decides convergence. Rounds needed =
-  * component diameter: near-dup components are dense near-cliques
-  * (2–3 rounds in practice). For adversarial long-chain graphs swap in
-  * alternating large-star/small-star (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond"), which converges in O(log n)
-  * rounds with the same per-round dataflow shape.
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Every vertex starts labeled with itself; each round every vertex
+  * takes the minimum of its own label, its neighbors' labels, and its
+  * label's label (the pointer jump — chains shorten geometrically, the
+  * same shortcutting idea as large-star/small-star, Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond"); fixpoint = every
+  * vertex carries its component's minimum id. Each round is two keyed
+  * joins + one aggregate — all shuffle-bounded, nothing driver-side
+  * except the scalar changed-count that decides convergence. Rounds:
+  * O(log diameter); near-dup components are dense near-cliques, so
+  * 2–3 rounds in practice, and maxIter=20 covers diameters far beyond
+  * any real pair graph.
   */
 object Clusters {
 
@@ -48,13 +49,22 @@ object Clusters {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
-      // carry the previous label through the propagation select: the
-      // convergence count is then a filter over the SAME materialized
-      // round, not an extra per-round join back against `labels`
-      val round = labels.join(nbrMin, Seq("id"), "left_outer")
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("prev"))
+      // pointer-jump: additionally follow the label one hop
+      // (label := label(label); labels are min-monotone so the hop
+      // only ever decreases) — chains shorten geometrically, so a
+      // path of length n converges in O(log n) rounds instead of n,
+      // keeping maxIter=20 exact for any realistic component shape
+      val jump = stepped.select(col("id").as("label"), col("label").as("jumped"))
+      // carry the previous label through: the convergence count is a
+      // filter over the SAME materialized round, not an extra join
+      val round = stepped.join(jump, Seq("label"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jumped"), col("label"))).as("next"),
+          col("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = round.filter(col("next") =!= col("prev")).count()
       cached.unpersist(blocking = false)
@@ -63,6 +73,9 @@ object Clusters {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxIter rounds — labels may span partial components")
     sym.unpersist(blocking = false)
     // the final round stays persisted (the convergence count already
     // materialized it; unpersisting here would force the caller's

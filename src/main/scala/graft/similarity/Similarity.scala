@@ -190,10 +190,13 @@ object Similarity {
     */
   def annTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    val sk = sketches(embs, idCol, vecCol)
-    val qsk = sk.filter(col(idCol) === queryId)
+    // sketch the ONE query row separately instead of filtering the
+    // full sketch table — the corpus is sketched exactly once (the
+    // previous shape computed all n×16 hyperplane projections twice)
+    val qsk = sketches(embs.filter(col(idCol) === queryId), idCol, vecCol)
       .select(col("table_id"), col("bucket"))
-    val candidates = sk.join(broadcast(qsk), Seq("table_id", "bucket"))
+    val candidates = sketches(embs, idCol, vecCol)
+      .join(broadcast(qsk), Seq("table_id", "bucket"))
       .filter(col(idCol) =!= queryId)
       .select(idCol).distinct()
     val q = embs.filter(col(idCol) === queryId)

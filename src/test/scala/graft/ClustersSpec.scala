@@ -21,6 +21,13 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("a 50-vertex chain converges within the default round budget (pointer jumping)") {
+    // plain per-hop propagation would need 49 rounds — over maxIter=20;
+    // the label(label) shortcut makes chains collapse in O(log n)
+    val labels = cc((0L until 50L).toSeq, (0L until 49L).map(i => (i, i + 1)))
+    assert(labels.values.toSet === Set(0L))
+  }
+
   test("components: edge direction and self-loops are irrelevant") {
     val a = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (2L, 3L)))
     val b = cc(Seq(1L, 2L, 3L), Seq((1L, 3L), (3L, 2L), (2L, 2L)))

@@ -60,6 +60,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"))
   }
 
+  test("shard packing windows are partitioned, never a single global sort") {
+    // the q73 running-offset window must carry a PARTITION BY (lang):
+    // an unpartitioned ORDER BY window serializes the corpus through
+    // one task — the single worst scale failure a window can have
+    val p = plan("q73_pack_shards")
+    assert(p.contains("windowspecdefinition(lang"), p.take(1500))
+  }
+
+  test("hash sampling is a pure per-row filter — no shuffle before the sort") {
+    val df = SparkEntry.queries("q72_hash_sample")(spark, sf)
+    val upToSort = df.queryExecution.executedPlan.toString
+      .split("\n").dropWhile(l => !l.contains("Filter")).mkString("\n")
+    // below the filter: scan only, no exchange (the final ORDER BY is
+    // the query's presentation sort, not part of the sampling operator)
+    assert(!upToSort.contains("Exchange"), upToSort.take(1200))
+  }
+
   test("salted skew join keys the join on (k, __salt), no cartesian") {
     val p = plan("q68_salted_skew_join")
     assert(p.contains("__salt"))
