@@ -33,9 +33,14 @@ object Clusters {
     */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list; self-loops add nothing to propagation
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // symmetric edge list; self-loops add nothing to propagation. One
+    // explode pass, NOT a union of the plan with its own reverse — the
+    // union form materializes the (possibly expensive) edge-producing
+    // subtree twice
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // `cached` is always the handle persist() was called on — the only
