@@ -1,6 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -28,8 +29,17 @@ object Clusters {
 
   /** (idCol, cluster_id) for every vertex; cluster_id = min id in the
     * vertex's connected component (vertices absent from `edges` are
-    * their own singleton cluster). At warehouse scale, checkpoint
-    * `labels` every ~10 rounds to cut lineage; here maxIter bounds it.
+    * their own singleton cluster).
+    *
+    * Lineage is cut EVERY round with an eager `localCheckpoint`: the
+    * round's plan references the previous round ~4× (two joins over
+    * derived views), so without truncation the logical plan grows
+    * ~4^rounds and a deep chain-shaped component OOMs the driver while
+    * Spark merely stringifies the plan. After the cut each round's
+    * plan is a constant-size `LogicalRDD` leaf, so round cost is flat
+    * at any diameter. The convergence count rides the checkpoint's own
+    * materialization job as an observed metric — one job per round,
+    * not a materialize + a recount.
     */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
@@ -43,12 +53,10 @@ object Clusters {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // `cached` is always the handle persist() was called on — the only
-    // plan the cache knows; unpersisting a projection of it would be a
-    // silent no-op and every round would stay pinned
-    var cached = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+    // `labels` is always checkpoint-backed: a projection over a
+    // LogicalRDD leaf, never the previous round's join tree
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -64,17 +72,25 @@ object Clusters {
       // path of length n converges in O(log n) rounds instead of n,
       // keeping maxIter=20 exact for any realistic component shape
       val jump = stepped.select(col("id").as("label"), col("label").as("jumped"))
-      // carry the previous label through: the convergence count is a
-      // filter over the SAME materialized round, not an extra join
+      // per-round name is a deterministic function of the iteration
+      // index (CacheManager dedupe is moot here: each round's plan is
+      // a unique checkpoint leaf, never shared across queries)
+      val obs = Observation(s"graft_cc_changed_$it")
       val round = stepped.join(jump, Seq("label"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("jumped"), col("label"))).as("next"),
+          least(col("label"), coalesce(col("jumped"), col("label"))).as("label"),
           col("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = round.filter(col("next") =!= col("prev")).count()
-      cached.unpersist(blocking = false)
-      cached = round
-      labels = round.select(col("id"), col("next").as("label"))
+        .observe(obs, count(when(col("label") =!= col("prev"), lit(1))).as("changed"))
+        .localCheckpoint(eager = true)
+      // the checkpoint action already ran the plan; `get` just waits
+      // for its listener to deliver the accumulated metric
+      val changed = obs.get("changed").asInstanceOf[Long]
+      // previous round's checkpoint blocks: nothing references them
+      // once `round` is materialized — drop eagerly rather than
+      // waiting for the ContextCleaner, so peak storage is two rounds
+      // of (id,label) rows regardless of diameter
+      releaseCheckpoint(labels)
+      labels = round.select("id", "label")
       converged = changed == 0
       it += 1
     }
@@ -82,13 +98,26 @@ object Clusters {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: not converged after $maxIter rounds — labels may span partial components")
     sym.unpersist(blocking = false)
-    // the final round stays persisted (the convergence count already
-    // materialized it; unpersisting here would force the caller's
-    // action to replay every iteration's lineage) — tracked so
-    // Dedup.clearCaches releases it between corpora
-    Dedup.track(cached)
+    // the final round's blocks stay (the caller's action reads them
+    // directly — no lineage to replay); tracked so Dedup.clearCaches
+    // releases them between corpora. A checkpointed RDD cannot
+    // recompute, so clearCaches must only run once the labels are
+    // consumed — which is its documented between-corpora contract.
+    labels.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD => Dedup.trackRdd(lr.rdd)
+      case _ => ()
+    }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Drop the checkpoint blocks backing `df` (a localCheckpoint'ed
+    * round). Safe only when nothing will read the round again.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact-duplicate edges (member → min-id representative of its text
     * group), keyed on fixed-width (xxhash64, length) like

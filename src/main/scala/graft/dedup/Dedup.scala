@@ -82,12 +82,24 @@ object Dedup {
     */
   private[dedup] def track(df: DataFrame): Unit = tracked.add(df)
 
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Register a checkpoint-backed RDD (a [[Clusters]] converged label
+    * table) whose blocks [[clearCaches]] should drop. Checkpointed RDDs
+    * cannot recompute, so release only happens via the explicit
+    * between-corpora clearCaches call, never mid-query.
+    */
+  private[dedup] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
+
   /** Release cached dedup intermediates — only the handles this object
     * persisted, leaving unrelated session cache entries alone.
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     var d = tracked.poll()
     while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+    var r = trackedRdds.poll()
+    while (r != null) { r.unpersist(blocking = false); r = trackedRdds.poll() }
   }
 
   /** Exact dedup: hash-groupBy on the content columns, keeping the

@@ -57,7 +57,13 @@ object Multimodal {
           }
           Some(out)
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // ImageIO plugin readers throw RuntimeExceptions (IAE,
+        // CMMException, AIOOBE…) on corrupt-but-recognized bytes, not
+        // just IOException — any decode failure degrades to the stub
+        // path rather than failing the Spark task
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** STUB codec — deterministic fakes standing in for real decoders

@@ -44,6 +44,13 @@ object PrivacyEngine {
   /** K3: enforcement by generalization — replace `colName` with
     * `coarser` in QI groups smaller than k (`privacy_engine.py:101-122`,
     * which coarsens age_group labels).
+    *
+    * Single-pass by design (reference fidelity): when `coarser` is a
+    * partial hierarchy (e.g. [[ageGroupCoarser]] passes maximal
+    * buckets through unchanged), sub-k groups whose label cannot
+    * coarsen further come out unmodified, so the result is NOT
+    * guaranteed k-anonymous. When the guarantee matters, use
+    * [[generalizeOrSuppress]], which closes the gap by suppression.
     */
   def generalize(df: DataFrame, qi: Seq[String], k: Int, colName: String, coarser: Column): DataFrame = {
     val w = Window.partitionBy(qi.map(col): _*)
@@ -51,6 +58,18 @@ object PrivacyEngine {
       .withColumn(colName, when(col("__gs") < k, coarser).otherwise(col(colName)))
       .drop("__gs")
   }
+
+  /** K3 with a closed guarantee: coarsen sub-k groups, then re-measure
+    * on the generalized QI and suppress rows still in sub-k groups
+    * (labels with no coarser bucket, or groups that stay small even
+    * merged). Two window passes over the same QI shuffle key — the
+    * second reuses the first's partitioning — so the guarantee costs
+    * one extra windowed count, not a join. Output is k-anonymous on
+    * `qi` by construction.
+    */
+  def generalizeOrSuppress(df: DataFrame, qi: Seq[String], k: Int,
+      colName: String, coarser: Column): DataFrame =
+    suppress(generalize(df, qi, k, colName, coarser), qi, k)
 
   /** The reference's age-group hierarchy as the default coarser
     * (`privacy_engine.py:101-113`: adjacent adult buckets merge into

@@ -130,6 +130,26 @@ object Merge {
     if (!spark.read.parquet(tablePath).columns.contains(BucketCol))
       rewriteTable(spark, withBucket(spark.read.parquet(tablePath), keys, n),
         tablePath, Seq(BucketCol))
+    else if (recorded.isEmpty) {
+      // pre-sidecar bucketed table: the dir layout is the only truth
+      // about its N, and the caller's word is about to become the
+      // recorded one. A caller N smaller than the layout's max bucket
+      // is provably wrong (hash mod N can't have produced it) — and
+      // recording it would lock in exactly the silent duplicate-key
+      // corruption the sidecar exists to prevent. Re-bucket with the
+      // caller's N instead of trusting it. (max < n stays accepted:
+      // indistinguishable from sparsely-populated buckets.)
+      val maxBucket = fs.listStatus(new Path(tablePath))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+        .flatMap(st => st.getPath.getName.stripPrefix(BucketCol + "=").toIntOption)
+        .foldLeft(-1)(math.max)
+      if (maxBucket >= n) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"upsertBucketed($tablePath): layout has __bucket=$maxBucket ≥ caller nBuckets=$n — re-bucketing with N=$n")
+        rewriteTable(spark, withBucket(spark.read.parquet(tablePath).drop(BucketCol), keys, n),
+          tablePath, Seq(BucketCol))
+      }
+    }
     if (recorded.isEmpty) writeBucketsMeta(fs, tablePath, n)
     val target = spark.read.parquet(tablePath)
     // bucket values are bounded by nBuckets — a scalar-sized collect

@@ -28,6 +28,23 @@ class ClustersSpec extends SparkSpec {
     assert(labels.values.toSet === Set(0L))
   }
 
+  test("plan size stays bounded across rounds (lineage cut every round)") {
+    // 200-vertex chain ≈ 8 pointer-jump rounds. Before the per-round
+    // eager localCheckpoint, each round embedded the previous round's
+    // plan ~4× (two joins over derived views), so the returned plan
+    // held ~4^rounds nodes and an 8 GiB driver OOM'd merely
+    // stringifying it. Now every round is a LogicalRDD leaf: the
+    // result plan must be a handful of nodes no matter the diameter.
+    val n = 200L
+    val labels = Clusters.connectedComponents(
+      (0L until n).toDF("id"), "id",
+      (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst"), "src", "dst")
+    val planNodes = labels.queryExecution.analyzed.collect { case p => p }.size
+    assert(planNodes <= 5, s"expected a checkpoint-leaf plan, got $planNodes nodes")
+    assert(labels.collect().map(_.getLong(1)).toSet === Set(0L))
+    Dedup.clearCaches(spark)
+  }
+
   test("components: edge direction and self-loops are irrelevant") {
     val a = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (2L, 3L)))
     val b = cc(Seq(1L, 2L, 3L), Seq((1L, 3L), (3L, 2L), (2L, 2L)))

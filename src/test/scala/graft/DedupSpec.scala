@@ -104,11 +104,19 @@ class DedupSpec extends SparkSpec {
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       val p2 = Dedup.lshCandidates(sigs, "doc_id")
       val p3 = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), "doc_id")
-      Thread.sleep(500) // let any stray job-start events drain
-      assert(jobs.get() === 0, s"plan construction ran ${jobs.get()} jobs")
+      // deterministic drain (no fixed sleep, which could false-pass
+      // under load): the listener bus is FIFO, so a marker job started
+      // AFTER plan construction bounds the window — once its start
+      // event lands, any construction-launched job's would have too
+      // RDD action, not a SQL count: exactly one job always (AQE splits
+      // a SQL count into shuffle-stage + result-stage jobs)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() === 1, s"plan construction ran ${jobs.get() - 1} jobs")
       // the caps are still enforced when the plans DO run
       assert(p1.count() >= 1 && p2.count() >= 1 && p3.count() >= 0)
-      assert(jobs.get() > 0)
+      assert(jobs.get() > 1)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -37,6 +37,18 @@ class PrivacyEngineSpec extends SparkSpec {
     assert(byQi === Map("ANY" -> 4L, "B" -> 5L, "C" -> 6L))
   }
 
+  test("generalizeOrSuppress closes the partial-hierarchy gap: output is k-anonymous") {
+    // coarser that CANNOT fix group A (passes 'A' through, like
+    // ageGroupCoarser passes Child/Unknown/Senior): plain generalize
+    // leaves A's 4 rows sub-k; the OrSuppress variant must drop them
+    val passThrough = col("qi") // identity hierarchy: nothing coarsens
+    val leaky = PrivacyEngine.generalize(df, Seq("qi"), k = 5, "qi", passThrough)
+    assert(leaky.groupBy("qi").count().agg(min("count")).head().getLong(0) < 5)
+    val out = PrivacyEngine.generalizeOrSuppress(df, Seq("qi"), k = 5, "qi", passThrough)
+    assert(out.groupBy("qi").count().agg(min("count")).head().getLong(0) >= 5)
+    assert(out.count() === 11)
+  }
+
   test("l-diversity counts distinct sensitive values per group") {
     val l = PrivacyEngine.lDiversity(df, Seq("qi"), "sensitive")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

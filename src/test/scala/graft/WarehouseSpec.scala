@@ -30,6 +30,29 @@ class WarehouseSpec extends SparkSpec {
     assert(out(1).getString(1) === "b") // untouched
   }
 
+  test("upsertBucketed re-buckets a pre-sidecar table whose layout contradicts the caller's N") {
+    // table built with N=8, sidecar removed (pre-sidecar table), then a
+    // caller claims N=4: the __bucket=7 dir proves 4 is wrong — the
+    // merge must re-bucket with the caller's N instead of recording a
+    // lie, and the result must hold exactly one row per key
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val base = spark.range(64).select(col("id"), (col("id") * 2).as("v"))
+    Merge.upsertBucketed(spark, dir, base, Seq("id"), nBuckets = 8)
+    assert(Merge.readBucketsMeta(fs, dir) === Some(8))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_nbuckets"), false)
+    val incoming = Seq((0L, -1L), (100L, 200L)).toDF("id", "v")
+    Merge.upsertBucketed(spark, dir, incoming, Seq("id"), nBuckets = 4)
+    assert(Merge.readBucketsMeta(fs, dir) === Some(4))
+    val out = spark.read.parquet(dir)
+    val maxBucket = out.agg(max(col("__bucket"))).head.getInt(0)
+    assert(maxBucket < 4, s"layout still has bucket $maxBucket after re-bucketing to 4")
+    assert(out.count() === 65)
+    assert(out.filter(col("id") === 0L).select("v").head.getLong(0) === -1L)
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("addSurrogate assigns contiguous keys in sort order, with offset") {
     val df = Seq("delta", "alpha", "charlie", "bravo").toDF("name")
     val keyed = Keys.addSurrogate(df, "k", Seq(col("name")), start = 100L)
