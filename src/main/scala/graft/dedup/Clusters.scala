@@ -74,7 +74,13 @@ object Clusters {
       val jump = stepped.select(col("id").as("label"), col("label").as("jumped"))
       // per-round name is a deterministic function of the iteration
       // index (CacheManager dedupe is moot here: each round's plan is
-      // a unique checkpoint leaf, never shared across queries)
+      // a unique checkpoint leaf, never shared across queries).
+      // NB: registering an Observation initializes the session's lazy
+      // ObservationManager, which is non-transient and non-serializable
+      // in Spark 4.1 — code that java-serializes the SparkSession in a
+      // task closure (e.g. an MLlib model still carrying its training
+      // summary) breaks afterwards. Our ML pipeline serves with
+      // summary-free copies for exactly this reason (MlPipeline).
       val obs = Observation(s"graft_cc_changed_$it")
       val round = stepped.join(jump, Seq("label"), "left_outer")
         .select(col("id"),

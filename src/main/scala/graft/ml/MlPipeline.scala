@@ -139,11 +139,20 @@ object MlPipeline {
         .setNumTrees(100).setMaxDepth(10).setSeed(42)
         .setLabelCol("label").setFeaturesCol("features").setWeightCol("w")))
     val model = pipeline.fit(train)
+    // Serve with a summary-free copy: the fitted forest retains a
+    // trainingSummary whose SparkSession reference rides the prediction
+    // UDF's task closure. On Spark 4.1 the session java-serializes only
+    // while its lazy ObservationManager is still untouched — one
+    // Dataset.observe(Observation) anywhere in the session (e.g. the
+    // dedup cluster loop) and a summary-carrying transform throws
+    // TaskNotSerializable. Copy drops the summary; it's also the right
+    // shape at scale (don't ship training state to every task).
+    val serveModel = model.copy(org.apache.spark.ml.param.ParamMap.empty)
     // one scored test set feeds both the evaluator and the report; the
     // report is materialized (≤ #classes rows) so the cache can be
     // released before returning instead of pinning the scored set for
     // the caller's lifetime
-    val pred = model.transform(test.withColumn("w", lit(1.0)))
+    val pred = serveModel.transform(test.withColumn("w", lit(1.0)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acc = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setMetricName("accuracy").evaluate(pred)
@@ -165,7 +174,9 @@ object MlPipeline {
         .setNumTrees(100).setMaxDepth(15).setSeed(42)
         .setLabelCol("value").setFeaturesCol("features")))
     val model = pipeline.fit(train.drop("label"))
-    val pred = model.transform(test)
+    // summary-free copy for scoring — same closure hazard as the
+    // classifier (see trainClassifier)
+    val pred = model.copy(org.apache.spark.ml.param.ParamMap.empty).transform(test)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rmse = new RegressionEvaluator().setLabelCol("value").setMetricName("rmse").evaluate(pred)
     val r2 = new RegressionEvaluator().setLabelCol("value").setMetricName("r2").evaluate(pred)

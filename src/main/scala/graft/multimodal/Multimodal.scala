@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample operators.
   *
   * Image decode is REAL — JDK `javax.imageio` (see [[ImageIoCodec]]),
-  * no added dependencies. Audio/video codec calls are STUBBED (no
-  * audio/video libraries in this environment): `FakeCodec` derives
-  * deterministic pixels/samples from the byte content, so every
-  * operator is reproducible and testable.
+  * and audio decode is REAL — JDK `javax.sound.sampled` WAV/PCM (see
+  * [[WavCodec]]); both zero added dependencies. Video decode is
+  * STUBBED (containers need native libraries this environment doesn't
+  * ship): `FakeCodec` derives deterministic pixels/samples from the
+  * byte content, so every operator is reproducible and testable.
   * The Spark-side contracts — schema, per-partition batch processing,
   * explode shapes, partition counts — are real; swapping `FakeCodec`
   * for JavaCPP/FFmpeg bindings changes no dataflow. On a Python stack
@@ -66,8 +67,51 @@ object Multimodal {
       }
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM readers ship with the JDK — zero added dependencies, same
+    * pattern as [[ImageIoCodec]]). Output is one 8-bit unsigned sample
+    * per frame (first channel, most-significant byte, signed PCM
+    * re-biased to center 128) — the audio analogue of the image path's
+    * 8-bit luminance, so downstream feature extraction is uniform.
+    * Returns None for non-audio or unsupported bytes → [[FakeCodec]]
+    * fallback; video stays honestly stubbed (containers need native
+    * libs this environment doesn't ship).
+    */
+  object WavCodec {
+    def decode(content: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          val frameSize = fmt.getFrameSize
+          val bits = fmt.getSampleSizeInBits
+          if (frameSize <= 0 || bits <= 0) None
+          else {
+            val raw = ais.readAllBytes()
+            val bytesPerSample = math.max(1, bits / 8)
+            val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val n = raw.length / frameSize
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              val off = i * frameSize
+              val msb = if (fmt.isBigEndian) raw(off) else raw(off + bytesPerSample - 1)
+              out(i) = if (signed) (msb ^ 0x80).toByte else msb
+              i += 1
+            }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch {
+        // UnsupportedAudioFileException on non-audio bytes; malformed
+        // headers can also throw runtime exceptions — degrade to stub
+        case scala.util.control.NonFatal(_) => None
+      }
+  }
+
   /** STUB codec — deterministic fakes standing in for real decoders
-    * (audio/video; and non-decodable synthetic "image" bytes). */
+    * (video; and non-decodable synthetic "image"/"audio" bytes). */
   object FakeCodec {
     /** "Decode" = the raw bytes are the pixel/sample buffer. */
     def decode(content: Array[Byte]): Array[Byte] = content
@@ -119,12 +163,14 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        // images go through the real JDK decoder when the bytes are a
-        // real image; everything else (and synthetic blobs) uses the stub
-        val px =
-          if (m.media_type == "image")
-            ImageIoCodec.decode(m.content).getOrElse(FakeCodec.decode(m.content))
-          else FakeCodec.decode(m.content)
+        // images and audio go through the real JDK decoders when the
+        // bytes are decodable; everything else (video, synthetic
+        // blobs) uses the stub
+        val px = m.media_type match {
+          case "image" => ImageIoCodec.decode(m.content).getOrElse(FakeCodec.decode(m.content))
+          case "audio" => WavCodec.decode(m.content).getOrElse(FakeCodec.decode(m.content))
+          case _ => FakeCodec.decode(m.content)
+        }
         val mean = if (px.isEmpty) 0.0 else px.map(b => (b & 0xff).toDouble).sum / px.length
         val counts = new Array[Long](256)
         px.foreach(b => counts(b & 0xff) += 1)

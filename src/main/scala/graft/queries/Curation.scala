@@ -13,7 +13,7 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
-  val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact)
+  val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2)
 
   // --- q71: connected-components duplicate clusters ------------------------
   // Pairs say who matches whom; the component says which docs are ONE
@@ -98,6 +98,83 @@ object Curation {
         floor((sum(ntok).over(w) - ntok) / 2000.0).cast("long").as("shard"))
       .orderBy("lang", "doc_id")
   }
+
+  // --- q75: cluster-aware curation v2 --------------------------------------
+  // The end-to-end pipeline with TRANSITIVE dedup: q67 drops the non-rep
+  // side of each near-dup pair, so a chain A~B~C keeps two survivors
+  // (A and C never paired). Here the connected component decides: keep
+  // exactly the min-id representative per cluster, then quality-gate,
+  // split train/eval by the deterministic md5 rule, and pack each
+  // (lang, split) stream into ~2000-token shards by running offset —
+  // every stage a keyed join, window, or per-row filter; nothing
+  // driver-side.
+  def curationV2: Q = Q(
+    "q75_curation_v2",
+    s"""WITH RECURSIVE
+       |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+       |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+       |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+       |       WHERE len(t) >= 3),
+       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+       |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |near AS (SELECT id_a, id_b FROM pairs
+       |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+       |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+       |          UNION SELECT id_b, id_a FROM near
+       |          UNION SELECT id_a, id_b FROM exacts
+       |          UNION SELECT id_b, id_a FROM exacts),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+       |reps AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+       |         JOIN clusters c ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id),
+       |gated AS (SELECT doc_id, lang, text FROM reps
+       |          WHERE least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.5
+       |            + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |                / len(string_split(text, ' '))) * 0.5 >= 0.6),
+       |assigned AS (SELECT doc_id, lang, text,
+       |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5'
+       |              THEN 'eval' ELSE 'train' END AS split
+       |         FROM gated)
+       |SELECT doc_id, lang, split,
+       |  CAST(floor((CAST(sum(len(string_split(text, ' '))) OVER
+       |      (PARTITION BY lang, split ORDER BY doc_id) AS BIGINT)
+       |    - len(string_split(text, ' '))) / 2000.0) AS BIGINT) AS shard
+       |FROM assigned
+       |ORDER BY lang, split, doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
+    val clusters = Clusters.connectedComponents(docs.select("doc_id"), "doc_id",
+      edges, "src", "dst")
+    // representative = the doc whose id IS its cluster's min id
+    val reps = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val ntok = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy("lang", "split").orderBy("doc_id")
+    docs
+      .join(reps, Seq("doc_id"), "left_semi")
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.6)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5", "eval")
+          .otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        floor((sum(ntok).over(w) - ntok) / 2000.0).cast("long").as("shard"))
+      .orderBy("lang", "split", "doc_id")
+  }
+
+  private def stop = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
   // --- q74: PII redaction ---------------------------------------------------
   // Scrub emails and phone-shaped digit runs before training. The query

@@ -69,7 +69,7 @@ object Embeddings {
     val qv = embs.filter(col("vec_id") === 0L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
-      nProbe = 3, excludeId = Some(0L))
+      nProbe = 4, excludeId = Some(0L))
   }
 
   // --- IVF probe-only serving path (rows-only) -----------------------------
@@ -89,6 +89,6 @@ object Embeddings {
     val qv = embs.filter(col("vec_id") === 1L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
-      nProbe = 3, excludeId = Some(1L))
+      nProbe = 4, excludeId = Some(1L))
   }
 }

@@ -13,8 +13,8 @@ object Privacy {
   private val QI2 = Seq("c_nationkey", "c_mktsegment")
   private val QI1 = Seq("c_nationkey")
 
-  val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize, lDiversity,
-    tCloseness, auditScore)
+  val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize,
+    generalizeOrSuppress, lDiversity, tCloseness, auditScore)
 
   // --- K1: k-anonymity report --------------------------------------------
   def kAnonymity: Q = Q(
@@ -88,6 +88,48 @@ object Privacy {
     val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
       graft.functions.Transforms.ageGroup(lit(18) + col("c_custkey") % 72).as("age_group"))
     PrivacyEngine.generalize(base, Seq("c_nationkey", "age_group"), 5, "age_group",
+      PrivacyEngine.ageGroupCoarser(col("age_group")))
+      .select("c_custkey", "age_group").orderBy("c_custkey")
+  }
+
+  // --- K3 closed-guarantee: generalize, then suppress the residue ---------
+  // The age hierarchy is PARTIAL (Child/Unknown/Senior have no coarser
+  // bucket), so q69's single pass can leave sub-k groups untouched —
+  // output that claims k-anonymity but isn't. This variant re-measures
+  // on the generalized QI and suppresses rows still in sub-k groups:
+  // k-anonymous by construction. Same QI shuffle key both passes.
+  def generalizeOrSuppress: Q = Q(
+    "q76_generalize_suppress",
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN age < 18 THEN 'Child (0-17)'
+      |         WHEN age < 35 THEN 'Young Adult (18-34)'
+      |         WHEN age < 50 THEN 'Adult (35-49)'
+      |         WHEN age < 65 THEN 'Middle-Aged (50-64)'
+      |         ELSE 'Senior (65+)' END AS age_group
+      |  FROM (SELECT c_custkey, c_nationkey, 18 + c_custkey % 72 AS age FROM customer)),
+      |sized AS (
+      |  SELECT c_custkey, c_nationkey, age_group,
+      |    count(*) OVER (PARTITION BY c_nationkey, age_group) AS gs
+      |  FROM base),
+      |gen AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN gs < 5 THEN
+      |      CASE WHEN age_group IN ('Young Adult (18-34)', 'Adult (35-49)', 'Middle-Aged (50-64)')
+      |           THEN 'Adult (18-64)' ELSE age_group END
+      |    ELSE age_group END AS age_group
+      |  FROM sized),
+      |resized AS (
+      |  SELECT c_custkey, age_group,
+      |    count(*) OVER (PARTITION BY c_nationkey, age_group) AS gs
+      |  FROM gen)
+      |SELECT c_custkey, age_group FROM resized
+      |WHERE gs >= 5
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (s, dir) =>
+    val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+      graft.functions.Transforms.ageGroup(lit(18) + col("c_custkey") % 72).as("age_group"))
+    PrivacyEngine.generalizeOrSuppress(base, Seq("c_nationkey", "age_group"), 5, "age_group",
       PrivacyEngine.ageGroupCoarser(col("age_group")))
       .select("c_custkey", "age_group").orderBy("c_custkey")
   }

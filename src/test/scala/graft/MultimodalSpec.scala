@@ -67,6 +67,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("WavCodec decodes a real PCM WAV to known 8-bit samples") {
+    // 4 mono 16-bit signed little-endian samples with known top bytes:
+    // 0 → 128 after re-bias, 0x7F00 → 255, -32768 (0x8000) → 0,
+    // 0x4000 → 192
+    val samples = Array[Short](0, 0x7f00, Short.MinValue, 0x4000)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bytes = bos.toByteArray
+    val out = Multimodal.WavCodec.decode(bytes).get
+    assert(out.map(_ & 0xff).toSeq === Seq(128, 255, 0, 192))
+    // the real decoder feeds extractFeatures for decodable audio
+    import spark.implicits._
+    val item = Multimodal.MediaItem(9L, "audio", bytes, Multimodal.MediaMeta(0, 0, 1L, "wav"))
+    val feats = Multimodal.extractFeatures(Seq(item).toDS()).collect()
+    assert(feats.head.mean_intensity === (128 + 255 + 0 + 192) / 4.0)
+    // non-audio bytes fall back to the stub instead of throwing
+    assert(Multimodal.WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("table shape round-trips through parquet with binary column") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
     Multimodal.asTable(corpus).write.mode("overwrite").parquet(dir)

@@ -25,16 +25,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
-  test("LSH ANN overlaps brute force and prunes the candidate set") {
-    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+  test("ANN recall@10 >= 0.8 vs brute force: LSH (q47) and IVF nProbe=4 (q61/q70)") {
+    // numeric recall gate over a fixed query panel, both SFs (there is
+    // no embeddings stress corpus; sf0.01 is the second dataset). The
+    // test corpus has weak neighbor structure (top-10 cosine ≈ 0.3),
+    // which is the HARD case for both index families — real near-dup
+    // corpora only prune better. Mean over the panel, not per-query:
+    // a single weak query is index-shape noise, a low mean is a bug.
+    val qids = Seq(0L, 1L, 7L, 13L, 29L)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val embs = Tables.embeddings(spark, sf).cache()
+      val idx = java.nio.file.Files.createTempDirectory("graft-recall-ivf").toString
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+      var lsh = 0.0
+      var ivf = 0.0
+      for (q <- qids) {
+        val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        lsh += (bf & Similarity.annTopK(embs, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet).size / 10.0
+        val qv = embs.filter(col("vec_id") === q)
+          .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+        ivf += (bf & Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding", qv, 10,
+          nProbe = 4, excludeId = Some(q)).collect().map(_.getLong(0)).toSet).size / 10.0
+      }
+      assert(lsh / qids.size >= 0.8, s"$sf: LSH mean recall@10 ${lsh / qids.size} < 0.8")
+      assert(ivf / qids.size >= 0.8, s"$sf: IVF mean recall@10 ${ivf / qids.size} < 0.8")
+      embs.unpersist()
+    }
+  }
+
+  test("LSH sketches land each vector in exactly Tables buckets") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = embs.count()
-    val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
-      .collect().map(_.getLong(0)).toSet
-    val ann = Similarity.annTopK(embs, "vec_id", "embedding", 0L, 10)
-      .collect().map(_.getLong(0)).toSet
-    assert(ann.nonEmpty && (bf & ann).nonEmpty) // prefilter keeps real neighbors
     val sk = Similarity.sketches(embs, "vec_id", "embedding")
-    // each vector lands in exactly Tables buckets
     assert(sk.count() === n * Similarity.Tables)
   }
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Quiet-window bench guard.
+
+A single graft.Bench sample on this co-tenant host can swing 30%+ on
+identical code (see BENCH_NOTES.md), so a bench taken in a loaded
+window publishes misleading numbers (BENCH_r03 did exactly that: q40
+read +47% vs round 2; a quiet-window re-run measured it *faster*).
+
+This tool runs the bench, compares every per-query time against the
+newest BENCH_r*.json artifact (or a file passed via --ref), and when
+any query exceeds REGRESSION_FACTOR x its reference it automatically
+re-runs the bench up to MAX_RERUNS more times, keeping the per-query
+MINIMUM across runs (min-of-N is the established quiet-window
+methodology). Queries still over the bar after the re-runs are printed
+as PERSISTENT — treat those as real regressions; everything that
+recovered was window noise.
+
+Usage: python3 tools/bench_guard.py [--sf DIR] [--ref BENCH.json] [--out FILE]
+Exit 0: clean (or recovered); exit 1: persistent regressions.
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REGRESSION_FACTOR = 1.5
+MAX_RERUNS = 2
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OPEN_PKGS = [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar",
+]
+
+
+def run_bench(sf_dir):
+    cp = os.path.join(REPO, "target/scala-2.13/classes") + ":" + ":".join(
+        sorted(glob.glob("/opt/spark/jars/*.jar")))
+    cmd = ["java"]
+    for p in OPEN_PKGS:
+        cmd += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+    cmd += ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-Xmx8g", "-cp", cp, "graft.Bench"]
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    out = subprocess.run(cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
+                         stderr=subprocess.DEVNULL, check=True, text=True).stdout
+    line = out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def newest_artifact():
+    arts = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+                  key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    return arts[-1] if arts else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--ref", default=None,
+                    help="reference BENCH json (default: newest BENCH_r*.json)")
+    ap.add_argument("--out", default=None,
+                    help="write the final min-of-N result JSON line here")
+    args = ap.parse_args()
+
+    ref_path = args.ref or newest_artifact()
+    ref = {}
+    if ref_path and os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f).get("queries", {})
+        print(f"reference: {ref_path} ({len(ref)} queries)")
+    else:
+        print("no reference artifact found — reporting times only")
+
+    print("bench run 1 ...", flush=True)
+    result = run_bench(args.sf)
+    best = dict(result["queries"])
+
+    def over_bar(times):
+        return sorted(
+            (q, t, ref[q]) for q, t in times.items()
+            if q in ref and ref[q] > 0.05 and t > REGRESSION_FACTOR * ref[q])
+
+    suspicious = over_bar(best)
+    runs = 1
+    while suspicious and runs <= MAX_RERUNS:
+        print(f"{len(suspicious)} queries over {REGRESSION_FACTOR}x reference "
+              f"(likely window noise) — re-running ({runs}/{MAX_RERUNS}):")
+        for q, t, r in suspicious:
+            print(f"  {q}: {t:.2f}s vs ref {r:.2f}s")
+        rerun = run_bench(args.sf)
+        for q, t in rerun["queries"].items():
+            if q in best:
+                best[q] = min(best[q], t)
+        runs += 1
+        suspicious = over_bar(best)
+
+    final = dict(result, queries=best, value=round(sum(best.values()), 3),
+                 runs_sampled=runs)
+    print(json.dumps(final))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(final, f, indent=1)
+
+    if suspicious:
+        print(f"PERSISTENT regressions after {runs} runs (treat as real):")
+        for q, t, r in suspicious:
+            print(f"  {q}: best {t:.2f}s vs ref {r:.2f}s ({t / r:.2f}x)")
+        return 1
+    print(f"clean: no query over {REGRESSION_FACTOR}x reference "
+          f"(min over {runs} run(s))")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
