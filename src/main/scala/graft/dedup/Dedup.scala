@@ -53,7 +53,7 @@ object Dedup {
   private val listenerSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
-  private def observeDrops(hot: DataFrame, what: String, cap: Int): DataFrame = {
+  private[graft] def observeDrops(hot: DataFrame, what: String, cap: Int): DataFrame = {
     val spark = hot.sparkSession
     if (listenerSessions.add(spark))
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {

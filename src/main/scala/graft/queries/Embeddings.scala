@@ -7,7 +7,8 @@ import graft.similarity.Similarity
 /** Similarity-search capabilities over the `embeddings` table. */
 object Embeddings {
 
-  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe)
+  val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
+    embeddingNearDup)
 
   /** Per-(session, corpus) index location: keyed by applicationId (two
     * concurrent JVMs on the same data never race Overwrite-vs-read on
@@ -70,6 +71,20 @@ object Embeddings {
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 4, excludeId = Some(0L))
+  }
+
+  // --- q78: embedding-space near-dup pairs (rows-only) ---------------------
+  // The missing dedup modality: semantic near-duplicates that n-gram /
+  // MinHash / SimHash text methods can't see (paraphrases embed close
+  // but share few shingles). Candidates come from shared LSH buckets
+  // (keyed join, capped hot buckets), the exact cosine filter makes
+  // precision 1.0, and SimilaritySpec pins recall vs the exact
+  // all-pairs set. Rows-only: the bucket set depends on the seeded
+  // hyperplanes, which DuckDB can't reproduce.
+  def embeddingNearDup: Q = Q.rowsOnly("q78_embedding_near_dup") { (s, dir) =>
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.35)
+      .orderBy("id_a", "id_b")
   }
 
   // --- IVF probe-only serving path (rows-only) -----------------------------

@@ -13,7 +13,7 @@ object Text {
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
-    corpusCuration)
+    corpusCuration, streamingDedup, bpeishTokens)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -216,6 +216,65 @@ object Text {
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.6)
       .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
       .orderBy("lang")
+  }
+
+  // --- q77: exact dedup as a Structured Stream ----------------------------
+  // The SAME exact-dedup aggregation executed over readStream with
+  // keyed streaming state, drained into a memory sink, and required to
+  // hash-match the identical batch oracle (the q62 pattern applied to
+  // dedup): the streaming ingest path of a training-data pipeline can
+  // dedup incrementally with one code path and one answer. State is
+  // one (hash, len) → (min_id, count) row per distinct text — the
+  // fixed-width key keeps streaming state small, exactly like the
+  // batch representative path.
+  def streamingDedup: Q = Q(
+    "q77_streaming_dedup",
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe only
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .groupBy(xxhash64(col("text")).as("__th"), length(col("text")).as("__tl"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
+    val sink = s"graft_stream_dedup_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink).select("keep_doc_id", "copies")
+      .orderBy("keep_doc_id").localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  // --- q79: BPE-ish token estimation --------------------------------------
+  // Whitespace tokens under-count what a subword tokenizer produces;
+  // the standard cheap estimate splits letter runs, single digits, and
+  // individual punctuation marks (the GPT-2 pre-tokenizer shape,
+  // minus merges). Pure per-row regexp — no shuffle except the output
+  // sort — and byte-identical across engines (Java and RE2 agree on
+  // this pattern class, pinned the same way q74 pins regexp_replace).
+  def bpeishTokens: Q = Q(
+    "q79_bpeish_tokens",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpeish,
+      |  round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS tokens_per_word
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    // group index 0 (whole match) must be explicit: Spark's default is
+    // group 1, which throws on a pattern with no capture groups
+    val bpe = size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        bpe.as("n_bpeish"),
+        round(bpe.cast("double") / TextAnalysis.tokenCount(col("text")), 4).as("tokens_per_word"))
+      .orderBy("doc_id")
   }
 
   // --- md5 fingerprint (oracle-checked) -----------------------------------

@@ -189,6 +189,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-space near-duplicate pairs: candidates share an LSH
+    * (table, bucket); the exact cosine filter then makes precision 1.0
+    * by construction — only recall is approximate (a near-dup pair is
+    * missed iff it collides in no table). The dedup-family shape:
+    * pair generation is a keyed join on bucket ids, never O(n²), and
+    * hot buckets (boilerplate-like embedding regions) are capped with
+    * drops surfaced as observed metrics, like the text dedup family.
+    * Pairs feed [[graft.dedup.Clusters.connectedComponents]] the same
+    * way Jaccard/SimHash pairs do.
+    */
+  def lshNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketCap: Int = 2000): DataFrame = {
+    val withNorm = embs.select(col(idCol),
+      asDouble(col(vecCol)).as("v"), norm(asDouble(col(vecCol))).as("nrm"))
+    val sk0 = sketches(embs, idCol, vecCol)
+    val sk = if (bucketCap > 0) {
+      val hot = graft.dedup.Dedup.observeDrops(
+        sk0.groupBy("table_id", "bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") > bucketCap),
+        "lshNearDupPairs", bucketCap)
+      sk0.join(hot.select("table_id", "bucket"), Seq("table_id", "bucket"), "left_anti")
+    } else sk0
+    // rename BY NAME, not positionally: the USING-column anti join
+    // above reorders output to (table_id, bucket, id), so a positional
+    // toDF here would silently label table_ids as document ids
+    val a = sk.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
+    val b = sk.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
+    // distinct BEFORE the dot products: a pair colliding in k tables
+    // must cost one cosine, not k
+    val cand = a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(withNorm.toDF("id_a", "va", "na"), "id_a")
+      .join(withNorm.toDF("id_b", "vb", "nb"), "id_b")
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates = vectors sharing any LSH bucket
     * with the query (union over tables), then exact cosine on the
     * candidate set only. Recall/cost tunes via Tables × BitsPerTable.

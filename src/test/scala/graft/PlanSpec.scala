@@ -77,6 +77,20 @@ class PlanSpec extends SparkSpec {
     assert(!upToSort.contains("Exchange"), upToSort.take(1200))
   }
 
+  test("curation v2 plan: checkpoint-leaf components, semi join, partitioned window") {
+    // the component labels must enter as a constant-size materialized
+    // leaf (per-round lineage cut), never as the iterative join tree;
+    // survivors come via a semi join; packing is ONE window
+    // partitioned by (lang, split) — no global sort, no cartesian
+    val df = SparkEntry.queries("q75_curation_v2")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("windowspecdefinition(lang"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("salted skew join keys the join on (k, __salt), no cartesian") {
     val p = plan("q68_salted_skew_join")
     assert(p.contains("__salt"))

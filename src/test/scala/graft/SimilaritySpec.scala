@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup pairs: precision 1.0 by construction, recall >= 0.8 vs exact") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val found = Similarity.lshNearDupPairs(embs, "vec_id", "embedding", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: every pair with cosine >= threshold (O(n²)
+    // only in the spec — the operator itself never goes quadratic)
+    val withNorm = embs.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val a = withNorm.toDF("id_a", "va")
+    val b = withNorm.toDF("id_b", "vb")
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "ground truth empty — threshold too high for this corpus")
+    assert((found -- exact).isEmpty, s"false positives: ${(found -- exact).take(5)}")
+    val recall = (found & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"near-dup recall $recall < 0.8 (${exact.size} true pairs)")
+    embs.unpersist()
+  }
+
   test("LSH sketches land each vector in exactly Tables buckets") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = embs.count()

@@ -55,6 +55,24 @@ def run_bench(sf_dir):
     return json.loads(line)
 
 
+def load_reference(path):
+    """Per-query times from a reference artifact, whatever its shape:
+    a raw Bench JSON line ({"queries": {...}}), the driver's BENCH_r*
+    wrapper ({"parsed": {...}} or a possibly front-truncated raw line
+    under "tail"), or our own --out file. Falls back to regexing
+    "qNN_name": seconds pairs so even a truncated tail yields partial
+    coverage rather than none."""
+    with open(path) as f:
+        d = json.load(f)
+    if isinstance(d.get("queries"), dict):
+        return d["queries"]
+    if isinstance(d.get("parsed"), dict) and isinstance(d["parsed"].get("queries"), dict):
+        return d["parsed"]["queries"]
+    tail = d.get("tail") or ""
+    return {m.group(1): float(m.group(2)) for m in
+            re.finditer(r'"(q\d+_\w+)"\s*:\s*([0-9.]+)', tail)}
+
+
 def newest_artifact():
     arts = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
@@ -73,8 +91,7 @@ def main():
     ref_path = args.ref or newest_artifact()
     ref = {}
     if ref_path and os.path.exists(ref_path):
-        with open(ref_path) as f:
-            ref = json.load(f).get("queries", {})
+        ref = load_reference(ref_path)
         print(f"reference: {ref_path} ({len(ref)} queries)")
     else:
         print("no reference artifact found — reporting times only")
@@ -84,9 +101,13 @@ def main():
     best = dict(result["queries"])
 
     def over_bar(times):
+        # both relative AND absolute slack: a 0.1s query jittering to
+        # 0.16s is fixed-overhead noise, not a regression worth a
+        # full re-run
         return sorted(
             (q, t, ref[q]) for q, t in times.items()
-            if q in ref and ref[q] > 0.05 and t > REGRESSION_FACTOR * ref[q])
+            if q in ref and ref[q] > 0.05
+            and t > REGRESSION_FACTOR * ref[q] and t - ref[q] > 0.25)
 
     suspicious = over_bar(best)
     runs = 1
