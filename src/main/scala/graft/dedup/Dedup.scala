@@ -304,4 +304,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** One-call corpus dedup: exact-duplicate edges ∪ near-dup pairs →
+    * connected components → keep the min-id representative of every
+    * cluster. Transitive by construction (A~B~C keeps ONE survivor even
+    * though A,C never paired) — the composition q75 runs, exposed as
+    * the library entry point. Returns the surviving rows of `df`, all
+    * columns intact.
+    *
+    * `pairs` defaults to exact n-gram Jaccard; swap in
+    * [[lshCandidates]]/[[simhashPairs]]-derived edges (or
+    * embedding-space pairs from `similarity.Similarity.lshNearDupPairs`)
+    * for other modalities — anything producing (id_a, id_b) columns.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val near = pairs.getOrElse(jaccardPairs(df, idCol, textCol, threshold))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = near.unionByName(Clusters.exactEdges(df, idCol, textCol))
+    val reps = Clusters.connectedComponents(df.select(idCol), idCol, edges, "src", "dst")
+      .filter(col(idCol) === col("cluster_id"))
+      .select(idCol)
+    df.join(reps, Seq(idCol), "left_semi")
+  }
 }

@@ -154,17 +154,12 @@ object Curation {
        |ORDER BY lang, split, doc_id""".stripMargin,
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
-    val clusters = Clusters.connectedComponents(docs.select("doc_id"), "doc_id",
-      edges, "src", "dst")
-    // representative = the doc whose id IS its cluster's min id
-    val reps = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    // exact ∪ near edges → components → min-id representative per
+    // cluster, via the library's one-call entry point
+    val survivors = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
     val ntok = TextAnalysis.tokenCount(col("text"))
     val w = Window.partitionBy("lang", "split").orderBy("doc_id")
-    docs
-      .join(reps, Seq("doc_id"), "left_semi")
+    survivors
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.6)
       .withColumn("split",
         when(substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5", "eval")

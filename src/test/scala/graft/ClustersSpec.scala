@@ -60,6 +60,20 @@ class ClustersSpec extends SparkSpec {
     assert(edges === Set((5L, 2L), (9L, 2L))) // singletons produce no edge
   }
 
+  test("dedupCorpus keeps exactly one survivor per transitive cluster, columns intact") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val mid = base.replace("today", "tonight")
+    val far = mid.replace("quick", "sluggish")
+    val docs = Seq((0L, base, "en"), (1L, base, "en"), (2L, mid, "en"),
+      (3L, far, "en"), (4L, "completely different words describing nothing in common at all", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+    // cluster {0,1,2,3} → survivor 0; singleton {4} survives; lang rides along
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 4L))
+    Dedup.clearCaches(spark)
+  }
+
   test("exact copies and transitive near-dups land in one cluster") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val mid = base.replace("today", "tonight")         // near-dup of base
