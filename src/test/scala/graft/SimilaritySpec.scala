@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkSpec {
     embs.unpersist()
   }
 
+  test("embedding near-dup composes after exact vector dedup: k copies add zero pairs") {
+    // 8 exact copies of every vector (key-offset ids) — the k² fan-out
+    // trap. Pre-dedup collapses copies to their min-id representative
+    // (= the base ids here), so the pair set must be EXACTLY the base
+    // corpus's. Without the composition an 8x corpus measured 200 s
+    // where the deduped path takes 5.
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50).cache()
+    val dup = (0 until 8).map(i =>
+      base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionByName _)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.lshNearDupPairs(df, "vec_id", "embedding", threshold = 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(dup) === pairSet(base))
+    base.unpersist()
+  }
+
   test("LSH sketches land each vector in exactly Tables buckets") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = embs.count()
