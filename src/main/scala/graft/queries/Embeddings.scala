@@ -8,7 +8,7 @@ import graft.similarity.Similarity
 object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
-    embeddingNearDup)
+    embeddingNearDup, annLshProbe)
 
   /** Per-(session, corpus) index location: keyed by applicationId (two
     * concurrent JVMs on the same data never race Overwrite-vs-read on
@@ -105,5 +105,23 @@ object Embeddings {
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 4, excludeId = Some(1L))
+  }
+
+  // --- q80: LSH probe-only serving path (rows-only) ------------------------
+  // The q70 pattern for the LSH family: sketches persisted partitioned
+  // by (table_id, bucket); a probe computes the query's bucket
+  // coordinates driver-side from the seeded planes (no Spark job) and
+  // scans only those dirs. Candidate set — and therefore recall — is
+  // identical to q47's in-memory path; pinned in SimilaritySpec.
+  def annLshProbe: Q = Q.rowsOnly("q80_ann_lsh_probe") { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val idx = ivfPath(s, dir) + "_lsh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idx + "/sketches")))
+      Similarity.writeLshIndex(embs, "vec_id", "embedding", idx)
+    val qv = embs.filter(col("vec_id") === 1L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    Similarity.annTopKIndexed(s, idx, "vec_id", "embedding", qv, 10, excludeId = Some(1L))
   }
 }

@@ -189,6 +189,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** The query vector's (table_id, bucket) coordinates, computed in
+    * plain Scala from the seeded hyperplanes — no Spark job, so a
+    * serving path can prune partitions before any scan starts.
+    */
+  def queryBuckets(qv: Array[Double]): Seq[(Int, Int)] =
+    (0 until Tables).map { t =>
+      val bucket = (0 until BitsPerTable).map { j =>
+        val p = planes(t * BitsPerTable + j)
+        var d = 0.0
+        var i = 0
+        while (i < math.min(p.length, qv.length)) { d += p(i) * qv(i); i += 1 }
+        if (d > 0) 1 << j else 0
+      }.sum
+      (t, bucket)
+    }
+
+  /** Persist the LSH layout: sketches land partitioned by
+    * (table_id, bucket) next to the vectors, so serving a query is
+    * partition pruning — read the Tables dirs the query hashes to,
+    * never the full sketch table. Build once, probe many (the IVF
+    * [[writeIvfIndex]] pattern for the LSH family).
+    */
+  def writeLshIndex(embs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    sketches(embs, idCol, vecCol).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("table_id", "bucket").parquet(path + "/sketches")
+    embs.select(col(idCol), col(vecCol)).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/vectors")
+  }
+
+  /** Top-k against a persisted LSH index for an external query vector:
+    * candidates = ids in the query's Tables bucket dirs (pruned scan),
+    * then exact cosine on candidates only. Same candidate set as
+    * [[annTopK]] on the same corpus, so recall is identical — only the
+    * scan is serving-shaped.
+    */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, qv: Array[Double], k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val probe = queryBuckets(qv)
+      .map { case (t, b) => col("table_id") === t && col("bucket") === b }
+      .reduce(_ || _)
+    val cand = spark.read.parquet(path + "/sketches")
+      .filter(probe) // → PartitionFilters: ≤ Tables dirs scanned
+      .select(idCol).distinct()
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val qvLit = array(qv.map(lit): _*)
+    val base = spark.read.parquet(path + "/vectors").join(cand, idCol)
+    excludeId.fold(base)(q => base.filter(col(idCol) =!= q))
+      .select(col(idCol),
+        round(dot(asDouble(col(vecCol)), qvLit) / (norm(asDouble(col(vecCol))) * qn), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-space near-duplicate pairs: candidates share an LSH
     * (table, bucket); the exact cosine filter then makes precision 1.0
     * by construction — only recall is approximate (a near-dup pair is

@@ -93,6 +93,37 @@ class SimilaritySpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("persisted LSH probe prunes to the query's bucket dirs and matches the in-memory path") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    Similarity.writeLshIndex(embs, "vec_id", "embedding", idx)
+    val qv = embs.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val probe = Similarity.annTopKIndexed(spark, idx, "vec_id", "embedding", qv, 10,
+      excludeId = Some(0L))
+    // same candidate set → byte-identical top-k vs the in-memory path
+    val mem = Similarity.annTopK(embs, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === mem)
+    // the sketch scan reads at most Tables partition dirs, not all 16·Tables
+    // AQE hides finished stages (e.g. the broadcast candidate side)
+    // behind QueryStageExec leaves — descend through them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(probe.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("sketches")))
+    assert(scan.isDefined, "no sketch scan found in the probe plan")
+    val scanned = scan.get.selectedPartitions.partitionCount
+    assert(scanned <= Similarity.Tables, s"scanned $scanned partitions")
+  }
+
   test("LSH sketches land each vector in exactly Tables buckets") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = embs.count()
