@@ -13,7 +13,8 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
-  val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2)
+  val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
+    balancedMixture)
 
   // --- q71: connected-components duplicate clusters ------------------------
   // Pairs say who matches whom; the component says which docs are ONE
@@ -170,6 +171,39 @@ object Curation {
   }
 
   private def stop = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  // --- q83: deterministic domain-balanced downsampling ---------------------
+  // Mixture control: downsample every language stream to the smallest
+  // language's size, so the training mixture is uniform across
+  // domains. Selection is rank-by-md5 within each language — a pure
+  // function of the corpus (stable across engines, retries, and
+  // partitionings, like q72), not an RNG draw. The per-lang window
+  // ranks a bounded partition; the min count is a broadcast scalar
+  // join, so nothing global ever sorts.
+  def balancedMixture: Q = Q(
+    "q83_balanced_mixture",
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |target AS (SELECT min(n) AS m FROM counts),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang FROM ranked, target
+      |WHERE rk <= m
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val target = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("m"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+      .crossJoin(broadcast(target))
+      .filter(col("rk") <= col("m"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
 
   // --- q74: PII redaction ---------------------------------------------------
   // Scrub emails and phone-shaped digit runs before training. The query

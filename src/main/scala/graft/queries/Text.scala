@@ -13,7 +13,7 @@ object Text {
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
-    corpusCuration, streamingDedup, bpeishTokens)
+    corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -274,6 +274,70 @@ object Text {
         TextAnalysis.tokenCount(col("text")).as("n_ws"),
         bpe.as("n_bpeish"),
         round(bpe.cast("double") / TextAnalysis.tokenCount(col("text")), 4).as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
+  // --- q81: eval-set decontamination --------------------------------------
+  // The standard train/test hygiene op: a training doc sharing any
+  // n-gram shingle with the held-out eval set (the q72 deterministic
+  // sample) is contaminated and must be flagged before training.
+  // Shape at scale: the eval shingle set is sample-sized → broadcast;
+  // the train side joins on the shingle key and aggregates per doc —
+  // the corpus never shuffles on anything except the small join key.
+  def decontaminate: Q = Q(
+    "q81_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |eval AS (SELECT doc_id FROM documents
+      |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5'),
+      |esh AS (SELECT DISTINCT shingle FROM sh JOIN eval USING (doc_id))
+      |SELECT s.doc_id, count(*) AS n_overlap
+      |FROM sh s JOIN esh USING (shingle)
+      |WHERE s.doc_id NOT IN (SELECT doc_id FROM eval)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val evalIds = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5")
+      .select("doc_id")
+    val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select("shingle").distinct()
+    sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  // --- q82: intra-document repetition ratio --------------------------------
+  // The Gopher-style repetition quality rule: fraction of a document's
+  // 3-gram occurrences that are repeats (1 − distinct/total). Heavily
+  // templated or looping text scores high and gets filtered before
+  // training. Pure per-row expression — no explode, no shuffle except
+  // the output sort.
+  def repetition: Q = Q(
+    "q82_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, len(t) - 2 AS total,
+      |  len(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS dist
+      |  FROM toks WHERE len(t) >= 3)
+      |SELECT doc_id,
+      |  round(1.0 - CAST(dist AS DOUBLE) / total, 4) AS rep_ratio
+      |FROM sh
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val raw = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(raw)).cast("double") / size(raw), 4).as("rep_ratio"))
       .orderBy("doc_id")
   }
 
