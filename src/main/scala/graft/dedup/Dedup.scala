@@ -305,6 +305,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact dedup: of the incoming batch, keep one min-id
+    * representative per text that does NOT already exist in the
+    * corpus — the every-crawl-cycle op of a growing training corpus.
+    * Both sides join on the fixed-width (xxhash64, length) key, so the
+    * existing corpus ships 12-byte keys, never document bodies, and
+    * the incoming batch dedups within itself in the same pass. At
+    * warehouse scale the existing-key table is a materialized
+    * by-product of the last cycle, not a rescan.
+    */
+  def incrementalNew(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val key = Seq(xxhash64(col(textCol)).as("__th"), length(col(textCol)).as("__tl"))
+    val existingKeys = existing.select(key: _*).distinct()
+    incoming
+      .select(col(idCol), col(textCol), key(0), key(1))
+      .join(existingKeys, Seq("__th", "__tl"), "left_anti")
+      .groupBy(col("__th"), col("__tl"))
+      .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
+      .select(col(idCol), col(textCol))
+  }
+
   /** One-call corpus dedup: exact-duplicate edges ∪ near-dup pairs →
     * connected components → keep the min-id representative of every
     * cluster. Transitive by construction (A~B~C keeps ONE survivor even

@@ -13,7 +13,8 @@ object Text {
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
-    corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition)
+    corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
+    incrementalDedup)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -247,6 +248,29 @@ object Text {
       .orderBy("keep_doc_id").localCheckpoint(true)
     s.catalog.dropTempView(sink)
     out
+  }
+
+  // --- q84: incremental dedup against an existing corpus -------------------
+  // The every-crawl-cycle shape: split the table at doc_id 250 into
+  // "existing corpus" and "incoming batch"; of the incoming docs, keep
+  // one min-id representative per text not already present. Both sides
+  // meet on fixed-width (hash, length) keys — the existing corpus
+  // never ships document bodies.
+  def incrementalDedup: Q = Q(
+    "q84_incremental_dedup",
+    """WITH existing AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+      |inc AS (SELECT min(doc_id) AS doc_id, text FROM documents
+      |        WHERE doc_id >= 250 GROUP BY text)
+      |SELECT doc_id, text FROM inc
+      |WHERE text NOT IN (SELECT text FROM existing)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNew(
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250),
+      "doc_id", "text")
+      .orderBy("doc_id")
   }
 
   // --- q79: BPE-ish token estimation --------------------------------------

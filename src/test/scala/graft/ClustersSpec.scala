@@ -60,6 +60,16 @@ class ClustersSpec extends SparkSpec {
     assert(edges === Set((5L, 2L), (9L, 2L))) // singletons produce no edge
   }
 
+  test("incrementalNew drops known texts and dedups within the batch") {
+    val existing = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "aaa"), (11L, "ccc"), (12L, "ccc"), (13L, "ddd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(existing, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "aaa" already exists → dropped; "ccc" twice in-batch → min id 11
+    assert(out === Map(11L -> "ccc", 13L -> "ddd"))
+  }
+
   test("dedupCorpus keeps exactly one survivor per transitive cluster, columns intact") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val mid = base.replace("today", "tonight")
