@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(!upToSort.contains("Exchange"), upToSort.take(1200))
   }
 
+  test("balanced mixture windows are partitioned by lang, target is broadcast") {
+    // q83's rank runs inside per-lang partitions (never a global sort)
+    // and the min-count scalar joins as a broadcast, not a shuffle
+    val p = plan("q83_balanced_mixture")
+    assert(p.contains("windowspecdefinition(lang"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("curation v2 plan: checkpoint-leaf components, semi join, partitioned window") {
     // the component labels must enter as a constant-size materialized
     // leaf (per-round lineage cut), never as the iterative join tree;

@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup accumulates state correctly across micro-batches") {
+    // the q77 shape fed batch-by-batch: min-id and copy counts must
+    // reflect ALL batches, including a later batch bringing a smaller
+    // id for an already-seen text (state update, not just insert)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = MemoryStream[(Long, String)]
+    val stream = src.toDF().toDF("doc_id", "text")
+      .groupBy(xxhash64(col("text")).as("__th"), length(col("text")).as("__tl"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
+    val q = stream.writeStream.format("memory").queryName("dedup_state")
+      .outputMode("complete").start()
+    try {
+      src.addData((10L, "aaa"), (11L, "bbb"))
+      q.processAllAvailable()
+      src.addData((5L, "aaa"), (12L, "ccc"), (13L, "aaa"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_state")
+        .select("keep_doc_id", "copies")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // "aaa": ids 10,5,13 across batches → min 5, copies 3
+      assert(rows === Map(5L -> 3L, 11L -> 1L, 12L -> 1L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap exceeds the threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
