@@ -40,9 +40,30 @@ object Clusters {
     * at any diameter. The convergence count rides the checkpoint's own
     * materialization job as an observed metric — one job per round,
     * not a materialize + a recount.
+    *
+    * Fault tolerance: `localCheckpoint` stores each round's blocks on
+    * executors with NO lineage fallback — losing any executor's blocks
+    * mid-loop (decommission, OOM kill, dynamic deallocation) fails the
+    * job permanently. Fine on a stable cluster or under
+    * `spark.storage.decommission.enabled` block migration; for long
+    * warehouse runs with routine executor churn, pass `checkpointDir`
+    * (a durable FS path) to switch every round to a RELIABLE
+    * checkpoint: blocks live in the shared filesystem and survive any
+    * executor's death, at the cost of one extra lineage pass per round
+    * (RDD reliable checkpoint recomputes once to write files) plus FS
+    * I/O. Checkpoint files are cleaned by Spark's ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+    * otherwise they remain under `checkpointDir` for manual cleanup.
     */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+      srcCol: String, dstCol: String, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // one round's lineage cut: constant-size LogicalRDD leaf either way
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // symmetric edge list; self-loops add nothing to propagation. One
     // explode pass, NOT a union of the plan with its own reverse — the
     // union form materializes the (possibly expensive) edge-producing
@@ -55,8 +76,7 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // `labels` is always checkpoint-backed: a projection over a
     // LogicalRDD leaf, never the previous round's join tree
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(eager = true)
+    var labels = cut(vertices.select(col(idCol).as("id"), col(idCol).as("label")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -82,12 +102,11 @@ object Clusters {
       // summary) breaks afterwards. Our ML pipeline serves with
       // summary-free copies for exactly this reason (MlPipeline).
       val obs = Observation(s"graft_cc_changed_$it")
-      val round = stepped.join(jump, Seq("label"), "left_outer")
+      val round = cut(stepped.join(jump, Seq("label"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("jumped"), col("label"))).as("label"),
           col("prev"))
-        .observe(obs, count(when(col("label") =!= col("prev"), lit(1))).as("changed"))
-        .localCheckpoint(eager = true)
+        .observe(obs, count(when(col("label") =!= col("prev"), lit(1))).as("changed")))
       // the checkpoint action already ran the plan; `get` just waits
       // for its listener to deliver the accumulated metric
       val changed = obs.get("changed").asInstanceOf[Long]

@@ -71,7 +71,12 @@ object Dedup {
       count(lit(1)).as("n_hot"))
   }
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  /** MEMORY_AND_DISK persist registered for [[clearCaches]] release —
+    * the repo-wide convention for multi-consumer intermediates
+    * (graft-visible so the similarity/query layers share the same
+    * lifecycle instead of leaking untracked persists).
+    */
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tracked.add(p)
     p
@@ -90,7 +95,7 @@ object Dedup {
     * cannot recompute, so release only happens via the explicit
     * between-corpora clearCaches call, never mid-query.
     */
-  private[dedup] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
+  private[graft] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
 
   /** Release cached dedup intermediates — only the handles this object
     * persisted, leaving unrelated session cache entries alone.

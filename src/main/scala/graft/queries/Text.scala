@@ -228,6 +228,14 @@ object Text {
   // one (hash, len) → (min_id, count) row per distinct text — the
   // fixed-width key keeps streaming state small, exactly like the
   // batch representative path.
+  //
+  // The complete-mode MEMORY sink is the ORACLE-HARNESS shape only:
+  // it accumulates the whole dedup state driver-side, which a real
+  // ingest path must never do — production would run update mode into
+  // a durable keyed sink (the bucket-scoped ingestMerge in
+  // EventStreams is that path). The checkpointed result is registered
+  // with Dedup.trackRdd so clearCaches releases its blocks between
+  // corpora instead of pinning them until GC.
   def streamingDedup: Q = Q(
     "q77_streaming_dedup",
     """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
@@ -246,6 +254,10 @@ object Text {
     try q.processAllAvailable() finally q.stop()
     val out = s.table(sink).select("keep_doc_id", "copies")
       .orderBy("keep_doc_id").localCheckpoint(true)
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Dedup.trackRdd(lr.rdd)
+      case _ => ()
+    }
     s.catalog.dropTempView(sink)
     out
   }

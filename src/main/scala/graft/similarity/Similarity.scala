@@ -272,9 +272,14 @@ object Similarity {
       threshold: Double, bucketCap: Int = 2000, preDedup: Boolean = true): DataFrame = {
     // near-dup composes AFTER exact dedup, like the whole dedup family
     val embs = if (preDedup) exactVectorRepresentatives(embs0, idCol, vecCol) else embs0
-    val withNorm = embs.select(col(idCol),
-      asDouble(col(vecCol)).as("v"), norm(asDouble(col(vecCol))).as("nrm"))
-    val sk0 = sketches(embs, idCol, vecCol)
+    // both intermediates have two consumers (withNorm: the id_a and
+    // id_b probe joins; sk0: the hot-bucket aggregate and the
+    // left-anti side), so persist them like the sibling pair
+    // generators — otherwise the 16-table sketch explode and the
+    // exact-representative groupBy recompute per consumer
+    val withNorm = graft.dedup.Dedup.persistTracked(embs.select(col(idCol),
+      asDouble(col(vecCol)).as("v"), norm(asDouble(col(vecCol))).as("nrm")))
+    val sk0 = graft.dedup.Dedup.persistTracked(sketches(embs, idCol, vecCol))
     val sk = if (bucketCap > 0) {
       val hot = graft.dedup.Dedup.observeDrops(
         sk0.groupBy("table_id", "bucket").agg(count(lit(1)).as("n"))

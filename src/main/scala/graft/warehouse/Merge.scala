@@ -133,19 +133,33 @@ object Merge {
     else if (recorded.isEmpty) {
       // pre-sidecar bucketed table: the dir layout is the only truth
       // about its N, and the caller's word is about to become the
-      // recorded one. A caller N smaller than the layout's max bucket
-      // is provably wrong (hash mod N can't have produced it) — and
-      // recording it would lock in exactly the silent duplicate-key
-      // corruption the sidecar exists to prevent. Re-bucket with the
-      // caller's N instead of trusting it. (max < n stays accepted:
-      // indistinguishable from sparsely-populated buckets.)
+      // recorded one. Two ways the claim can be a lie: (a) N smaller
+      // than the layout's max bucket — provably wrong from dir names
+      // alone (hash mod N can't have produced it); (b) N LARGER than
+      // the table's true N (say 8 claimed on a true-4 table) — every
+      // dir name is < 8, so only the data can expose it: recompute
+      // hash(keys) mod N on a bounded sample and compare with the dir
+      // each row actually lives in (≈half the rows mismatch when the
+      // claim is wrong, so a few thousand rows make a false accept
+      // vanishingly unlikely; a truthful claim mismatches zero rows).
+      // Recording a lie would lock in exactly the silent duplicate-key
+      // corruption the sidecar exists to prevent — re-bucket with the
+      // caller's N instead of trusting it.
       val maxBucket = fs.listStatus(new Path(tablePath))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
         .flatMap(st => st.getPath.getName.stripPrefix(BucketCol + "=").toIntOption)
         .foldLeft(-1)(math.max)
-      if (maxBucket >= n) {
+      lazy val sampleMismatch = {
+        val dirBucket = "__bucket_dir"
+        val sample = spark.read.parquet(tablePath)
+          .select((keys.map(col) :+ col(BucketCol).as(dirBucket)): _*)
+          .limit(4096)
+        !withBucket(sample, keys, n).filter(col(BucketCol) =!= col(dirBucket)).isEmpty
+      }
+      if (maxBucket >= n || sampleMismatch) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"upsertBucketed($tablePath): layout has __bucket=$maxBucket ≥ caller nBuckets=$n — re-bucketing with N=$n")
+          s"upsertBucketed($tablePath): layout contradicts caller nBuckets=$n " +
+            s"(maxBucket=$maxBucket, sampled hash(keys) mod $n ≠ dir) — re-bucketing with N=$n")
         rewriteTable(spark, withBucket(spark.read.parquet(tablePath).drop(BucketCol), keys, n),
           tablePath, Seq(BucketCol))
       }

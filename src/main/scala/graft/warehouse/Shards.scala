@@ -16,10 +16,14 @@ object Shards {
     * `layoutKeys` (the q73 shape generalized): shard = floor(running
     * token offset / budget), window partitioned by the layout keys so
     * state is bounded per partition and no global sort exists.
+    * `orderCol` is the running-offset order (a unique id column —
+    * shard assignment is only deterministic if the ordering is total
+    * within each layout-key combination).
     */
   def assign(docs: DataFrame, tokenCol: org.apache.spark.sql.Column,
-      layoutKeys: Seq[String], budget: Long): DataFrame = {
-    val w = Window.partitionBy(layoutKeys.map(col): _*).orderBy("doc_id")
+      layoutKeys: Seq[String], budget: Long,
+      orderCol: org.apache.spark.sql.Column = col("doc_id")): DataFrame = {
+    val w = Window.partitionBy(layoutKeys.map(col): _*).orderBy(orderCol)
     docs.withColumn("shard",
       floor((sum(tokenCol).over(w) - tokenCol) / budget.toDouble).cast("long"))
   }
@@ -30,8 +34,9 @@ object Shards {
     * layout key combination (small: one row per (keys, shard) group).
     */
   def packAndWrite(docs: DataFrame, tokenCol: org.apache.spark.sql.Column,
-      layoutKeys: Seq[String], budget: Long, outDir: String): DataFrame = {
-    val assigned = assign(docs, tokenCol, layoutKeys, budget)
+      layoutKeys: Seq[String], budget: Long, outDir: String,
+      orderCol: org.apache.spark.sql.Column = col("doc_id")): DataFrame = {
+    val assigned = assign(docs, tokenCol, layoutKeys, budget, orderCol)
     assigned.write.mode(SaveMode.Overwrite)
       .partitionBy(layoutKeys :+ "shard": _*).parquet(outDir)
     assigned.groupBy(layoutKeys.map(col): _*)

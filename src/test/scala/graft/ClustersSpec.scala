@@ -45,6 +45,25 @@ class ClustersSpec extends SparkSpec {
     Dedup.clearCaches(spark)
   }
 
+  test("reliable-checkpoint opt-in yields the same labels as local checkpoints") {
+    // warehouse runs with executor churn pass checkpointDir so a lost
+    // executor can't strand a mid-loop round; results must be
+    // identical to the local (fast-path) variant, and the checkpoint
+    // dir must actually have been used
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val labels = Clusters.connectedComponents(
+      (0L until 50L).toDF("id"), "id",
+      (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst"), "src", "dst",
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L))
+    assert(labels.size === 50)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint wrote nothing under checkpointDir")
+    Dedup.clearCaches(spark)
+  }
+
   test("components: edge direction and self-loops are irrelevant") {
     val a = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (2L, 3L)))
     val b = cc(Seq(1L, 2L, 3L), Seq((1L, 3L), (3L, 2L), (2L, 2L)))

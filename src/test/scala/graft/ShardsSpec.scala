@@ -21,6 +21,20 @@ class ShardsSpec extends SparkSpec {
     assert(out(5L) === 0L && out(6L) === 1L)
   }
 
+  test("assign works on a corpus whose id column is not doc_id") {
+    val generic = corpus.withColumnRenamed("doc_id", "uid")
+    val out = Shards.assign(generic, col("n_tok"), Seq("lang"), budget = 100L,
+      orderCol = col("uid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L && out(3L) === 1L && out(6L) === 1L)
+    // and a DIFFERENT ordering genuinely reorders the packing
+    val rev = Shards.assign(generic, col("n_tok"), Seq("lang"), budget = 100L,
+      orderCol = col("uid").desc)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // en stream desc: 90, 100, 60, 60 → offsets 0, 90, 190, 250 → shards 0, 0, 1, 2
+    assert(rev(4L) === 0L && rev(3L) === 0L && rev(2L) === 1L && rev(1L) === 2L)
+  }
+
   test("packing invariant: every shard holds < budget + its last doc") {
     val assigned = Shards.assign(corpus, col("n_tok"), Seq("lang"), budget = 100L)
     val perShard = assigned.groupBy("lang", "shard")

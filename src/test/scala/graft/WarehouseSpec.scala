@@ -53,6 +53,34 @@ class WarehouseSpec extends SparkSpec {
     assert(out.groupBy("id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("upsertBucketed detects an over-claimed N on a pre-sidecar table from data") {
+    // table built with N=4, sidecar removed, then a caller claims N=8:
+    // every dir name is < 8 so the layout alone can't refute the claim
+    // — but hash(id) mod 8 disagrees with the dir for ~half the rows.
+    // Recording 8 would route updated keys to different dirs than
+    // their existing copies (silent duplicate keys); the merge must
+    // detect the lie from sampled data and re-bucket with N=8.
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val base = spark.range(64).select(col("id"), (col("id") * 2).as("v"))
+    Merge.upsertBucketed(spark, dir, base, Seq("id"), nBuckets = 4)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_nbuckets"), false)
+    val incoming = Seq((0L, -1L), (100L, 200L)).toDF("id", "v")
+    Merge.upsertBucketed(spark, dir, incoming, Seq("id"), nBuckets = 8)
+    assert(Merge.readBucketsMeta(fs, dir) === Some(8))
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 65)
+    assert(out.filter(col("id") === 0L).count() === 1) // no duplicate key 0
+    assert(out.filter(col("id") === 0L).select("v").head.getLong(0) === -1L)
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    // and the re-bucketed layout is the claimed one: recomputing
+    // hash mod 8 over ALL rows matches every row's dir
+    val relabeled = Merge.withBucket(
+      out.withColumnRenamed("__bucket", "__dir"), Seq("id"), 8)
+    assert(relabeled.filter(col("__bucket") =!= col("__dir")).count() === 0)
+  }
+
   test("addSurrogate assigns contiguous keys in sort order, with offset") {
     val df = Seq("delta", "alpha", "charlie", "bravo").toDF("name")
     val keyed = Keys.addSurrogate(df, "k", Seq(col("name")), start = 100L)
