@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-shaping operators a training-data pipeline runs between
+  * dedup and shard writing: chunking long documents into overlapping
+  * token windows, corpus-frequency boilerplate detection, n-gram
+  * vocabulary building, and template (shared-prefix) auditing. All
+  * pure relational plans: per-row array expressions feed keyed
+  * aggregations — no UDF, no driver-side iteration, nothing that
+  * wouldn't scale to a 1000-executor cluster.
+  */
+object Corpus {
+
+  val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups)
+
+  /** Whitespace token array — the corpus's tokenization unit (matches
+    * DuckDB `string_split(text, ' ')` exactly, including empty-string
+    * artifacts, so oracle hashes agree byte for byte).
+    */
+  private def toks: Column = split(col("text"), " ")
+
+  /** All word n-grams of `w` as strings: positions 1..n-(width-1),
+    * each joined with single spaces. Empty when the doc is shorter
+    * than `width` (explicit guard: Spark `sequence(1, 0)` counts DOWN,
+    * unlike DuckDB's empty `generate_series(1, 0)`).
+    */
+  private def ngrams(w: Column, width: Int): Column =
+    when(size(w) >= width,
+      transform(sequence(lit(1), size(w) - (width - 1)),
+        i => array_join(slice(w, i, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  // --- q85: overlapping token-window chunking ------------------------------
+  // Long documents become training samples as fixed token windows with
+  // overlap (window 32, stride 24 → 8-token overlap carries context
+  // across boundaries). chunk_id i covers tokens [i·24, i·24+32);
+  // chunk count = ceil((n-32)/24)+1, minimum one chunk per doc. Pure
+  // per-row explode — no shuffle before the output sort, the same
+  // embarrassingly-parallel shape as q72 sampling: at 100 TB this is
+  // a map-only pass.
+  def chunkOverlap: Q = Q(
+    "q85_chunk_overlap",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, w,
+      |        unnest(generate_series(0, CASE WHEN len(w) <= 32 THEN 0
+      |          ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) END)) AS chunk_id
+      |      FROM t)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+      |  CAST(least(32, len(w) - chunk_id*24) AS BIGINT) AS n_chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        when(col("n") <= 32, lit(0L))
+          .otherwise(ceil((col("n") - 32).cast("double") / 24.0).cast("long")))))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("w"), (col("chunk_id") * 24 + 1).cast("int"), lit(32)), " ")
+          .as("chunk_text"),
+        least(lit(32L), col("n") - col("chunk_id") * 24).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // --- q86: corpus-frequency boilerplate detection -------------------------
+  // A trigram appearing in ≥5 distinct documents is boilerplate
+  // (header/footer/template debris — the CCNet/RefinedWeb shape, with
+  // word n-grams standing in for lines since this corpus has none).
+  // Per-doc output: total grams and how many are boilerplate — the
+  // signal a quality gate thresholds on. Two keyed aggregations and
+  // one keyed join; gram join keys are 8-byte xxhash64 like the whole
+  // dedup family (document frequency per HASHED gram — a collision at
+  // warehouse scale shifts one count by one, which is noise for a
+  // boilerplate threshold; the ORACLE joins on gram text and agreeing
+  // with it at sf0.01 demonstrates collision-free equivalence).
+  def boilerplateNgrams: Q = Q(
+    "q86_boilerplate_ngrams",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t),
+      |gg AS (SELECT doc_id, array_to_string(w[i : i+2], ' ') AS g FROM g),
+      |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM gg GROUP BY g),
+      |b AS (SELECT g FROM df WHERE df >= 5),
+      |pd AS (SELECT gg.doc_id, count(*) AS n_grams,
+      |         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |       FROM gg LEFT JOIN b ON gg.g = b.g GROUP BY gg.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"), explode(ngrams(toks, 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val boiler = grams.groupBy("gh").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 5).select(col("gh"), lit(1).as("is_b"))
+    val perDoc = grams.join(boiler, Seq("gh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("is_b")).as("n_boiler"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .orderBy("doc_id")
+  }
+
+  // --- q89: n-gram vocabulary (top-k by corpus frequency) ------------------
+  // Vocabulary induction / merge-candidate mining: the 50 most frequent
+  // bigrams with counts. GroupBy gets a map-side partial aggregate
+  // (distinct grams ≪ gram occurrences), and the top-k is
+  // TakeOrderedAndProject — per-partition heaps, never a global sort
+  // of the vocabulary.
+  def ngramVocab: Q = Q(
+    "q89_ngram_vocab",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+      |gg AS (SELECT array_to_string(w[i : i+1], ' ') AS gram FROM g)
+      |SELECT gram, count(*) AS cnt FROM gg
+      |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(ngrams(toks, 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(50)
+  }
+
+  // --- q90: template (shared-prefix) audit ---------------------------------
+  // Docs sharing their first 8 tokens are template instances (boiler
+  // openings, mirrored articles) that exact dedup misses — survey them
+  // with group size, source spread, and the min-id representative a
+  // prefix-level dedup would keep. One aggregation on the prefix; the
+  // 8-token prefix is a bounded-width key, so this scales like exact
+  // dedup (and would use a hash key at warehouse scale, as q86 does).
+  def prefixGroups: Q = Q(
+    "q90_prefix_groups",
+    """WITH t AS (SELECT doc_id, source,
+      |        array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+      |      FROM documents)
+      |SELECT prefix, count(*) AS n_docs,
+      |  count(DISTINCT source) AS n_sources, min(doc_id) AS keep_doc_id
+      |FROM t GROUP BY prefix HAVING count(*) > 1
+      |ORDER BY prefix""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        array_join(slice(toks, 1, 8), " ").as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix")
+  }
+}

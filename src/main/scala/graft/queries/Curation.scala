@@ -14,7 +14,7 @@ import graft.text.TextAnalysis
 object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
-    balancedMixture)
+    balancedMixture, temperatureMixture)
 
   // --- q71: connected-components duplicate clusters ------------------------
   // Pairs say who matches whom; the component says which docs are ONE
@@ -201,6 +201,48 @@ object Curation {
     docs.select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
       .crossJoin(broadcast(target))
       .filter(col("rk") <= col("m"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  // --- q87: temperature-weighted source mixture ----------------------------
+  // Between "keep everything" and q83's hard equalization sits
+  // temperature sampling: language l is kept with probability
+  // p_l = (min_count / count_l)^(1-α), α = 0.5 — the square-root
+  // flattening used for multilingual pretraining mixes. The keep
+  // decision must be a pure function of the key (CLAUDE.md rule 6), so
+  // the uniform draw is the doc's md5 prefix compared against the
+  // language's probability rendered as a 6-hex-digit threshold
+  // ('%06x' of floor(p·16^6) — 6-char-vs-6-char compare is numeric
+  // order; p = 1 renders as 'g', lexicographically above every hex
+  // digit, i.e. keep-all). Plan shape: tiny per-lang rate table
+  // broadcast against a map-only filter — at 100 TB, one pass, no
+  // shuffle before the output sort.
+  def temperatureMixture: Q = Q(
+    "q87_temperature_mixture",
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |target AS (SELECT min(n) AS mn FROM counts),
+      |rates AS (
+      |  SELECT lang, pow(CAST(mn AS DOUBLE) / n, 0.5) AS p FROM counts, target),
+      |thr AS (
+      |  SELECT lang, CASE WHEN p >= 1.0 THEN 'g'
+      |    ELSE printf('%06x', CAST(floor(p * 16777216) AS BIGINT)) END AS t
+      |  FROM rates)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < thr.t
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val target = counts.agg(min(col("n")).as("mn"))
+    val thr = counts.crossJoin(broadcast(target))
+      .withColumn("p", pow(col("mn").cast("double") / col("n"), 0.5))
+      .select(col("lang"),
+        when(col("p") >= 1.0, lit("g"))
+          .otherwise(format_string("%06x", floor(col("p") * 16777216).cast("long")))
+          .as("t"))
+    docs.join(broadcast(thr), "lang")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 6) < col("t"))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }

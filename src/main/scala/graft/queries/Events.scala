@@ -10,7 +10,8 @@ import graft.{Q, Tables}
   */
 object Events {
 
-  val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly)
+  val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
+    streamingSessionize)
 
   // --- tumbling-window aggregation (batch form of a streaming window) -----
   def hourlyWindows: Q = Q(
@@ -97,6 +98,71 @@ object Events {
     // detach the result from the memory sink (checkpoint cuts lineage)
     // so the temp view can be dropped instead of leaking per invocation
     val out = s.table(sink).orderBy("hour", "event_type").localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  // --- q88: sessionization as a Structured Stream --------------------------
+  // The q49 gap-sessionize executed with Spark's NATIVE streaming
+  // session windows: `session_window(ts, gap)` merges events whose
+  // gaps stay under 30 minutes into one growing window with keyed
+  // state — the mechanism a live clickstream pipeline would run, here
+  // required to hash-match q49's batch oracle exactly (the q62/q77
+  // pattern: streaming and batch are one API with one answer).
+  // min/max(ts) aggs ride the session merge, so session bounds are
+  // event extremes, not the gap-padded window end. The per-user
+  // session NUMBERING (q49's running counter) is ordinal over the
+  // drained result — a window over the bounded sink table, outside
+  // the stream. Complete-mode memory sink is the oracle-harness shape
+  // only (q77 note applies): production runs append mode after
+  // watermark expiry into a durable sink.
+  def streamingSessionize: Q = Q(
+    "q88_streaming_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM e)
+      |SELECT user_id, session_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) AS session_end_us,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin,
+  ) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // schema probe only
+    val stream = graft.Tables.normalizeEventsTs(
+      s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+    val sink = s"graft_stream_sess_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val wNum = Window.partitionBy("user_id").orderBy("session_start_us")
+    val out = s.table(sink)
+      .select(col("user_id"),
+        row_number().over(wNum).cast("long").as("session_id"),
+        col("session_start_us"), col("session_end_us"), col("n_events"))
+      .orderBy("user_id", "session_id")
+      .localCheckpoint(true)
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => graft.dedup.Dedup.trackRdd(lr.rdd)
+      case _ => ()
+    }
     s.catalog.dropTempView(sink)
     out
   }

@@ -100,6 +100,44 @@ class PlanSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("chunking is a pure per-row explode — no shuffle below the presentation sort") {
+    // q85 at 100 TB is a map-only pass: scan → project → generate.
+    // Everything below the Generate must be shuffle-free (the final
+    // ORDER BY's range exchange sits above it and is presentation only)
+    val p = plan("q85_chunk_overlap")
+    assert(p.contains("Generate explode"), p.take(1200))
+    val belowGenerate = p.split("\n").dropWhile(l => !l.contains("Generate")).mkString("\n")
+    assert(!belowGenerate.contains("Exchange"), belowGenerate.take(1200))
+  }
+
+  test("boilerplate detection joins grams on 8-byte hashes, no cartesian") {
+    // q86's gram→df join must key on xxhash64 (fixed-width shuffle
+    // keys, the dedup-family convention), aggregate partially before
+    // the shuffle, and never degenerate to a cartesian product
+    val p = plan("q86_boilerplate_ngrams")
+    assert(p.contains("xxhash64"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("temperature mixture broadcasts the per-lang rate table") {
+    // q87: 5-row rate table → BroadcastHashJoin against the map-only
+    // corpus filter; a SortMergeJoin here would shuffle 100 TB to meet
+    // 5 rows
+    val p = plan("q87_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("vocab top-k is TakeOrderedAndProject over a partial-agg groupBy") {
+    // q89 must not globally sort the vocabulary: per-partition heaps
+    // (TakeOrderedAndProject) above a two-phase aggregate
+    val p = plan("q89_ngram_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("salted skew join keys the join on (k, __salt), no cartesian") {
     val p = plan("q68_salted_skew_join")
     assert(p.contains("__salt"))
