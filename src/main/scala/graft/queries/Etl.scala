@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Transforms
-import graft.warehouse.{Keys, Merge}
+import graft.warehouse.{Keys, Merge, Quality, Scd2}
 
 /** ETL-layer operators (SURVEY.md §2.A, §2.H): anonymization, age
   * bucketing, validity flags, merge/upsert, surrogate keys, and the
@@ -11,7 +11,8 @@ import graft.warehouse.{Keys, Merge}
   */
 object Etl {
 
-  val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace)
+  val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
+    scd2History, columnProfile)
 
   // --- H1: SHA-256 PII anonymization --------------------------------------
   def sha2Anonymize: Q = Q(
@@ -114,6 +115,73 @@ object Etl {
     Keys.addSurrogate(Tables.nation(s, dir), "skey", Seq(col("n_name")))
       .select("n_nationkey", "n_name", "skey")
       .orderBy("n_nationkey")
+  }
+
+  // --- q93: one-pass data-quality column profile ---------------------------
+  // The load-gate report: completeness, exact distinctness, and value
+  // ranges for every audited column, computed in a single aggregation
+  // pass (Expand for the multi-column exact distincts) and unpivoted
+  // map-side. c_acctbal is profiled through a DECIMAL cast so its
+  // min/max strings are engine-portable.
+  def columnProfile: Q = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    def one(c: String, expr: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($expr) AS n_nonnull,
+         |  count(DISTINCT $expr) AS n_distinct,
+         |  CAST(min($expr) AS VARCHAR) AS min_val, CAST(max($expr) AS VARCHAR) AS max_val
+         |FROM customer""".stripMargin
+    Q(
+      "q93_column_profile",
+      (cols.map {
+        case "c_acctbal" => one("c_acctbal", "CAST(c_acctbal AS DECIMAL(18,2))")
+        case c           => one(c, c)
+      }).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    ) { (s, dir) =>
+      Quality.profile(
+          Tables.customer(s, dir)
+            .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)")),
+          cols)
+        .orderBy("col_name")
+    }
+  }
+
+  // --- q91: SCD2 dimension history from a change log ----------------------
+  // The reference's dimensions are current-state-only (Postgres upsert);
+  // this rebuilds the type-2 history — per customer, each run of orders
+  // with the same priority is one versioned interval, a priority change
+  // opens the next. One hash shuffle on the key: the change-flag
+  // window, per-version aggregation, and interval-closing lead all
+  // reuse the o_custkey partitioning.
+  def scd2History: Q = Q(
+    "q91_scd2_history",
+    """WITH flagged AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    CASE WHEN row_number() OVER w = 1
+      |           OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |versioned AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM flagged),
+      |per_version AS (
+      |  SELECT o_custkey, version, min(o_orderdate) AS effective_from,
+      |         min(o_orderpriority) AS o_orderpriority
+      |  FROM versioned GROUP BY 1, 2)
+      |SELECT o_custkey, version, o_orderpriority, effective_from,
+      |  lead(effective_from) OVER wv AS effective_to,
+      |  CASE WHEN lead(effective_from) OVER wv IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM per_version
+      |WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+      |ORDER BY o_custkey, version""".stripMargin,
+  ) { (s, dir) =>
+    Scd2.fromChangeLog(Tables.orders(s, dir), Seq("o_custkey"),
+        col("o_orderdate"), Seq(col("o_orderkey")), Seq("o_orderpriority"))
+      .select("o_custkey", "version", "o_orderpriority",
+        "effective_from", "effective_to", "is_current")
+      .orderBy("o_custkey", "version")
   }
 
   // --- H4: differential-privacy Laplace noise (keyed, reproducible) -------

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.dedup.Dedup
-import graft.functions.RollingHash
+import graft.functions.{BloomFilters, RollingHash}
 import graft.text.TextAnalysis
 
 /** Training-data pipeline operators over the `documents` corpus: text
@@ -14,7 +14,7 @@ object Text {
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
-    incrementalDedup)
+    incrementalDedup, decontaminateBloom)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -344,6 +344,49 @@ object Text {
       .select("shingle").distinct()
     sh.join(evalIds, Seq("doc_id"), "left_anti")
       .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  // --- q92: bloom-prefiltered decontamination ------------------------------
+  // q81's shape breaks when the eval shingle set outgrows an exact
+  // broadcast (a 1M-doc eval suite is ~100M shingles — too many exact
+  // strings to ship, but its bloom BITSET is a few hundred MB at most,
+  // and here a literal). Two-phase: a codegen'd might_contain predicate
+  // (built distributed in one partial-agg pass, embedded as a literal)
+  // drops non-overlapping train shingles per-row BEFORE any shuffle;
+  // the survivors — hit-rate-sized, not corpus-sized — are then
+  // exact-verified against the true shingle set, so false positives
+  // cannot reach the output and the result is byte-identical to the
+  // all-exact plan the oracle runs.
+  def decontaminateBloom: Q = Q(
+    "q92_bloom_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |eval AS (SELECT doc_id FROM documents
+      |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '147a'),
+      |esh AS (SELECT DISTINCT shingle FROM sh JOIN eval USING (doc_id))
+      |SELECT s.doc_id, count(*) AS n_overlap
+      |FROM sh s JOIN esh USING (shingle)
+      |WHERE s.doc_id NOT IN (SELECT doc_id FROM eval)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val evalIds = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "147a")
+      .select("doc_id")
+    // two consumers (bloom build is an action, exact verify reuses it)
+    val evalShingles = Dedup.persistTracked(
+      sh.join(evalIds, Seq("doc_id"), "left_semi").select("shingle").distinct())
+    val bf = BloomFilters.build(evalShingles, col("shingle"),
+      expectedItems = 100 * 1000L, numBits = 1000 * 1000L)
+    sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .filter(BloomFilters.mightContain(bf, col("shingle"))) // pre-shuffle prune
+      .join(broadcast(evalShingles), Seq("shingle"))         // kill false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
   }

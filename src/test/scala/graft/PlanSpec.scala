@@ -138,6 +138,37 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("scd2 history runs all three window/agg stages on one key exchange") {
+    // q91: change-flag window, per-version agg, interval lead — the
+    // custkey hashpartitioning must be planned once and reused; a
+    // second exchange would re-shuffle the fact table per stage
+    val p = plan("q91_scd2_history")
+    val keyExchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(keyExchanges === 1, p.take(2000))
+  }
+
+  test("bloom decontamination probes per-row below the verify join") {
+    // q92: the might_contain predicate must sit in a Filter on the
+    // train-shingle side (pre-shuffle prune), with the exact verify as
+    // a broadcast join above it — the corpus never shuffles on shingle
+    val p = plan("q92_bloom_decontaminate")
+    assert(p.contains("might_contain"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"))
+    val probeIdx  = p.indexOf("might_contain")
+    val verifyIdx = p.indexOf("BroadcastHashJoin")
+    assert(verifyIdx < probeIdx, "verify join must be above (printed before) the bloom filter")
+  }
+
+  test("column profile is one aggregation pass with map-side unpivot") {
+    // q93: a single Expand-based aggregate computes every column's
+    // metrics — one scan, one exchange (plus the 5-row final sort);
+    // per-column scans would read the table once per metric column
+    val p = plan("q93_column_profile")
+    assert(p.contains("Expand"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size === 1, "profile must scan the table once")
+  }
+
   test("salted skew join keys the join on (k, __salt), no cartesian") {
     val p = plan("q68_salted_skew_join")
     assert(p.contains("__salt"))
