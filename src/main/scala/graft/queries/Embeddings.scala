@@ -2,13 +2,13 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 
 /** Similarity-search capabilities over the `embeddings` table. */
 object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
-    embeddingNearDup, annLshProbe)
+    embeddingNearDup, annLshProbe, annPq)
 
   /** Per-(session, corpus) index location: keyed by applicationId (two
     * concurrent JVMs on the same data never race Overwrite-vs-read on
@@ -105,6 +105,25 @@ object Embeddings {
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 4, excludeId = Some(1L))
+  }
+
+  // --- q94: product-quantization ANN (rows-only) ---------------------------
+  // The third index family: where IVF/LSH cut how many vectors a query
+  // reads, PQ cuts how many bytes each vector is — 64 floats (256 B)
+  // become 16 one-byte codes, so a 100 TB embedding column scans as
+  // ~1.6 TB and ADC scores each row with 16 table lookups instead of
+  // 64 multiplies. Candidates re-rank exactly against the raw vectors
+  // (broadcast id join), so the output sims are exact cosines; recall
+  // vs brute force is pinned in SimilaritySpec. Rows-only: codes
+  // depend on the seeded Lloyd's codebook, which DuckDB can't
+  // reproduce.
+  def annPq: Q = Q.rowsOnly("q94_ann_pq") { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val cb = Pq.train(embs, "embedding")
+    val encoded = Pq.encode(embs, "vec_id", "embedding", cb)
+    val qv = embs.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    Pq.topK(embs, encoded, cb, "vec_id", "embedding", qv, 10, excludeId = Some(0L))
   }
 
   // --- q80: LSH probe-only serving path (rows-only) ------------------------
