@@ -335,14 +335,14 @@ object Text {
       |GROUP BY 1
       |ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
+    // eval membership is a pure per-row predicate on doc_id, so the
+    // train/eval split pushes below the shingle explode: no membership
+    // join at all, and the eval side explodes ~15% of docs, not 100%
     val docs = Tables.documents(s, dir)
-    val sh = Dedup.shingleTable(docs, "doc_id", "text")
-    val evalIds = docs
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5")
-      .select("doc_id")
-    val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5"
+    val evalShingles = Dedup.shingleTable(docs.filter(isEval), "doc_id", "text")
       .select("shingle").distinct()
-    sh.join(evalIds, Seq("doc_id"), "left_anti")
+    Dedup.shingleTable(docs.filter(!isEval), "doc_id", "text")
       .join(broadcast(evalShingles), Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
@@ -374,17 +374,17 @@ object Text {
       |GROUP BY 1
       |ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
+    // same split-below-the-explode shape as q81 (membership is a pure
+    // doc_id predicate — no join)
     val docs = Tables.documents(s, dir)
-    val sh = Dedup.shingleTable(docs, "doc_id", "text")
-    val evalIds = docs
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "147a")
-      .select("doc_id")
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) < "147a"
     // two consumers (bloom build is an action, exact verify reuses it)
     val evalShingles = Dedup.persistTracked(
-      sh.join(evalIds, Seq("doc_id"), "left_semi").select("shingle").distinct())
+      Dedup.shingleTable(docs.filter(isEval), "doc_id", "text")
+        .select("shingle").distinct())
     val bf = BloomFilters.build(evalShingles, col("shingle"),
       expectedItems = 100 * 1000L, numBits = 1000 * 1000L)
-    sh.join(evalIds, Seq("doc_id"), "left_anti")
+    Dedup.shingleTable(docs.filter(!isEval), "doc_id", "text")
       .filter(BloomFilters.mightContain(bf, col("shingle"))) // pre-shuffle prune
       .join(broadcast(evalShingles), Seq("shingle"))         // kill false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
