@@ -14,7 +14,7 @@ object Text {
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
-    incrementalDedup, decontaminateBloom)
+    incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -389,6 +389,98 @@ object Text {
       .join(broadcast(evalShingles), Seq("shingle"))         // kill false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
+  }
+
+  // --- q95: cross-document duplicate-span detection ------------------------
+  // The windowed approximation of suffix-array substring dedup
+  // (/root/reference has no analogue; the signal is the "Deduplicating
+  // Training Data" one): an 8-token window appearing in ≥2 DISTINCT
+  // docs marks boilerplate/quotation spans that survive document-level
+  // dedup. Positions count (a doc quoting a span twice has 2 spans,
+  // but within-doc repeats alone never mark a span duplicated — that's
+  // q82's job). Shape at scale: windows meet on 8-byte xxhash64 keys;
+  // the span table shuffles ONCE on hash (the dup-set aggregate and
+  // the membership join reuse the exchange); per-doc rollup is the
+  // only other shuffle.
+  def dupSpans: Q = Q(
+    "q95_dup_spans",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, win FROM toks,
+      |      UNNEST(list_transform(range(1, len(t) - 6),
+      |        i -> array_to_string(t[i:i+7], ' '))) AS u(win)
+      |      WHERE len(t) >= 8),
+      |dup AS (SELECT win, 1 AS is_dup FROM w GROUP BY win
+      |        HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(coalesce(is_dup, 0)) AS BIGINT) AS n_dup_spans,
+      |  round(CAST(sum(coalesce(is_dup, 0)) AS DOUBLE) / count(*), 4) AS dup_ratio
+      |FROM w LEFT JOIN dup USING (win)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    // all window positions — NOT array_distinct'd like shingleTable
+    val wins = Dedup.persistTracked(
+      Tables.documents(s, dir)
+        .filter(size(toks) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(toks) - 7),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(8)))))).as("h")))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("is_dup"))
+    wins.join(dup, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_spans"),
+        round(sum(coalesce(col("is_dup"), lit(0))).cast("double") / count(lit(1)), 4)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // --- q96: streaming incremental dedup (stream-static anti join) ----------
+  // The production ingest shape q84 runs in batch: the incoming crawl
+  // arrives as a STREAM, the existing corpus is a static table, and
+  // Structured Streaming's stream-static left_anti join drops
+  // already-present texts before the stateful min-id aggregation. Both
+  // sides meet on fixed-width (hash, length) keys — the corpus never
+  // ships bodies into the stream. Hash-matches the batch oracle.
+  def streamingIncrementalDedup: Q = Q(
+    "q96_streaming_incremental_dedup",
+    """WITH existing AS (SELECT DISTINCT text FROM documents WHERE doc_id < 300),
+      |inc AS (SELECT text, min(doc_id) AS keep_doc_id, count(*) AS copies
+      |        FROM documents WHERE doc_id >= 300 GROUP BY text)
+      |SELECT keep_doc_id, copies FROM inc
+      |WHERE text NOT IN (SELECT text FROM existing)
+      |ORDER BY keep_doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe only
+    val existingKeys = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300)
+      .select(xxhash64(col("text")).as("__th"), length(col("text")).as("__tl"))
+      .distinct()
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") >= 300)
+      .select(col("doc_id"), xxhash64(col("text")).as("__th"), length(col("text")).as("__tl"))
+      .join(existingKeys, Seq("__th", "__tl"), "left_anti") // stream-static
+      .groupBy("__th", "__tl")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
+    val sink = s"graft_stream_incdedup_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // memory sink is harness-only (bounded: one row per new text at
+    // sf scale); a real ingest would use update mode + a durable sink
+    val out = s.table(sink).select("keep_doc_id", "copies")
+      .orderBy("keep_doc_id").localCheckpoint(true)
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Dedup.trackRdd(lr.rdd)
+      case _ => ()
+    }
+    s.catalog.dropTempView(sink)
+    out
   }
 
   // --- q82: intra-document repetition ratio --------------------------------

@@ -169,6 +169,21 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size === 1, "profile must scan the table once")
   }
 
+  test("dup-span detection explodes windows once; membership join broadcasts the dup set") {
+    // q95: the span table is persisted, so its window explode runs
+    // once and both consumers (dup-set aggregate, membership join)
+    // read the cache; the aggregated dup set is orders smaller than
+    // the span table and must broadcast, leaving the probe side
+    // shuffle-free below the per-doc rollup
+    val df = SparkEntry.queries("q95_dup_spans")(spark, sf)
+    df.collect() // AQE: the final join strategy only shows post-run
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("salted skew join keys the join on (k, __salt), no cartesian") {
     val p = plan("q68_salted_skew_join")
     assert(p.contains("__salt"))

@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static anti join drops already-present keys across micro-batches") {
+    // the q96 shape: a static key set filters the stream before the
+    // stateful min-id aggregation; a text present in the static corpus
+    // must never reach the state store, whichever batch it arrives in
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val existing = Seq("old1", "old2").toDF("text")
+      .select(xxhash64(col("text")).as("__th"), length(col("text")).as("__tl"))
+    val src = MemoryStream[(Long, String)]
+    val stream = src.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), xxhash64(col("text")).as("__th"), length(col("text")).as("__tl"))
+      .join(existing, Seq("__th", "__tl"), "left_anti")
+      .groupBy("__th", "__tl")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
+    val q = stream.writeStream.format("memory").queryName("incdedup_state")
+      .outputMode("complete").start()
+    try {
+      src.addData((10L, "old1"), (11L, "new1"))
+      q.processAllAvailable()
+      src.addData((12L, "old2"), (13L, "new1"), (14L, "new2"))
+      q.processAllAvailable()
+      val rows = spark.table("incdedup_state")
+        .select("keep_doc_id", "copies")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // old1/old2 never enter state; new1 seen twice keeps min id 11
+      assert(rows === Map(11L -> 2L, 14L -> 1L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap exceeds the threshold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
