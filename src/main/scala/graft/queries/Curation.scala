@@ -14,7 +14,34 @@ import graft.text.TextAnalysis
 object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
-    balancedMixture, temperatureMixture)
+    balancedMixture, temperatureMixture, sourceQuota)
+
+  // --- q100: per-source quota cap -------------------------------------------
+  // The Common-Crawl-style per-domain cap: no source may contribute
+  // more than `cap` docs, survivors chosen by deterministic md5 rank
+  // (stable across runs and cluster sizes, unlike sample()). One
+  // window shuffle on source; the rank predicate prunes before
+  // anything downstream, so a 100 TB corpus with a megasite collapses
+  // to cap rows for that site the moment this runs.
+  def sourceQuota: Q = Q(
+    "q100_source_quota",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 40
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
 
   // --- q71: connected-components duplicate clusters ------------------------
   // Pairs say who matches whom; the component says which docs are ONE

@@ -11,7 +11,73 @@ import graft.{Q, Tables}
 object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
-    streamingSessionize)
+    streamingSessionize, rangeJoinClicks, funnel)
+
+  // --- q97: binned range join (events within a lookback window) -----------
+  // "Clicks by the same user in the hour before each error" — the
+  // interval-join shape Spark would otherwise plan as a per-key
+  // nested loop. RangeJoin.lookback quantizes both sides to
+  // window-width bins and equi-joins on (user_id, bin), so the plan is
+  // a plain hash join whose fan-out tracks event density, never n².
+  def rangeJoinClicks: Q = Q(
+    "q97_range_join",
+    """SELECT e.event_id, e.user_id, count(*) AS n_clicks
+      |FROM events e JOIN events c
+      |  ON c.user_id = e.user_id AND c.event_type = 'click'
+      | AND c.ts < e.ts
+      | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP)) - 3600000000
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2
+      |ORDER BY e.event_id""".stripMargin,
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.operators.RangeJoin.lookback(
+        ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click").select("user_id", "ts"),
+        "user_id", "ts", windowSec = 3600L)
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  // --- q99: ordered conversion funnel --------------------------------------
+  // view → click (after the view) → purchase (after the click), per
+  // user; stage counts over the whole corpus. Each stage is a keyed
+  // aggregate joined back on user_id — the per-stage min-timestamps
+  // reuse one user_id partitioning, and stage k only scans the rows
+  // that survived stage k-1's semi join.
+  def funnel: Q = Q(
+    "q99_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT step, n_users FROM (
+      |  SELECT '1_view' AS step, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |ORDER BY step""".stripMargin,
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+      .orderBy("step")
+  }
 
   // --- tumbling-window aggregation (batch form of a streaming window) -----
   def hourlyWindows: Q = Q(

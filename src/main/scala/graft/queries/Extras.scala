@@ -11,7 +11,35 @@ import graft.{Q, Tables}
   */
 object Extras {
 
-  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin)
+  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue)
+
+  // --- q98: pivot (long → wide) --------------------------------------------
+  // Market segment × order priority revenue matrix. The pivot values
+  // are declared explicitly, so Spark skips the extra distinct-values
+  // job and the plan is ONE partial-agg'd groupBy — a pivot with
+  // unknown values would first scan the table to enumerate columns.
+  def pivotRevenue: Q = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    def clean(p: String) = "p_" + p.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    Q(
+      "q98_pivot_revenue",
+      s"""SELECT c_mktsegment,
+         |${prios.map(p =>
+            s"  CAST(sum(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS ${clean(p)}")
+            .mkString(",\n")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+    ) { (s, dir) =>
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      val wide = joined.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", prios)
+        .agg(dsum(col("o_totalprice")))
+      prios.foldLeft(wide)((df, p) => df.withColumnRenamed(p, clean(p)))
+        .orderBy("c_mktsegment")
+    }
+  }
 
   // --- E5: rank / dense_rank / ntile --------------------------------------
   def rankFuncs: Q = Q(

@@ -184,6 +184,31 @@ class PlanSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("range join is an equi-join on (key, bin), never a nested loop") {
+    // q97: an inequality-only condition would plan as
+    // BroadcastNestedLoopJoin — quadratic per key at scale; the binned
+    // rewrite must keep it a hash join
+    val p = plan("q97_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("__bin"))
+  }
+
+  test("pivot with declared values is one two-phase aggregate, no distinct-values scan") {
+    val p = plan("q98_pivot_revenue")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    // exactly two scans: orders + customer (a value-discovery pass
+    // would add a third)
+    assert("FileScan parquet".r.findAllIn(p).size === 2, p.take(2000))
+  }
+
+  test("source quota is one partitioned window, rank filter below the sort") {
+    val p = plan("q100_source_quota")
+    assert(p.contains("hashpartitioning(source"), p.take(1500))
+    assert(!p.contains("hashpartitioning(1)") && !p.contains("SinglePartition"),
+      "per-source ranking must not serialize onto one partition")
+  }
+
   test("salted skew join keys the join on (k, __salt), no cartesian") {
     val p = plan("q68_salted_skew_join")
     assert(p.contains("__salt"))
