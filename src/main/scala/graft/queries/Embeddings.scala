@@ -8,7 +8,37 @@ import graft.similarity.{Pq, Similarity}
 object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
-    embeddingNearDup, annLshProbe, annPq)
+    embeddingNearDup, annLshProbe, annPq, batchTopK)
+
+  // --- q101: batched exact top-k (one scan, many queries) ------------------
+  // The serving-throughput shape: a panel of query vectors broadcasts
+  // into ONE corpus scan; per-query ranking is a window over
+  // (query_id). The per-query loop (q45 shape) would read the corpus
+  // once per query — this reads it once, full stop.
+  def batchTopK: Q = {
+    val panel = Seq(0L, 1L, 7L)
+    Q(
+      "q101_batch_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id IN (${panel.mkString(", ")})),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(${sqlCos("e.embedding", "q.qv")}, 6) AS cos_sim
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, rk, cos_sim FROM ranked
+         |WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+    ) { (s, dir) =>
+      Similarity.bruteForceTopKBatch(Tables.embeddings(s, dir), "vec_id", "embedding",
+          panel, 5)
+        .orderBy("query_id", "rk")
+    }
+  }
 
   /** Per-(session, corpus) index location: keyed by applicationId (two
     * concurrent JVMs on the same data never race Overwrite-vs-read on

@@ -14,7 +14,8 @@ object Text {
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, corpusStats, dedupExact,
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
-    incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup)
+    incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
+    editDistancePairs)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -481,6 +482,44 @@ object Text {
     }
     s.catalog.dropTempView(sink)
     out
+  }
+
+  // --- q102: edit-distance near-dup pairs ----------------------------------
+  // The character-level dedup modality the shingle family can't see
+  // cheaply: small in-place edits (typo drift, template fill-ins)
+  // barely move levenshtein but can break many shingles. Composes
+  // after exact dedup like every pair generator; blocking on the
+  // xxhash64 of the first two tokens turns the quadratic pair space
+  // into per-block joins (the standard record-linkage shape — an edit
+  // inside the blocking key is a recall miss by design, the same
+  // trade every blocked matcher makes). Distances compute on a
+  // 60-char prefix so the per-pair cost is bounded, and both engines
+  // agree byte-for-byte (classic Levenshtein in Spark and DuckDB).
+  def editDistancePairs: Q = Q(
+    "q102_edit_distance_pairs",
+    """WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |b AS (SELECT doc_id, substr(text, 1, 60) AS pfx,
+      |        array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
+      |      FROM reps WHERE len(string_split(text, ' ')) >= 2)
+      |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |       levenshtein(a.pfx, c.pfx) AS dist
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.pfx, c.pfx) <= 10
+      |ORDER BY id_a, id_b""".stripMargin,
+  ) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val b = Dedup.exactRepresentatives(Tables.documents(s, dir), "doc_id", "text")
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("pfx"),
+        xxhash64(concat_ws(" ", slice(toks, 1, 2))).as("blkh"))
+    val a = b.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a"), col("blkh"))
+    val c = b.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b"), col("blkh"))
+    a.join(c, Seq("blkh"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .filter(col("dist") <= 10)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
   }
 
   // --- q82: intra-document repetition ratio --------------------------------

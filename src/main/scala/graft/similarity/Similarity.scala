@@ -305,6 +305,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Exact top-k for a BATCH of query vectors in one corpus scan: the
+    * serving-throughput shape. One query per scan (the
+    * [[bruteForceTopK]] loop) reads the corpus q times; this joins the
+    * broadcast query panel once and ranks per query with a window —
+    * the corpus is read once regardless of panel size. Panels larger
+    * than a broadcast chunk at the caller.
+    */
+  def bruteForceTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val scored = embs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(dot(asDouble(col(vecCol)), col("qv"))
+          / (norm(asDouble(col(vecCol))) * col("qn")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", idCol, "rk", "cos_sim")
+  }
+
   /** Approximate top-k: candidates = vectors sharing any LSH bucket
     * with the query (union over tables), then exact cosine on the
     * candidate set only. Recall/cost tunes via Tables × BitsPerTable.
