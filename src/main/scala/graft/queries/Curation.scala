@@ -19,10 +19,15 @@ object Curation {
   // --- q100: per-source quota cap -------------------------------------------
   // The Common-Crawl-style per-domain cap: no source may contribute
   // more than `cap` docs, survivors chosen by deterministic md5 rank
-  // (stable across runs and cluster sizes, unlike sample()). One
-  // window shuffle on source; the rank predicate prunes before
-  // anything downstream, so a 100 TB corpus with a megasite collapses
-  // to cap rows for that site the moment this runs.
+  // (stable across runs and cluster sizes, unlike sample()). Skew is
+  // the whole problem here — a megasite with 10⁹ docs would put 10⁹
+  // rows through one reducer's window — so the exact window runs on a
+  // PRE-FILTERED candidate set: per-source counts (tiny, broadcast)
+  // size an md5-space threshold at 4× the cap's share, keeping a
+  // downward-closed ~4·cap-row prefix of each source's hash order.
+  // The filter can't change the answer (it keeps a prefix of exactly
+  // the order the window ranks by, with vanishing odds of < cap
+  // survivors — P ≈ e^(−1.5·cap)), so the oracle is the plain window.
   def sourceQuota: Q = Q(
     "q100_source_quota",
     """SELECT doc_id, source FROM (
@@ -33,12 +38,19 @@ object Curation {
       |WHERE rk <= 40
       |ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
+    val cap = 40
+    val docs = Tables.documents(s, dir)
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+      .withColumn("__frac", least(lit(1.0), lit(4.0 * cap) / col("__n")))
+    // lexicographic hex md5 order == numeric order of its 32-bit prefix
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, dir)
+    docs.join(broadcast(rates), "source")
+      .filter(h32 < (col("__frac") * lit(4294967296L)).cast("long"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 40)
+      .filter(col("rk") <= cap)
       .select("doc_id", "source")
       .orderBy("doc_id")
   }

@@ -202,11 +202,19 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size === 2, p.take(2000))
   }
 
-  test("source quota is one partitioned window, rank filter below the sort") {
+  test("source quota pre-filters candidates before the partitioned window") {
     val p = plan("q100_source_quota")
     assert(p.contains("hashpartitioning(source"), p.take(1500))
     assert(!p.contains("hashpartitioning(1)") && !p.contains("SinglePartition"),
       "per-source ranking must not serialize onto one partition")
+    // the md5-threshold candidate filter (broadcast rate join) must sit
+    // BELOW the window — that's what keeps a megasite's 10⁹ rows out of
+    // one reducer; only ~4·cap rows per source may reach the sort
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && winIdx < joinIdx,
+      "window must be above (printed before) the candidate pre-filter join")
   }
 
   test("salted skew join keys the join on (k, __salt), no cartesian") {
