@@ -59,8 +59,11 @@ object Scd2 {
       .withColumn("is_current", when(col("effective_to").isNull, 1).otherwise(0))
   }
 
-  /** Incremental SCD2 merge: fold a current-state snapshot (one row
-    * per key, observed at `asOf`) into an existing SCD2 table.
+  /** Incremental SCD2 merge: fold a current-state snapshot (MUST be
+    * one row per key — a duplicate-key snapshot would open duplicate
+    * versions; dedupe upstream, e.g. [[Merge.upsert]] keyed on the
+    * natural key, before calling) observed at `asOf` into an existing
+    * SCD2 table.
     * Changed keys close their open row at `asOf` and append a new
     * current version; unchanged keys pass through untouched; unseen
     * keys keep their history; brand-new keys open at version 1.

@@ -11,6 +11,21 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("dot_product evaluates identically through SQL and the Column API") {
+    val sess = spark.newSession()
+    sess.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => functions.DotProduct(exprs(0), exprs(1)), "built-in")
+    val viaSql = sess.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(viaSql === 32.0)
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumn = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(functions.DotProduct(col("a"), col("b"))).head().getDouble(0)
+    assert(viaColumn === viaSql)
+  }
+
   test("rolling_hash evaluates identically through SQL and the Column API") {
     val sess = spark.newSession()
     sess.sessionState.functionRegistry.createOrReplaceTempFunction(
