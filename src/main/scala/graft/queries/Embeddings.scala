@@ -8,7 +8,26 @@ import graft.similarity.{Pq, Similarity}
 object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
-    embeddingNearDup, annLshProbe, annPq, batchTopK)
+    embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq)
+
+  // --- q103: IVF × PQ serving (rows-only) -----------------------------------
+  // The extreme-scale composition (the FAISS layout): IVF cuts how
+  // many vectors a query READS (nProbe cell dirs via partition
+  // pruning), PQ cuts how many bytes each read vector IS (m code
+  // lookups per row), and the exact re-rank touches only refine·k
+  // survivors inside the same pruned dirs. Build at most once per
+  // (session, corpus); every later call is probe-only.
+  def annIvfPq: Q = Q.rowsOnly("q103_ann_ivf_pq") { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val idx = ivfPath(s, dir) + "_pq"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idx + "/codebook")))
+      Pq.writeIvfPqIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+    val qv = embs.filter(col("vec_id") === 1L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    Pq.ivfPqTopK(s, idx, "vec_id", "embedding", qv, 10, nProbe = 4, excludeId = Some(1L))
+  }
 
   // --- q101: batched exact top-k (one scan, many queries) ------------------
   // The serving-throughput shape: a panel of query vectors broadcasts

@@ -141,4 +141,80 @@ object Pq {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- IVF × PQ: the extreme-scale composition ----------------------------
+
+  /** Persist the FAISS-shaped index: rows land cell-partitioned (IVF —
+    * a probe is partition pruning, like `Similarity.writeIvfIndex`)
+    * carrying PQ codes AND the raw vector (codes make the probed scan
+    * m lookups/row; the vector makes the re-rank a second read of the
+    * same pruned dirs, never a corpus-wide join). Sidecars: (cell,
+    * centroid) for probe ranking, (j, c, center) for the codebook —
+    * both constant-size.
+    */
+  def writeIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, path: String, m: Int = 16, k: Int = 16, seed: Long = 42L): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (indexed, model) = Similarity.ivfIndex(embs, idCol, vecCol, nCells, seed)
+    val cb = train(embs, vecCol, m, k, seed = seed)
+    val v = Similarity.asDouble(col(vecCol))
+    indexed
+      .select(col(idCol), col("cell"),
+        array((0 until cb.m).map(j => codeExpr(v, cb, j)): _*).as("codes"),
+        Similarity.norm(v).as("nrm"), col(vecCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path + "/vectors")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/centroids")
+    cb.centroids.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("j", "c", "center")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/codebook")
+  }
+
+  /** Load the codebook sidecar back into driver memory (m·k·subDim
+    * doubles — constant).
+    */
+  def readCodebook(spark: org.apache.spark.sql.SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path + "/codebook").collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
+        r.getAs[scala.collection.Seq[Double]]("center").toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (j, c, arr) => cents(j)(c) = arr }
+    Codebook(m, k, m * cents(0)(0).length, cents.map(_.toArray))
+  }
+
+  /** Serving top-k against a persisted IVF×PQ index: rank cells from
+    * the centroid sidecar (driver-side, no job), ADC-scan ONLY the
+    * nProbe winning cell dirs (PartitionFilters), exact re-rank of the
+    * refine·k survivors against the raw vectors in those same pruned
+    * dirs. Reported sims are exact cosines.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, qv: Array[Double], kTop: Int,
+      nProbe: Int = 4, refine: Int = 8, excludeId: Option[Long] = None): DataFrame = {
+    val cb = readCodebook(spark, path)
+    val cells = spark.read.parquet(path + "/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[scala.collection.Seq[Double]]("centroid"))
+      .sortBy { case (_, c) =>
+        c.iterator.zip(qv.iterator).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .take(nProbe).map(_._1)
+    val probed = spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(cells.toSeq: _*)) // → PartitionFilters
+    val cand = adcCandidates(probed, cb, idCol, qv, kTop * refine, excludeId)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val qvLit = array(qv.map(lit): _*)
+    val v = Similarity.asDouble(col(vecCol))
+    probed.join(broadcast(cand.select(idCol)), idCol)
+      .select(col(idCol),
+        round(Similarity.dot(v, qvLit) / (Similarity.norm(v) * qn), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(kTop)
+  }
 }

@@ -60,6 +60,47 @@ class PqSpec extends SparkSpec {
       assert(sim === bf(id), s"id $id: PQ sim $sim != brute-force ${bf(id)}")
   }
 
+  test("IVF×PQ recall@10 >= 0.8 vs brute force; probe scans only nProbe cell dirs") {
+    val qids = Seq(0L, 1L, 7L, 13L, 29L)
+    val dir = "/root/testdata/sf0.01"
+    val embs = Tables.embeddings(spark, dir).cache()
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.writeIvfPqIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+    var recall = 0.0
+    for (q <- qids) {
+      val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val qv = embs.filter(col("vec_id") === q)
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+      val got = Pq.ivfPqTopK(spark, idx, "vec_id", "embedding", qv, 10,
+        nProbe = 4, excludeId = Some(q)).collect().map(_.getLong(0)).toSet
+      recall += (bf & got).size / 10.0
+    }
+    assert(recall / qids.size >= 0.8, s"IVF×PQ mean recall@10 ${recall / qids.size} < 0.8")
+    // the probe reads at most nProbe of the 8 cell dirs
+    val qv0 = embs.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val probe = Pq.ivfPqTopK(spark, idx, "vec_id", "embedding", qv0, 10, nProbe = 4)
+    probe.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val vecScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("vectors")))
+    assert(vecScans.nonEmpty, "no vectors scan found in the probe plan")
+    vecScans.foreach { sc =>
+      assert(sc.selectedPartitions.partitionCount <= 4,
+        s"probe scanned ${sc.selectedPartitions.partitionCount} cell dirs")
+    }
+    embs.unpersist()
+  }
+
   test("ADC candidate scan is TakeOrderedAndProject — no shuffle, no UDF") {
     val embs = Tables.embeddings(spark, sf)
     val cb = Pq.train(embs, "embedding")
