@@ -11,7 +11,41 @@ import graft.{Q, Tables}
 object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
-    streamingSessionize, rangeJoinClicks, funnel)
+    streamingSessionize, rangeJoinClicks, funnel, retention)
+
+  // --- q104: retention cohort matrix ---------------------------------------
+  // The classic product-analytics triangle: users cohorted by
+  // first-seen week, counted distinct per (cohort, week-offset).
+  // Two keyed aggregates over user_id (first-seen + distinct
+  // activity) meet in one join; offsets are exact µs arithmetic on
+  // UTC-truncated weeks, so both engines derive identical integers.
+  def retention: Q = Q(
+    "q104_retention",
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+      |  FROM events)
+      |SELECT cohort_week,
+      |  CAST((epoch_us(week) - epoch_us(cohort_week)) / 604800000000 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM activity JOIN first_seen USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin,
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = ev.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"),
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) / 604800000000L)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 
   // --- q97: binned range join (events within a lookback window) -----------
   // "Clicks by the same user in the hour before each error" — the
