@@ -11,7 +11,32 @@ import graft.{Q, Tables}
 object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
-    streamingSessionize, rangeJoinClicks, funnel, retention)
+    streamingSessionize, rangeJoinClicks, funnel, retention, trailingWindow)
+
+  // --- q105: RANGE-interval window frame ------------------------------------
+  // Trailing-hour event count per row via a RANGE frame over
+  // unix_micros — the window-frame twin of q97's join shape. The frame
+  // form is the right tool when EVERY row needs its trailing
+  // aggregate; it costs one sort per user partition. The join form
+  // (q97) wins when only a filtered slice (errors) needs lookback —
+  // it never sorts the full stream. Both are here so the trade is a
+  // choice, not a gap.
+  def trailingWindow: Q = Q(
+    "q105_trailing_window",
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_1h
+      |FROM events
+      |ORDER BY event_id""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"))
+      .orderBy("event_id")
+  }
 
   // --- q104: retention cohort matrix ---------------------------------------
   // The classic product-analytics triangle: users cohorted by

@@ -52,4 +52,59 @@ object GraftProps extends Properties("graft") {
       noised(1).join(noised(parts).withColumnRenamed("n", "m"), "id")
         .filter(col("n") =!= col("m")).count() == 0
     }
+
+  // random event times (seconds scale) → the binned join must return
+  // EXACTLY the pairs the naive inequality predicate defines, for any
+  // window width — bin math can neither drop boundary pairs nor invent
+  // cross-key ones
+  private val eventsGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 600L)))
+
+  property("binned range join == naive inequality join") =
+    Prop.forAll(eventsGen, eventsGen, Gen.choose(5L, 120L)) { (ls, rs, win) =>
+      import java.sql.Timestamp
+      def df(xs: List[(Int, Long)], ids: Boolean) = xs.zipWithIndex.map { case ((k, sec), i) =>
+        (k, i.toLong, new Timestamp(sec * 1000L))
+      }.toDF("k", if (ids) "lid" else "rid", "ts")
+      val l = df(ls, ids = true)
+      val r = df(rs, ids = false)
+      val got = graft.operators.RangeJoin.lookback(l, r, "k", "ts", win)
+        .select("lid", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = (for {
+        ((lk, lsec), li) <- ls.zipWithIndex
+        ((rk, rsec), ri) <- rs.zipWithIndex
+        if lk == rk && rsec < lsec && rsec >= lsec - win
+      } yield (li.toLong, ri.toLong)).toSet
+      got == naive
+    }
+
+  // SCD2 invariants for arbitrary change logs: versions are contiguous
+  // from 1, exactly one open (current) row per key, and each version's
+  // effective_to equals the next version's effective_from
+  private val logGen: Gen[List[(Int, Long, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 20L), Gen.oneOf("a", "b", "c")))
+
+  property("scd2 history intervals chain and versions are contiguous") =
+    Prop.forAll(logGen) { log0 =>
+      import java.sql.Timestamp
+      val log = log0.zipWithIndex.map { case ((k, day, v), i) =>
+        (k.toLong, new Timestamp(day * 86400000L), i.toLong, v)
+      }.toDF("k", "ts", "id", "attr")
+      val h = graft.warehouse.Scd2
+        .fromChangeLog(log, Seq("k"), col("ts"), Seq(col("id")), Seq("attr"))
+        .collect()
+        .groupBy(_.getLong(0))
+      h.forall { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(1)) // by version
+        val versionsOk = sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq
+        val oneCurrent = sorted.count(_.getInt(sorted.head.fieldIndex("is_current")) == 1) == 1
+        val chained = sorted.sliding(2).forall {
+          case Array(a, b) =>
+            a.getTimestamp(a.fieldIndex("effective_to")) ==
+              b.getTimestamp(b.fieldIndex("effective_from"))
+          case _ => true
+        }
+        versionsOk && oneCurrent && chained
+      }
+    }
 }
