@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [--run] [--only=q91,q95]
+
+--only (with --run) dumps and checks just the queries whose names
+contain any given substring — the fast iteration path when working on
+one operator. The driver always runs the full set.
 
 Assumes `sbt compile` (or package) already ran and Verify was executed to
 produce outDir/<name>/ parquet dirs + outDir/oracle_sql.json, OR run with
@@ -46,6 +50,9 @@ def run_verify(sf_dir, out_dir):
         "-cp", cp, "graft.Verify", sf_dir, out_dir,
     ]
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    if only:
+        env["SPARK_GRAFT_ONLY"] = only[0]
     r = subprocess.run(cmd, cwd="/root/repo", env=env)
     if r.returncode != 0:
         print("Verify FAILED", file=sys.stderr)
