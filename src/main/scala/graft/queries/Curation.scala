@@ -14,7 +14,37 @@ import graft.text.TextAnalysis
 object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
-    balancedMixture, temperatureMixture, sourceQuota)
+    balancedMixture, temperatureMixture, sourceQuota, weightedSample)
+
+  // --- q110: deterministic weighted sampling (Efraimidis–Spirakis) ----------
+  // Weighted sampling without replacement as a top-k: each doc gets
+  // key ln(u)/w (u a pure (doc_id, salt) uniform via the q34 LCG, w =
+  // n_chars), and the k largest keys are the sample — the A-ES
+  // algorithm in log domain, so inclusion probability tracks weight
+  // with no sequential pass. Engine-reproducible for the same reason
+  // q34 is: u is exact integer arithmetic, and ln/divide agree across
+  // engines at the tested precision. At scale this is a
+  // TakeOrderedAndProject (per-partition heaps + driver merge of k),
+  // never a full sort.
+  def weightedSample: Q = Q(
+    "q110_weighted_sample",
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars,
+      |    ln((((doc_id % 1000003) * 2654435761 + 42) % 1000003 + 0.5) / 1000003.0)
+      |      / n_chars AS s
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(s, 9) AS score
+      |FROM scored ORDER BY s DESC, doc_id LIMIT 100""".stripMargin,
+  ) { (s, dir) =>
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(42L), lit(1000003L))
+    val u = (h.cast("double") + 0.5) / 1000003.0
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"), round(col("s"), 9).as("score"))
+  }
 
   // --- q100: per-source quota cap -------------------------------------------
   // The Common-Crawl-style per-domain cap: no source may contribute

@@ -12,7 +12,38 @@ import graft.warehouse.{Keys, Merge, Quality, Scd2}
 object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
-    scd2History, columnProfile)
+    scd2History, columnProfile, histogram)
+
+  // --- q111: equi-width histogram -------------------------------------------
+  // 20-bin equi-width histogram of order value — the q93 profile's
+  // distribution companion. One scan + one tiny aggregate: bounds ride
+  // the broadcast-scalar CROSS pattern, the bin index is pure double
+  // arithmetic (identical in both engines), and per-bin revenue uses
+  // the decimal-exact dsum. The top edge folds into the last bin via
+  // least(), so max(v) rows are counted, not dropped.
+  def histogram: Q = Q(
+    "q111_histogram",
+    """WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+      |b AS (
+      |  SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+      |    count(*) AS n, min(lo) AS lo, min(hi) AS hi,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders CROSS JOIN bounds GROUP BY 1)
+      |SELECT bin, round(lo + bin * ((hi - lo) / 20.0), 2) AS bin_lo,
+      |  CAST(n AS BIGINT) AS n, total
+      |FROM b ORDER BY bin""".stripMargin,
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .groupBy(least(floor((col("o_totalprice") - col("lo"))
+          / ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min("lo").as("lo"), min("hi").as("hi"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(col("bin"), round(col("lo") + col("bin") * ((col("hi") - col("lo")) / 20.0), 2).as("bin_lo"),
+        col("n"), col("total"))
+      .orderBy("bin")
+  }
 
   // --- H1: SHA-256 PII anonymization --------------------------------------
   def sha2Anonymize: Q = Q(

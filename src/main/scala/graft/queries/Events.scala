@@ -11,7 +11,81 @@ import graft.{Q, Tables}
 object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
-    streamingSessionize, rangeJoinClicks, funnel, retention, trailingWindow)
+    streamingSessionize, rangeJoinClicks, funnel, retention, trailingWindow,
+    gapFill, transitions)
+
+  // --- q106: date-spine gap fill + LOCF interpolation -----------------------
+  // Sparse daily series (big-ticket orders) densified onto a complete
+  // date spine: missing days get 0 counts and a last-observation-
+  // carried-forward revenue. The scale shape is aggregate-FIRST: the
+  // global-ordered LOCF window runs over the spine (one row per day,
+  // thousands at any corpus size), never over raw orders — the only
+  // single-partition stage is O(days). Spine bounds arrive as a
+  // broadcast scalar row (the q17/q21 CROSS pattern).
+  def gapFill: Q = Q(
+    "q106_gap_fill",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |    count(*) AS n_orders
+      |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM bounds)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+      |  coalesce(revenue, 0.0) AS revenue,
+      |  last_value(revenue IGNORE NULLS) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf
+      |FROM spine LEFT JOIN daily USING (day)
+      |ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
+      .orderBy("day")
+  }
+
+  // --- q109: Markov transition matrix over event types ----------------------
+  // Per-user next-event pairs (LEAD inside the user partition — the
+  // q14 window, never a self-join) aggregated to a from→to count
+  // matrix with row-normalized transition probabilities. Counts are
+  // exact; p is one integer division per row, identical in both
+  // engines. The per-from normalizer is a window over the matrix
+  // (≤ |event_type|² rows), not the event stream.
+  def transitions: Q = Q(
+    "q109_transition_matrix",
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n
+      |      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val c = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy("from_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(norm), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
 
   // --- q105: RANGE-interval window frame ------------------------------------
   // Trailing-hour event count per row via a RANGE frame over

@@ -10,7 +10,55 @@ import graft.multimodal.Multimodal
   */
 object Ml {
 
-  val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures)
+  val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift)
+
+  // --- q107: two-sample KS drift statistic (binned ECDF) --------------------
+  // Distribution drift between two order periods as the Kolmogorov-
+  // Smirnov sup-distance over a 200-bin equi-width ECDF. Binning first
+  // is the scale move: exact KS needs a global sort of every distinct
+  // value (one fat partition at 100 TB); the binned form shuffles only
+  // (bin, count_a, count_b) rows, and the cumulative window runs over
+  // ≤ 200 rows. Resolution cost is bounded by 1/nbins per bin edge;
+  // counts stay exact, so the statistic is engine-reproducible (the
+  // only doubles are two divisions of exact integers). Totals arrive
+  // via broadcast scalars, not whole-partition windows.
+  def ksDrift: Q = Q(
+    "q107_ks_drift",
+    """WITH src AS (
+      |  SELECT o_totalprice AS v,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+      |binned AS (
+      |  SELECT CAST(least(floor((v - lo) / ((hi - lo) / 200.0)), 199) AS BIGINT) AS bin,
+      |    CAST(sum(is_a) AS BIGINT) AS ca, CAST(sum(1 - is_a) AS BIGINT) AS cb
+      |  FROM src CROSS JOIN bounds GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM binned),
+      |cum AS (
+      |  SELECT
+      |    sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      |  FROM binned)
+      |SELECT n_a, n_b,
+      |  round(max(abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+      |FROM cum CROSS JOIN tot GROUP BY n_a, n_b""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.orders(s, dir).select(col("o_totalprice").as("v"),
+      when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1).otherwise(0).as("is_a"))
+    val bounds = src.agg(min("v").as("lo"), max("v").as("hi"))
+    val binned = src.crossJoin(broadcast(bounds))
+      .groupBy(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 200.0)), lit(199.0))
+        .cast("long").as("bin"))
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1) - col("is_a")).as("cb"))
+    val tot = binned.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n_a", "n_b")
+      .agg(round(max(abs(col("cum_a").cast("double") / col("n_a")
+        - col("cum_b").cast("double") / col("n_b"))), 6).as("ks_stat"))
+  }
 
   // --- z-score anomaly flags (per-group moments via exact decimal sums) ---
   // Deterministic across engines: variance from Σv and Σv² (decimal-

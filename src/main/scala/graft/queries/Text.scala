@@ -15,7 +15,7 @@ object Text {
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
-    editDistancePairs)
+    editDistancePairs, tfidfKeywords)
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -549,6 +549,47 @@ object Text {
       .select(col("doc_id"),
         round(lit(1.0) - size(array_distinct(raw)).cast("double") / size(raw), 4).as("rep_ratio"))
       .orderBy("doc_id")
+  }
+
+  // --- q108: TF-IDF keyword extraction -------------------------------------
+  // Top-3 characteristic terms per document by smoothed TF-IDF
+  // (ln((N+1)/(df+1)) + 1 — the sklearn-style smooth idf). Everything
+  // is keyed: tf is a (doc, term) aggregate over the token explode, df
+  // a (term) aggregate over tf, and the per-doc top-3 a partitioned
+  // window — no global sort, no collect. df is the natural broadcast
+  // side at corpus scale (vocab ≪ corpus); the doc-count scalar rides
+  // the q17 CROSS pattern. Tokenization is the q35 whitespace split so
+  // the whole text family agrees on what a token is.
+  def tfidfKeywords: Q = Q(
+    "q108_tfidf_keywords",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    CAST(tf AS DOUBLE) * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) * (ln((n + 1.0) / (df + 1.0)) + 1.0) DESC, term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(s, 6) AS tfidf
+      |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("s", col("tf").cast("double")
+        * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy("doc_id").orderBy(col("s").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), round(col("s"), 6).as("tfidf"))
+      .orderBy("doc_id", "rk")
   }
 
   // --- md5 fingerprint (oracle-checked) -----------------------------------

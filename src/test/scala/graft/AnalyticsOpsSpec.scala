@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the time-series / drift / keyword / sampling
+  * batch (q106–q111) beyond the DuckDB hash match: each test asserts a
+  * property the hash can't express (spine completeness, statistic
+  * bounds, weighting bias) on sf0.001.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q106 gap-fill emits a complete daily spine with LOCF") {
+    val out = run("q106_gap_fill").cache()
+    val days = out.select(to_date(col("day")).as("d"))
+    val span = days.agg(datediff(max(col("d")), min(col("d")))).head.getInt(0) + 1
+    assert(out.count() === span.toLong) // every day present exactly once
+    // gap days carry zero activity but a non-null carried-forward value
+    val gaps = out.filter(col("n_orders") === 0)
+    assert(gaps.count() > 0) // the slice is genuinely sparse
+    assert(gaps.filter(col("revenue") =!= 0.0).count() === 0)
+    assert(out.filter(col("revenue_locf").isNull).count() === 0) // first day has data
+    out.unpersist()
+  }
+
+  test("q107 KS statistic is a valid sup-distance") {
+    val r = run("q107_ks_drift").head
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
+  test("q108 tf-idf ranks are dense, per-doc, and score-ordered") {
+    val out = run("q108_tfidf_keywords").cache()
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"),
+        // collect_list has no ordering guarantee — sort by rk explicitly
+        array_sort(collect_list(struct(col("rk"), col("tfidf")))).as("s"))
+    assert(perDoc.filter(col("k") > 3).count() === 0)
+    val unordered = perDoc.filter(size(col("s")) === 3)
+      .filter(!(col("s")(0)("tfidf") >= col("s")(1)("tfidf")
+        && col("s")(1)("tfidf") >= col("s")(2)("tfidf")))
+    assert(unordered.count() === 0)
+    out.unpersist()
+  }
+
+  test("q110 weighted sample over-represents heavy documents") {
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = run("q110_weighted_sample")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    // A-ES with w = n_chars biases selection toward long docs
+    assert(sampleMean > corpusMean)
+  }
+
+  test("q111 histogram partitions the table exactly") {
+    val out = run("q111_histogram").cache()
+    val total = Tables.orders(spark, sf).count()
+    assert(out.agg(sum(col("n"))).head.getLong(0) === total)
+    val bins = out.select("bin").collect().map(_.getLong(0))
+    assert(bins.forall(b => b >= 0 && b <= 19))
+    out.unpersist()
+  }
+}
