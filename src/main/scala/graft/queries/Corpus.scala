@@ -14,7 +14,53 @@ import graft.{Q, Tables}
   */
 object Corpus {
 
-  val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups)
+  val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
+    sourceOverlap)
+
+  // --- q114: cross-source shingle-overlap matrix -----------------------------
+  // Pairwise source similarity (shared distinct 3-gram shingles +
+  // Jaccard) — the corpus diagnostic that says which crawls/feeds
+  // duplicate each other before any doc-level dedup runs. The
+  // inverted-index shape: distinct (source, shingle) rows meet on the
+  // shingle key, so per-shingle fan-out is bounded by #sources², never
+  // #docs² (at 100 TB sources are dozens, shingles billions — the join
+  // is keyed and the matrix output is tiny). Pairs sharing zero
+  // shingles are absent by construction. At real scale the shingle key
+  // would be its 8-byte hash (the q40 trick); strings here keep the
+  // oracle byte-identical.
+  def sourceOverlap: Q = Q(
+    "q114_source_overlap",
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT source, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.source < b.source GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON inter.src_a = sa.source
+      |           JOIN sizes sb ON inter.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin,
+  ) { (s, dir) =>
+    val sh = graft.dedup.Dedup.persistTracked(
+      graft.dedup.Dedup.shingleTable(
+        Tables.documents(s, dir).select(col("source"), col("text")), "source", "text")
+        .distinct()) // three consumers: sizes + both join sides
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("source").as("src_a"), col("shingle"))
+    val b = sh.select(col("source").as("src_b"), col("shingle"))
+    a.join(b, "shingle").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.toDF("src_a", "sza")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "szb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("sza") + col("szb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** Whitespace token array — the corpus's tokenization unit (matches
     * DuckDB `string_split(text, ' ')` exactly, including empty-string

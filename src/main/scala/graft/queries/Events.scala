@@ -12,7 +12,42 @@ object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, rangeJoinClicks, funnel, retention, trailingWindow,
-    gapFill, transitions)
+    gapFill, transitions, rateSpike)
+
+  // --- q113: trailing-baseline rate-spike detection --------------------------
+  // Hours where an event type runs >2× its trailing-24-bucket average —
+  // the ops-monitoring shape. Aggregate-first again: the ROWS frame
+  // slides over hourly buckets (per-type partitions of ~corpus-hours
+  // rows), never raw events, and the baseline excludes the current
+  // bucket so a spike can't dilute its own threshold. avg of exact
+  // counts is one integer-sum division — engine-reproducible.
+  def rateSpike: Q = Q(
+    "q113_rate_spike",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, hour, n,
+      |    avg(n) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_avg
+      |  FROM hourly)
+      |SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour,
+      |  CAST(n AS BIGINT) AS n, round(trailing_avg, 6) AS trailing_avg,
+      |  round(n / trailing_avg, 6) AS spike_ratio
+      |FROM t WHERE trailing_avg IS NOT NULL AND n > 2.0 * trailing_avg
+      |ORDER BY event_type, hour""".stripMargin,
+  ) { (s, dir) =>
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    hourly.withColumn("trailing_avg", avg(col("n")).over(w))
+      .filter(col("trailing_avg").isNotNull && col("n") > lit(2.0) * col("trailing_avg"))
+      .select(col("event_type"), date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n"), round(col("trailing_avg"), 6).as("trailing_avg"),
+        round(col("n") / col("trailing_avg"), 6).as("spike_ratio"))
+      .orderBy("event_type", "hour")
+  }
 
   // --- q106: date-spine gap fill + LOCF interpolation -----------------------
   // Sparse daily series (big-ticket orders) densified onto a complete

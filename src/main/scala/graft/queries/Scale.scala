@@ -11,7 +11,59 @@ import graft.{Q, Tables}
 object Scale {
 
   val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile, groupingSets,
-    saltedSkewJoin)
+    saltedSkewJoin, cmsHeavyHitters)
+
+  // --- q112: Count-Min sketch heavy hitters ---------------------------------
+  // The third sketch in the family (HLL q56, KLL q57): term frequencies
+  // estimated from a 4×4096 Count-Min sketch next to their exact
+  // counts. Hash rows are disjoint 3-hex-digit slices of md5(term) —
+  // identical in both engines, so the WHOLE sketch is oracle-checkable,
+  // not just the exact column; the one-sided error bound (est ≥ exact,
+  // over by ≤ vocab_mass/4096 w.h.p.) is spec'd in AnalyticsOpsSpec.
+  // Scale shape: counters aggregate the compact (term, n) table, the
+  // finished sketch (16k rows) broadcasts to score the panel — at
+  // stream scale the same counters come from the raw token stream with
+  // fixed memory, which is the point of the sketch.
+  def cmsHeavyHitters: Q = Q(
+    "q112_cms_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT term, count(*) AS n FROM toks WHERE len(term) > 0 GROUP BY 1),
+      |wb AS (SELECT term, n,
+      |  substring(md5(term), 1, 3) AS b0, substring(md5(term), 4, 3) AS b1,
+      |  substring(md5(term), 7, 3) AS b2, substring(md5(term), 10, 3) AS b3 FROM tf),
+      |counters AS (
+      |  SELECT 0 AS i, b0 AS bucket, sum(n) AS c FROM wb GROUP BY 2
+      |  UNION ALL SELECT 1, b1, sum(n) FROM wb GROUP BY 2
+      |  UNION ALL SELECT 2, b2, sum(n) FROM wb GROUP BY 2
+      |  UNION ALL SELECT 3, b3, sum(n) FROM wb GROUP BY 2),
+      |top AS (SELECT * FROM wb ORDER BY n DESC, term LIMIT 20),
+      |melt AS (
+      |  SELECT term, n, 0 AS i, b0 AS bucket FROM top
+      |  UNION ALL SELECT term, n, 1, b1 FROM top
+      |  UNION ALL SELECT term, n, 2, b2 FROM top
+      |  UNION ALL SELECT term, n, 3, b3 FROM top)
+      |SELECT term, CAST(n AS BIGINT) AS n, CAST(min(c) AS BIGINT) AS cms_est
+      |FROM melt JOIN counters USING (i, bucket)
+      |GROUP BY term, n ORDER BY n DESC, term""".stripMargin,
+  ) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val wb = tf.select(Seq(col("term"), col("n")) ++
+      (0 to 3).map(i => substring(md5(col("term")), 1 + 3 * i, 3).as(s"b$i")): _*)
+    val counters = (0 to 3).map { i =>
+      wb.groupBy(col(s"b$i").as("bucket")).agg(sum("n").as("c")).select(lit(i).as("i"), col("bucket"), col("c"))
+    }.reduce(_ unionByName _)
+    val top = wb.orderBy(col("n").desc, col("term")).limit(20)
+    val melt = top.select(col("term"), col("n"), explode(array(
+        (0 to 3).map(i => struct(lit(i).as("i"), col(s"b$i").as("bucket"))): _*)).as("e"))
+      .select(col("term"), col("n"), col("e.i").as("i"), col("e.bucket").as("bucket"))
+    melt.join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("term", "n")
+      .agg(min("c").cast("long").as("cms_est"))
+      .orderBy(col("n").desc, col("term"))
+  }
 
   // --- salted join on a pathologically skewed key -------------------------
   // 90% of events collapse onto key 0 — the shape where one reducer

@@ -55,6 +55,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean)
   }
 
+  test("q112 count-min estimates never undercount") {
+    val out = run("q112_cms_heavy_hitters").cache()
+    assert(out.count() === 20)
+    // the CMS guarantee is one-sided: collisions only inflate
+    assert(out.filter(col("cms_est") < col("n")).count() === 0)
+    out.unpersist()
+  }
+
+  test("q113 every spike exceeds twice its own trailing baseline") {
+    val out = run("q113_rate_spike")
+    assert(out.filter(col("spike_ratio") <= 2.0).count() === 0)
+    assert(out.filter(col("trailing_avg") <= 0.0).count() === 0)
+  }
+
+  test("q114 overlap matrix is upper-triangular with valid Jaccard") {
+    val out = run("q114_source_overlap").cache()
+    assert(out.filter(col("src_a") >= col("src_b")).count() === 0)
+    assert(out.filter(col("jaccard") <= 0.0 || col("jaccard") > 1.0).count() === 0)
+    // n sources → at most n(n-1)/2 pairs
+    val n = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(out.count() <= n * (n - 1) / 2)
+    out.unpersist()
+  }
+
   test("q111 histogram partitions the table exactly") {
     val out = run("q111_histogram").cache()
     val total = Tables.orders(spark, sf).count()
