@@ -231,4 +231,30 @@ class PlanSpec extends SparkSpec {
     val shufflesOnSalt = "hashpartitioning\\(k[^)]*__salt".r.findAllIn(p2).size
     assert(shufflesOnSalt >= 1, p2.take(1500))
   }
+
+  test("tf-idf broadcasts the vocab and doc-count sides, never a cartesian") {
+    val p = plan("q108_tfidf_keywords")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("weighted sample is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q110_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("source overlap joins on the shingle key with no cartesian") {
+    val p = plan("q114_source_overlap")
+    assert(!p.contains("CartesianProduct"))
+    // keyed on shingle either way: broadcast at toy SF, hash-shuffle at scale
+    assert(p.contains("BroadcastHashJoin [shingle")
+      || p.contains("Exchange hashpartitioning(shingle"), p.take(1200))
+  }
+
+  test("CMS counter panel join broadcasts the finished sketch") {
+    val p = plan("q112_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
