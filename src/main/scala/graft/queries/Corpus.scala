@@ -24,9 +24,12 @@ object Corpus {
   // model because the corpus contains the doc, so MLE needs no
   // smoothing here). Three keyed aggregates off ONE persisted bigram
   // explode (occurrences, c2 by bigram, c1 by prefix), then two
-  // joins back — c1/c2 are vocab-sized and broadcast. ln terms are
-  // rounded to 9dp and summed as DECIMAL so the per-doc mean is
-  // associative-exact (the repo's never-sum-raw-doubles rule).
+  // joins back — UNhinted, because a corpus-scale bigram vocabulary
+  // is NOT safely broadcastable (it grows near-linearly with corpus
+  // size); AQE broadcasts when it fits and shuffles on the key when
+  // it doesn't. ln terms are rounded to 9dp and summed as DECIMAL so
+  // the per-doc mean is associative-exact (the repo's
+  // never-sum-raw-doubles rule).
   def bigramLogprob: Q = Q(
     "q118_bigram_logprob",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -53,7 +56,7 @@ object Corpus {
         .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
     val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    bg.join(broadcast(c2), "bigram").join(broadcast(c1), "w1")
+    bg.join(c2, "bigram").join(c1, "w1")
       .withColumn("term",
         round(log(col("n2").cast("double") / col("n1")), 9).cast("decimal(18,9)"))
       .groupBy("doc_id")

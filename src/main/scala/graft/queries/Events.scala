@@ -17,11 +17,11 @@ object Events {
   // --- q115: top session paths (sequence mining) -----------------------------
   // The most common first-5-event-type paths across q49's 30-min-gap
   // sessions — the "how do users actually move" query. The path
-  // string is built per session from a sorted in-group array (bounded
-  // at 5 events, so the array never grows with session length
-  // unboundedly before the slice — the collect is per-group and
-  // capped, not a driver collect), then counted and top-20'd
-  // (TakeOrderedAndProject).
+  // string is built per session from a sorted in-group array that is
+  // BOUNDED BEFORE COLLECTION: a row_number ≤ 5 filter on the session
+  // window drops everything past the fifth event, so a pathological
+  // million-event bot session contributes 5 rows to the collect, not
+  // a million. Then counted and top-20'd (TakeOrderedAndProject).
   def sessionPaths: Q = Q(
     "q115_session_paths",
     """WITH e AS (
@@ -50,11 +50,14 @@ object Events {
           || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("is_new")).over(wRun))
-    sessions.groupBy("user_id", "session_id")
+    val wSess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    sessions.withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 5) // bound the per-group array BEFORE collecting
+      .groupBy("user_id", "session_id")
       .agg(concat_ws(">",
-        slice(transform(
+        transform(
           sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-          e => e.getField("event_type")), 1, 5)).as("path"))
+          e => e.getField("event_type"))).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)

@@ -556,9 +556,11 @@ object Text {
   // (ln((N+1)/(df+1)) + 1 — the sklearn-style smooth idf). Everything
   // is keyed: tf is a (doc, term) aggregate over the token explode, df
   // a (term) aggregate over tf, and the per-doc top-3 a partitioned
-  // window — no global sort, no collect. df is the natural broadcast
-  // side at corpus scale (vocab ≪ corpus); the doc-count scalar rides
-  // the q17 CROSS pattern. Tokenization is the q35 whitespace split so
+  // window — no global sort, no collect. The df join is deliberately
+  // UNhinted: vocab is usually ≪ corpus and AQE broadcasts it, but a
+  // web-crawl vocab (typos, ids) can exceed executor memory, and a
+  // forced broadcast would OOM where a shuffled term join degrades
+  // gracefully. Only the one-row doc-count scalar is force-broadcast. Tokenization is the q35 whitespace split so
   // the whole text family agrees on what a token is.
   def tfidfKeywords: Q = Q(
     "q108_tfidf_keywords",
@@ -582,7 +584,7 @@ object Text {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("s", col("tf").cast("double")
         * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
     val w = Window.partitionBy("doc_id").orderBy(col("s").desc, col("term"))
