@@ -67,4 +67,19 @@ object Transforms {
     val u = (h.cast("double") + 0.5) / 1000003.0 - 0.5
     greatest(lit(0.0), value + (lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))))
   }
+
+  /** Efraimidis–Spirakis weighted-sampling key in log domain:
+    * ln(u)/w with u a pure (key, salt) uniform through the same LCG as
+    * [[laplaceNoisedKeyed]] (the half-offset keeps u off 0, where ln
+    * diverges). Taking the top-k rows by this score DESCENDING samples
+    * k items without replacement with inclusion probability tracking
+    * the weight — no sequential pass, reproducible across engines,
+    * partitionings, and retries. Pair with orderBy(desc).limit(k),
+    * which plans as TakeOrderedAndProject, never a full sort.
+    */
+  def weightedSampleKey(key: Column, weight: Column, salt: Long = 42L): Column = {
+    val h = pmod(pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(salt), lit(1000003L))
+    val u = (h.cast("double") + 0.5) / 1000003.0
+    log(u) / weight
+  }
 }

@@ -44,24 +44,7 @@ object Corpus {
       |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val toks = graft.text.TextAnalysis.tokens(col("text"))
-    // NOT Dedup.wordShingles — that array_distincts per doc; the LM
-    // counts every occurrence
-    val bg = graft.dedup.Dedup.persistTracked(
-      docs.filter(size(toks) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
-        .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
-    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    bg.join(c2, "bigram").join(c1, "w1")
-      .withColumn("term",
-        round(log(col("n2").cast("double") / col("n1")), 9).cast("decimal(18,9)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+    graft.text.Keywords.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
   }
 

@@ -36,11 +36,9 @@ object Curation {
       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(s, 9) AS score
       |FROM scored ORDER BY s DESC, doc_id LIMIT 100""".stripMargin,
   ) { (s, dir) =>
-    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(42L), lit(1000003L))
-    val u = (h.cast("double") + 0.5) / 1000003.0
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"),
-        (log(u) / col("n_chars")).as("s"))
+        graft.functions.Transforms.weightedSampleKey(col("doc_id"), col("n_chars"), 42L).as("s"))
       .orderBy(col("s").desc, col("doc_id"))
       .limit(100)
       .select(col("doc_id"), col("n_chars"), round(col("s"), 9).as("score"))

@@ -92,16 +92,10 @@ object Events {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
     val lo = daily.agg(min("day").as("d0"))
-    val m = daily.crossJoin(broadcast(lo))
+    val pairs = daily.crossJoin(broadcast(lo))
       .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
-    m.select(col("event_type"), col("n").as("n_days"),
-        round(slope, 6).as("slope"),
-        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    graft.ml.Stats.trendSlope(pairs, "event_type", "x", "y")
+      .withColumnRenamed("n", "n_days")
       .orderBy("event_type")
   }
 
@@ -170,15 +164,8 @@ object Events {
       .filter(col("o_totalprice") > 450000)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("day"), "left")
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-        coalesce(col("revenue"), lit(0.0)).as("revenue"),
-        last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
-      .orderBy("day")
+    graft.operators.TimeSeries.gapFillDaily(daily, "day",
+      zeroFill = Seq("n_orders"), locf = Seq("revenue"))
   }
 
   // --- q109: Markov transition matrix over event types ----------------------

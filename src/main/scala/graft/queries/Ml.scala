@@ -38,17 +38,10 @@ object Ml {
       |FROM obs o JOIN rowt USING (event_type) JOIN colt USING (dow) CROSS JOIN tot
       |ORDER BY event_type, dow""".stripMargin,
   ) { (s, dir) =>
-    val obs = Tables.events(s, dir)
-      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
-      .agg(count(lit(1)).as("o"))
-    val rowt = obs.groupBy("event_type").agg(sum("o").as("rt"))
-    val colt = obs.groupBy("dow").agg(sum("o").as("ct"))
-    val tot = obs.agg(sum("o").as("t"))
-    val expected = col("rt").cast("double") * col("ct") / col("t")
-    obs.join(broadcast(rowt), "event_type").join(broadcast(colt), "dow").crossJoin(broadcast(tot))
-      .select(col("event_type"), col("dow"), col("o"),
-        round(expected, 6).as("expected"),
-        round(pow(col("o") - expected, 2) / expected, 6).as("cell_chi2"))
+    graft.ml.Stats.chiSquareCells(
+      Tables.events(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow")),
+      "event_type", "dow")
       .orderBy("event_type", "dow")
   }
 
@@ -90,26 +83,10 @@ object Ml {
       |  round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
       |FROM u""".stripMargin,
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val src = Tables.events(s, dir).select(col("value").as("v"),
-      when(col("event_type") === "error", 1).otherwise(0).as("y"))
-    val bounds = src.agg(min("v").as("lo"), max("v").as("hi"))
-    val pv = src.crossJoin(broadcast(bounds))
-      .groupBy(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 256.0)), lit(255.0))
-        .cast("long").as("g"), col("v"))
-      .agg(sum(col("y")).as("ca"), sum(lit(1) - col("y")).as("cb"))
-    val wBin = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
-    val binpfx = pv.groupBy("g").agg(sum("cb").as("cbg"))
-      .select(col("g"), coalesce(sum(col("cbg")).over(wBin), lit(0L)).as("cb_bins_below"))
-    val wFine = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val fine = pv.withColumn("cb_in_bin_below", coalesce(sum(col("cb")).over(wFine), lit(0L)))
-    fine.join(broadcast(binpfx), "g")
-      .agg(sum("ca").as("n_pos"), sum("cb").as("n_neg"),
-        sum(col("ca") * (lit(2) * (col("cb_bins_below") + col("cb_in_bin_below")) + col("cb")))
-          .as("u2"))
-      .select(col("n_pos"), col("n_neg"),
-        round(col("u2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    graft.ml.Stats.aucBinned(
+      Tables.events(s, dir).select(col("value").as("v"),
+        when(col("event_type") === "error", 1).otherwise(0).as("y")),
+      "v", "y", bins = 256)
   }
 
   // --- q107: two-sample KS drift statistic (binned ECDF) --------------------
@@ -143,21 +120,10 @@ object Ml {
       |  round(max(abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
       |FROM cum CROSS JOIN tot GROUP BY n_a, n_b""".stripMargin,
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val src = Tables.orders(s, dir).select(col("o_totalprice").as("v"),
-      when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1).otherwise(0).as("is_a"))
-    val bounds = src.agg(min("v").as("lo"), max("v").as("hi"))
-    val binned = src.crossJoin(broadcast(bounds))
-      .groupBy(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 200.0)), lit(199.0))
-        .cast("long").as("bin"))
-      .agg(sum(col("is_a")).as("ca"), sum(lit(1) - col("is_a")).as("cb"))
-    val tot = binned.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = binned.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
-    cum.crossJoin(broadcast(tot))
-      .groupBy("n_a", "n_b")
-      .agg(round(max(abs(col("cum_a").cast("double") / col("n_a")
-        - col("cum_b").cast("double") / col("n_b"))), 6).as("ks_stat"))
+    graft.ml.Stats.ksBinned(
+      Tables.orders(s, dir).select(col("o_totalprice").as("v"),
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1).otherwise(0).as("is_a")),
+      "v", "is_a", bins = 200)
   }
 
   // --- z-score anomaly flags (per-group moments via exact decimal sums) ---

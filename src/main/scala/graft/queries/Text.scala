@@ -577,20 +577,7 @@ object Text {
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(s, 6) AS tfidf
       |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("s", col("tf").cast("double")
-        * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
-    val w = Window.partitionBy("doc_id").orderBy(col("s").desc, col("term"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk"), col("term"), round(col("s"), 6).as("tfidf"))
+    graft.text.Keywords.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rk")
   }
 

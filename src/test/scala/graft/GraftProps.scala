@@ -107,4 +107,35 @@ object GraftProps extends Properties("graft") {
         versionsOk && oneCurrent && chained
       }
     }
+
+  property("binned AUC equals the direct tie-corrected Mann-Whitney AUC") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0, 20), Gen.oneOf(0, 1)))
+        .suchThat(l => l.exists(_._2 == 1) && l.exists(_._2 == 0))
+    ) { rows =>
+      // integer scores with bins >= range make the binning lossless
+      val df = rows.toDF("v", "y").select(col("v").cast("double").as("v"), col("y"))
+      val auc = graft.ml.Stats.aucBinned(df, "v", "y", bins = 64)
+        .head().getAs[Double]("auc")
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+      val direct = u2.toDouble / (2.0 * pos.length * neg.length)
+      math.abs(auc - direct) < 1e-6
+    }
+
+  property("KS distance of a distribution against itself is zero") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0)).map(_.take(40))) { vs =>
+      val df = (vs.map((_, 1)) ++ vs.map((_, 0))).toDF("v", "f")
+      graft.ml.Stats.ksBinned(df, "v", "f", bins = 32)
+        .head().getAs[Double]("ks_stat") == 0.0
+    }
+
+  property("trend fit recovers an exact linear relation") =
+    Prop.forAll(Gen.choose(-5, 5), Gen.choose(-100, 100), Gen.choose(3, 25)) { (a, b, n) =>
+      val df = (0 until n).map(x => ("g", x.toLong, (a.toLong * x + b)))
+        .toDF("g", "x", "y")
+      val r = graft.ml.Stats.trendSlope(df, "g", "x", "y").head()
+      r.getAs[Double]("slope") == a.toDouble && r.getAs[Double]("intercept") == b.toDouble
+    }
 }
