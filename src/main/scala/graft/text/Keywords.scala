@@ -56,9 +56,15 @@ object Keywords {
         .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
     val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    bg.join(c2, "bigram").join(c1, "w1")
-      .withColumn("term",
-        round(log(col("n2").cast("double") / col("n1")), 9).cast("decimal(18,9)"))
+    // resolve p(w2|w1) on the VOCAB-sized tables first (w1 is a pure
+    // function of bigram), so the occurrence table is joined once,
+    // not twice — the expensive side of this plan is bg, not c1/c2
+    val probs = c2.withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .join(c1, "w1")
+      .select(col("bigram"),
+        round(log(col("n2").cast("double") / col("n1")), 9)
+          .cast("decimal(18,9)").as("term"))
+    bg.join(probs, "bigram")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("term")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
