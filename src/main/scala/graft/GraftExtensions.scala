@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, RollingHash, SqDist}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * codegen expressions with the SQL function registry, so
@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SqDist(children(0), children(1)),
     ))
   }
 }

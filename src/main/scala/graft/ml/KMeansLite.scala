@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SqDist
+
+/** From-scratch distributed Lloyd's k-means over an embedding column —
+  * the corpus-organization primitive (topic bucketing, stratified
+  * mixture design, IVF coarse quantizers all start here). Scale shape
+  * per iteration:
+  *
+  *   - **assignment** is map-only: the k×d centroid matrix rides to
+  *     executors as literal arrays (k·d·8 bytes — trivially broadcast),
+  *     each row folds k codegen [[graft.functions.SqDist]] loops and
+  *     takes the first argmin. No shuffle, no UDF.
+  *   - **update** is one keyed aggregation: `posexplode` to
+  *     (cluster, dim, x) then a (cluster, dim) group-by — k·d output
+  *     groups with map-side partial aggregation, so the shuffle is
+  *     k·d·partitions rows, independent of corpus size.
+  *   - the ONLY driver-side data ever collected is the k×d centroid
+  *     matrix and the per-iteration inertia scalar (the repo's
+  *     bounded-scalars rule); assignments stay distributed.
+  *
+  * Determinism: seeds are the k lowest-id vectors, centroid means and
+  * inertia are DECIMAL-summed (associative-exact at any partitioning),
+  * and argmin ties break toward the lowest cluster id — a re-run on a
+  * different partitioning reproduces the model bit for bit.
+  *
+  * The corpus projection is persisted MEMORY_AND_DISK across
+  * iterations (the multi-consumer convention; `Dedup.clearCaches`
+  * releases it).
+  */
+object KMeansLite {
+
+  /** Final distributed assignment plus the training trace. `inertia`
+    * has one entry per iteration (decimal-exact Σ round(dist, 9)); a
+    * correct Lloyd's run is non-increasing after each (assign, update)
+    * pair.
+    */
+  final case class KMeansResult(
+      assignment: DataFrame,
+      centroids: Array[Array[Double]],
+      inertia: Seq[Double],
+  )
+
+  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** One assignment step against literal centroids: appends
+    * (cluster, dist) to `cols` of `embs`. `vecCol` must already be
+    * array<double>. Ties (exactly equal distances) go to the lowest
+    * centroid index — `array_position` returns the FIRST match, which
+    * is the same row `row_number() OVER (ORDER BY dist, cid)` keeps.
+    */
+  def assign(embs: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
+    val dists = array(centroids.map(c => SqDist(col(vecCol), centroidLit(c))): _*)
+    embs.withColumn("__d", dists)
+      .withColumn("cluster", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .withColumn("dist", array_min(col("__d")))
+      .drop("__d")
+  }
+
+  /** Lloyd's for `iters` iterations from the k lowest-`idCol` seeds.
+    * Empty clusters keep their previous centroid (the standard
+    * degenerate-case rule; deterministic).
+    */
+  def lloyd(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): KMeansResult = {
+    require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
+    val corpus = graft.dedup.Dedup.persistTracked(
+      embs.select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v")))
+
+    var centroids: Array[Array[Double]] =
+      corpus.orderBy("__id").limit(k).select("__v")
+        .collect().map(_.getSeq[Double](0).toArray)
+    val inertia = Seq.newBuilder[Double]
+
+    for (_ <- 1 to iters) {
+      // One pass produces both the trace scalar and the k·d means.
+      val upd = assign(corpus, "__v", centroids.toSeq)
+        .select(col("cluster"), col("dist"), posexplode(col("__v")).as(Seq("p", "x")))
+        .groupBy("cluster", "p")
+        .agg(
+          (sum(col("x").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("m"),
+          sum(when(col("p") === 0, round(col("dist"), 9).cast("decimal(28,9)"))).as("sse"))
+        .collect()
+      inertia += upd.iterator.filter(_.getInt(1) == 0)
+        .map(r => Option(r.getDecimal(3)).fold(0.0)(_.doubleValue)).sum
+      val next = centroids.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    // Final assignment is consistent with the RETURNED centroids (one
+    // more map-only pass — no extra shuffle).
+    KMeansResult(
+      assign(corpus, "__v", centroids.toSeq)
+        .select(col("__id").as(idCol), col("cluster"), col("dist")),
+      centroids, inertia.result())
+  }
+}

@@ -8,7 +8,58 @@ import graft.similarity.{Pq, Similarity}
 object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
-    embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq)
+    embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign)
+
+  // --- q120: k-means cluster assignment + per-cluster profile --------------
+  // The oracle-checked half of KMeansLite (corpus topic bucketing /
+  // IVF coarse quantization): one deterministic Lloyd assignment step
+  // against the k=8 lowest-id seed vectors, reduced to the per-cluster
+  // profile (size + mean squared-L2 distance). The plan is the
+  // map-only assignment shape — the 8-row centroid side broadcasts
+  // into a single corpus scan, each row folds 8 codegen sq_dist loops,
+  // and the argmin window partitions by vec_id (8 rows per partition,
+  // never a global sort). The iterative trainer — centroid updates,
+  // inertia trace, empty-cluster rule — is KMeansLite.lloyd, spec'd in
+  // KMeansSpec (the assignment here is bit-equal to its iteration 1 by
+  // construction). Ties break to the lowest centroid id in both
+  // engines (row_number orders (dist, cid); array_position in the
+  // library takes the FIRST minimal element).
+  def kmeansAssign: Q = Q(
+    "q120_kmeans_assign",
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, c.cid, ${sqlSqDist("e.embedding", "c.cv")} AS dist
+       |      FROM embeddings e, c),
+       |best AS (SELECT vec_id, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |         FROM d)
+       |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(round(dist, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+       |    AS avg_dist
+       |FROM best WHERE rk = 1
+       |GROUP BY cid ORDER BY cluster""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cv"))
+    val scored = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.SqDist(col("ev"), col("cv")).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.queries.dsum(round(col("dist"), 6), 6) / count(lit(1)), 6).as("avg_dist"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB fragment: left-fold squared-L2 distance of lists a, b
+    * (bit-equal to the codegen [[graft.functions.SqDist]] fold). */
+  private def sqlSqDist(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
 
   // --- q103: IVF × PQ serving (rows-only) -----------------------------------
   // The extreme-scale composition (the FAISS layout): IVF cuts how
