@@ -51,7 +51,16 @@ object Bench {
     val qs = names.map { case (k, _) => "\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
     val total = names.map(n => best(n._1)).filter(_ >= 0).sum // failures excluded; marked -1 per query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // Tee the line to a file: stdout capture has truncated mid-stream
+    // before (BENCH_r05.json had parsed:null), so the round artifact
+    // must not depend on the pipe surviving.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

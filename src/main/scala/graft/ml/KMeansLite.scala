@@ -65,9 +65,13 @@ object KMeansLite {
     */
   def lloyd(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): KMeansResult = {
     require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
+    // Null/empty vectors would make every SqDist null (null cluster →
+    // NPE in the update loop) or vanish from the posexplode; exclude
+    // them from training and assignment up front.
     val corpus = graft.dedup.Dedup.persistTracked(
-      embs.select(col(idCol).as("__id"),
-        transform(col(vecCol), _.cast("double")).as("__v")))
+      embs.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .select(col(idCol).as("__id"),
+          transform(col(vecCol), _.cast("double")).as("__v")))
 
     var centroids: Array[Array[Double]] =
       corpus.orderBy("__id").limit(k).select("__v")
@@ -83,8 +87,13 @@ object KMeansLite {
           (sum(col("x").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("m"),
           sum(when(col("p") === 0, round(col("dist"), 9).cast("decimal(28,9)"))).as("sse"))
         .collect()
+      // Fold per-cluster SSEs in BigDecimal (exact, order-independent):
+      // collect() row order follows shuffle-block arrival, so a double
+      // fold here could differ across runs and break the bit-for-bit
+      // reproducibility contract.
       inertia += upd.iterator.filter(_.getInt(1) == 0)
-        .map(r => Option(r.getDecimal(3)).fold(0.0)(_.doubleValue)).sum
+        .map(r => Option(r.getDecimal(3)).getOrElse(java.math.BigDecimal.ZERO))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
       val next = centroids.map(_.clone())
       upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next

@@ -195,8 +195,8 @@ object MlPipeline {
         .setWithMean(true).setWithStd(true)))
       .fit(features).transform(features)
     // unpack the scaled vector back to columns for the forest
-    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
-    val arr = scaled.withColumn("f", toArr(col("scaled")))
+    val arr = scaled.withColumn("f",
+      org.apache.spark.ml.functions.vector_to_array(col("scaled")))
     val cols = FeatureCols.indices.map(i => col("f").getItem(i).as(s"z$i"))
     val flat = arr.select((col("event_id") +: col("user_id") +: cols): _*)
     val model = IsolationForestLite.fit(flat, FeatureCols.indices.map(i => s"z$i"))

@@ -54,10 +54,18 @@ object Embeddings {
       .orderBy("cluster")
   }
 
+  /** The embeddings-table dimensionality every oracle fragment below
+    * folds over. Tied to [[Similarity.Dim]] so a corpus dim change
+    * breaks one constant visibly instead of silently diverging the two
+    * engines (the Spark-side SqDist/dot folds min(len) elements; these
+    * SQL fragments fold exactly `EmbDim`).
+    */
+  private def EmbDim = Similarity.Dim // def: `val all` above runs at object init, before vals here
+
   /** DuckDB fragment: left-fold squared-L2 distance of lists a, b
     * (bit-equal to the codegen [[graft.functions.SqDist]] fold). */
   private def sqlSqDist(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, 65),
+    s"""list_reduce(list_transform(range(1, ${EmbDim + 1}),
        |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
        |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
 
@@ -122,7 +130,7 @@ object Embeddings {
 
   /** DuckDB fragment: left-fold double-precision dot of lists a·b. */
   private def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"

@@ -71,6 +71,12 @@ object Similarity {
 
   // ---- Random-hyperplane LSH ---------------------------------------------
 
+  /** Default hyperplane dimensionality (the test corpus's embedding
+    * width). Callers with other widths pass `dim` explicitly — planes
+    * are derived from (seed 42, dim) at first use, and a row whose
+    * vector length differs from `dim` raises at runtime instead of
+    * silently sketching a truncated prefix.
+    */
   val Dim = 64
   // 16 tables × 4 bits: recall@10 ≥ 0.8 on the weak-neighbor test
   // corpus (top-10 cosine ≈ 0.3, so per-table collision ≈ p^4 with
@@ -79,22 +85,41 @@ object Similarity {
   // same parameters prune far harder; recall is the invariant to pin.
   val Tables = 16
   val BitsPerTable = 4
-  /** Deterministic hyperplanes, seed 42: Tables×BitsPerTable planes. */
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic hyperplanes per dimensionality, seed 42:
+    * Tables×BitsPerTable planes of `dim` gaussians (the 64-d planes are
+    * bit-identical to the pre-parameterization ones — same seed, same
+    * draw order — so persisted indexes stay valid).
+    */
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def planes(dim: Int): Array[Array[Double]] =
+    planesCache.computeIfAbsent(dim, { d =>
+      val rnd = new scala.util.Random(42)
+      Array.fill(Tables * BitsPerTable)(Array.fill(d)(rnd.nextGaussian()))
+    })
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+
+  /** Row-level dimensionality guard: a vector whose length differs from
+    * `dim` must fail loudly, not sketch on a truncated prefix. The
+    * check rides in a FILTER (a raise_error projection would be
+    * column-pruned away by actions that don't read it, e.g. count()).
+    */
+  private def dimGuard(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.filter(when(size(col(vecCol)) === dim, lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"graft LSH: expected $dim-d vector in '$vecCol', got length "),
+        size(col(vecCol)).cast("string")))))
 
   /** (id, table_id, bucket) sketch table: bucket = sign bits of the
     * vector against this table's hyperplanes. Pure per-row compute.
     */
-  def sketches(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def sketches(embs0: DataFrame, idCol: String, vecCol: String, dim: Int = Dim): DataFrame = {
+    val embs = dimGuard(embs0, vecCol, dim)
     val v = asDouble(col(vecCol))
     val tableBuckets = (0 until Tables).map { t =>
       val bits = (0 until BitsPerTable).map { j =>
-        when(dot(v, planeLit(planes(t * BitsPerTable + j))) > 0, 1 << j).otherwise(0)
+        when(dot(v, planeLit(planes(dim)(t * BitsPerTable + j))) > 0, 1 << j).otherwise(0)
       }
       struct(lit(t).as("table_id"), bits.reduce(_ + _).as("bucket"))
     }
@@ -193,17 +218,20 @@ object Similarity {
     * plain Scala from the seeded hyperplanes — no Spark job, so a
     * serving path can prune partitions before any scan starts.
     */
-  def queryBuckets(qv: Array[Double]): Seq[(Int, Int)] =
+  def queryBuckets(qv: Array[Double], dim: Int = Dim): Seq[(Int, Int)] = {
+    require(qv.length == dim,
+      s"graft LSH: expected $dim-d query vector, got length ${qv.length}")
     (0 until Tables).map { t =>
       val bucket = (0 until BitsPerTable).map { j =>
-        val p = planes(t * BitsPerTable + j)
+        val p = planes(dim)(t * BitsPerTable + j)
         var d = 0.0
         var i = 0
-        while (i < math.min(p.length, qv.length)) { d += p(i) * qv(i); i += 1 }
+        while (i < dim) { d += p(i) * qv(i); i += 1 }
         if (d > 0) 1 << j else 0
       }.sum
       (t, bucket)
     }
+  }
 
   /** Persist the LSH layout: sketches land partitioned by
     * (table_id, bucket) next to the vectors, so serving a query is
@@ -211,8 +239,9 @@ object Similarity {
     * never the full sketch table. Build once, probe many (the IVF
     * [[writeIvfIndex]] pattern for the LSH family).
     */
-  def writeLshIndex(embs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
-    sketches(embs, idCol, vecCol).write
+  def writeLshIndex(embs: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int = Dim): Unit = {
+    sketches(embs, idCol, vecCol, dim).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("table_id", "bucket").parquet(path + "/sketches")
     embs.select(col(idCol), col(vecCol)).write
@@ -227,8 +256,8 @@ object Similarity {
     */
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, qv: Array[Double], k: Int,
-      excludeId: Option[Long] = None): DataFrame = {
-    val probe = queryBuckets(qv)
+      excludeId: Option[Long] = None, dim: Int = Dim): DataFrame = {
+    val probe = queryBuckets(qv, dim)
       .map { case (t, b) => col("table_id") === t && col("bucket") === b }
       .reduce(_ || _)
     val cand = spark.read.parquet(path + "/sketches")
@@ -269,7 +298,8 @@ object Similarity {
       .repartition(col(idCol))
 
   def lshNearDupPairs(embs0: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bucketCap: Int = 2000, preDedup: Boolean = true): DataFrame = {
+      threshold: Double, bucketCap: Int = 2000, preDedup: Boolean = true,
+      dim: Int = Dim): DataFrame = {
     // near-dup composes AFTER exact dedup, like the whole dedup family
     val embs = if (preDedup) exactVectorRepresentatives(embs0, idCol, vecCol) else embs0
     // both intermediates have two consumers (withNorm: the id_a and
@@ -279,7 +309,7 @@ object Similarity {
     // exact-representative groupBy recompute per consumer
     val withNorm = graft.dedup.Dedup.persistTracked(embs.select(col(idCol),
       asDouble(col(vecCol)).as("v"), norm(asDouble(col(vecCol))).as("nrm")))
-    val sk0 = graft.dedup.Dedup.persistTracked(sketches(embs, idCol, vecCol))
+    val sk0 = graft.dedup.Dedup.persistTracked(sketches(embs, idCol, vecCol, dim))
     val sk = if (bucketCap > 0) {
       val hot = graft.dedup.Dedup.observeDrops(
         sk0.groupBy("table_id", "bucket").agg(count(lit(1)).as("n"))
@@ -335,13 +365,13 @@ object Similarity {
     * candidate set only. Recall/cost tunes via Tables × BitsPerTable.
     */
   def annTopK(embs: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int, dim: Int = Dim): DataFrame = {
     // sketch the ONE query row separately instead of filtering the
     // full sketch table — the corpus is sketched exactly once (the
     // previous shape computed all n×16 hyperplane projections twice)
-    val qsk = sketches(embs.filter(col(idCol) === queryId), idCol, vecCol)
+    val qsk = sketches(embs.filter(col(idCol) === queryId), idCol, vecCol, dim)
       .select(col("table_id"), col("bucket"))
-    val candidates = sketches(embs, idCol, vecCol)
+    val candidates = sketches(embs, idCol, vecCol, dim)
       .join(broadcast(qsk), Seq("table_id", "bucket"))
       .filter(col(idCol) =!= queryId)
       .select(idCol).distinct()

@@ -131,6 +131,44 @@ class SimilaritySpec extends SparkSpec {
     assert(sk.count() === n * Similarity.Tables)
   }
 
+  test("LSH dim is parameterized: non-64-d corpus sketches on its own planes; mismatch raises") {
+    // 16-d toy corpus: three tight near-dup clusters around orthogonal
+    // directions plus deterministic jitter — near-dups collide in some
+    // table with overwhelming probability at 4 bits/table.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 30).map { i =>
+      val base = Array.fill(dim)(0.0)
+      base((i % 3) * 5) = 1.0
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    // every vector sketches into exactly Tables buckets at dim=16
+    assert(Similarity.sketches(embs, "vec_id", "embedding", dim).count()
+      === 30L * Similarity.Tables)
+    // near-dup recall on the clustered corpus is 1.0: all same-cluster
+    // pairs have cosine ≈ 1 and must be found
+    val found = Similarity.lshNearDupPairs(embs, "vec_id", "embedding",
+      threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0 until 30; b <- (a + 1) until 30; if a % 3 == b % 3
+    } yield (a.toLong, b.toLong)).toSet
+    assert(found === expected)
+    // a mismatched declared dim fails loudly instead of truncating
+    val ex = intercept[Exception] {
+      Similarity.sketches(embs, "vec_id", "embedding", 64).count()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(rootMessages)
+    assert(rootMessages(ex).exists(_.contains("expected 64-d vector")),
+      s"unexpected failure: $ex")
+    // and the driver-side probe check matches
+    intercept[IllegalArgumentException] {
+      Similarity.queryBuckets(Array.fill(dim)(1.0), 64)
+    }
+  }
+
   test("blocked pair search only compares within blocks") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pairs = Similarity.blockedPairs(embs, "vec_id", "embedding", "label", -1.0)
