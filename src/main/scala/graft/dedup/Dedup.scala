@@ -254,27 +254,69 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: per-token xxhash64, bit j of the
-    * signature is the sign of Σ_tokens (±1 on bit j). One explode + one
+  /** 64-bit SimHash over word tokens: per-token hash, bit j of the
+    * signature is the sign of Σ_tokens sign_j(token). One explode + one
     * groupBy; the 64 bit-sums partial-aggregate map-side.
     *
     * Composes after exact dedup by default (like [[jaccardPairs]] /
     * [[minhashSignatures]]): k identical copies share one signature and
     * would otherwise multiply the band join's fan-out by k².
+    *
+    * Defaults use xxhash64 with bit j read straight off the hash; the
+    * hooks exist so [[simhashPoly]] can swap in an engine-portable hash
+    * family (xxhash64 exists only in Spark, so the default signature
+    * cannot be recomputed by an external SQL oracle).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      preDedup: Boolean = true): DataFrame = {
+      preDedup: Boolean = true,
+      tokenHash: Column => Column = xxhash64(_),
+      bitSign: (Column, Int) => Column =
+        (h, j) => when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)): DataFrame = {
     val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
     val tok = base.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
+      .select(col(idCol), tokenHash(col("t")).as("h"))
+    val bitSums = (0 until 64).map(j => sum(bitSign(col("h"), j)).as(s"b$j"))
     tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
         (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
+
+  // ---- oracle-replicable SimHash hash family ------------------------------
+  // Per-token hash: the q43 polynomial fold h = (h·131 + byte) mod P
+  // (P = 1e9+7) over the token's characters — pure integer arithmetic
+  // any ANSI engine can replicate. Per-bit sign: a seeded universal
+  // rehash sign_j(h) = [(a_j·h + b_j) mod P < P/2] ? +1 : −1; all
+  // products stay < 2^62, so 64-bit signed arithmetic never overflows
+  // in either engine.
+
+  val PolyPrime = 1000000007L
+  val PolyHalf: Long = PolyPrime / 2 // 500000003
+  /** Seeded per-bit universal-hash coefficients (a_j ∈ [1, 2^31), b_j ∈ [0, 2^31)). */
+  val (simhashBitA, simhashBitB) = {
+    val rnd = new scala.util.Random(4242)
+    (Array.fill(64)(1L + rnd.nextInt(Int.MaxValue - 2)),
+      Array.fill(64)(rnd.nextInt(Int.MaxValue - 1).toLong))
+  }
+
+  /** Polynomial token hash (ASCII corpus contract, like q43: ascii(c)
+    * equals the UTF-8 byte).
+    */
+  def polyTokenHash(t: Column): Column =
+    aggregate(split(t, ""), lit(0L),
+      (h, c) => pmod(h * lit(131L) + ascii(c).cast("long"), lit(PolyPrime)))
+
+  /** SimHash whose signature an external SQL oracle can recompute
+    * bit-for-bit (see q42's DuckDB twin). Same plan shape as the
+    * xxhash64 default — one explode, one 64-sum groupBy.
+    */
+  def simhashPoly(df: DataFrame, idCol: String, textCol: String,
+      preDedup: Boolean = true): DataFrame =
+    simhash(df, idCol, textCol, preDedup,
+      tokenHash = polyTokenHash,
+      bitSign = (h, j) =>
+        when(pmod(h * lit(simhashBitA(j)) + lit(simhashBitB(j)), lit(PolyPrime)) < lit(PolyHalf), 1)
+          .otherwise(-1))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming, found by
     * banding the 64-bit signature into 4×16-bit keys (any exact-band

@@ -137,19 +137,75 @@ object Text {
       .orderBy("id_a", "id_b")
   }
 
-  // --- MinHash + LSH near-dups (rows-only: xxhash64 not in DuckDB) --------
-  def minhashLsh: Q = Q.rowsOnly("q41_minhash_lsh") { (s, dir) =>
-    val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
-    Dedup.lshCandidates(sigs, "doc_id")
-      .filter(col("est_jaccard") >= 0.5)
+  // --- MinHash + LSH recall invariant (oracle-checked twin) ----------------
+  // The LSH banding guarantee made driver-visible: every exact-Jaccard
+  // pair at the q40 threshold must appear among the LSH candidate pairs
+  // (recall 1.0 — the SimilaritySpec/DedupSpec claim). The query emits
+  // the set difference exact ∖ candidates; the oracle computes the
+  // expected answer — empty — so a single missed pair turns the row
+  // red with the pair named. The xxhash64 signatures themselves stay
+  // engine-internal; only the invariant is cross-checked.
+  def minhashLsh: Q = Q(
+    "q41_minhash_lsh",
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+      |WHERE FALSE""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs, "doc_id").select("id_a", "id_b")
+    exact.join(cands, Seq("id_a", "id_b"), "left_anti")
       .orderBy("id_a", "id_b")
   }
 
-  // --- SimHash near-dups (rows-only) --------------------------------------
-  def simhashPairs: Q = Q.rowsOnly("q42_simhash") { (s, dir) =>
-    val sh = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-    Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
-      .orderBy("id_a", "id_b")
+  // --- SimHash near-dups (oracle-checked via the poly hash family) ---------
+  // Dedup.simhashPoly's signature is pure 64-bit integer arithmetic
+  // (q43's polynomial token hash + seeded universal-rehash bit signs),
+  // so DuckDB recomputes the signatures bit-for-bit and the full pair
+  // set — banding, bucket cap, Hamming ≤ 3 via bit_count(xor) — is
+  // hash-checked. The xxhash64 default variant remains the production
+  // path (Dedup.simhash); this query pins the family's semantics.
+  def simhashPairs: Q = {
+    val P = Dedup.PolyPrime
+    val bitSums = (0 until 64).map(j =>
+      s"SUM(CASE WHEN (h * ${Dedup.simhashBitA(j)} + ${Dedup.simhashBitB(j)}) % $P" +
+        s" < ${Dedup.PolyHalf} THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val sigExpr = (0 until 64).map { j =>
+      // 1<<63 overflows DuckDB's left shift; bit 63 is the sign bit
+      val bit = if (j == 63) "CAST(-9223372036854775808 AS BIGINT)" else s"(1::BIGINT << $j)"
+      s"CASE WHEN b$j > 0 THEN $bit ELSE 0::BIGINT END"
+    }.mkString(" | ")
+    val masks = (0 until 4).map(k => 0xffffL << (16 * k)).mkString(", ")
+    Q(
+      "q42_simhash",
+      s"""WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM dd),
+         |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |         (h, b) -> (h * 131 + b) % $P) AS h FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+         |banded AS (SELECT doc_id, simhash, band_id,
+         |             simhash & ([$masks])[band_id + 1] AS band_val
+         |           FROM sig, UNNEST([0, 1, 2, 3]) AS u(band_id)),
+         |hot AS (SELECT band_id, band_val FROM banded
+         |        GROUP BY 1, 2 HAVING count(*) > 1000),
+         |bd AS (SELECT * FROM banded b WHERE NOT EXISTS (
+         |         SELECT 1 FROM hot h
+         |         WHERE h.band_id = b.band_id AND h.band_val = b.band_val)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |          FROM bd a JOIN bd b
+         |            ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |           AND a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    ) { (s, dir) =>
+      val sh = Dedup.simhashPoly(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }
   }
 
   // --- rolling-hash fingerprint (native codegen Expression) ---------------

@@ -61,6 +61,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((0L, 2L)).forall(_ <= 3))
   }
 
+  test("simhashPoly (oracle-replicable hash family) behaves like a simhash") {
+    val sh = Dedup.simhashPoly(docs, "doc_id", "text", preDedup = false)
+    val pairs = Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((0L, 1L)) === 0) // identical docs: identical signatures
+    // signatures use all 64 bits (bit signs are universal rehashes of
+    // the ~30-bit polynomial hash, not its raw — biased — high bits)
+    val sig = sh.filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .head().getLong(1)
+    assert(sig != 0L && java.lang.Long.bitCount(sig) > 8 && java.lang.Long.bitCount(sig) < 56)
+  }
+
   test("simhash default composes after exact dedup: copies collapse to representatives") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     assert(sh.count() === 3) // 0 (rep of 0,1), 2, 3 — copy id 1 is gone
