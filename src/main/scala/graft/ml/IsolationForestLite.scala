@@ -101,11 +101,11 @@ object IsolationForestLite {
     */
   def transform(df: DataFrame, model: Model, featureCols: Seq[String],
       contamination: Double = 0.05, exactThreshold: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
-    val scoreUdf = udf((xs: Seq[Double]) => bc.value.score(xs.toArray))
+    // codegen expression over the embedded (bounded-size) forest — no
+    // UDF dispatch, no per-row Seq boxing
     val scored = df.withColumn("anomaly_score",
-      scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
+      graft.functions.IForestScore(
+        array(featureCols.map(c => col(c).cast("double")): _*), model))
     val pct =
       if (exactThreshold) s"percentile(anomaly_score, ${1.0 - contamination})"
       else s"approx_percentile(anomaly_score, ${1.0 - contamination}, 10000)"

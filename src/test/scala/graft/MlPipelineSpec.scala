@@ -84,6 +84,23 @@ class MlPipelineSpec extends SparkSpec {
     assert(scored.filter(col("id") === 9999L).head().getAs[Int]("is_anomaly") === 1)
   }
 
+  test("iforest scoring expression survives codegen with fallback disabled") {
+    // fallback=false makes a Janino compile failure throw instead of
+    // silently reverting to interpreted eval — pins that the embedded
+    // forest reference object really generates compilable Java
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i % 13).toDouble, (i % 7).toDouble))
+      .toDF("id", "x", "y")
+    val model = IsolationForestLite.fit(df, Seq("x", "y"), numTrees = 10)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val scored = df.withColumn("s",
+        graft.functions.IForestScore(array(col("x"), col("y")), model))
+      val ss = scored.select("s").collect().map(_.getDouble(0))
+      assert(ss.forall(s => s > 0.0 && s < 1.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("exact and approx contamination thresholds agree (J7 scale flag)") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, (i % 97).toDouble, (i * 7 % 89).toDouble))
