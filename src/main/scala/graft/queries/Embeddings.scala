@@ -8,7 +8,8 @@ import graft.similarity.{Pq, Similarity}
 object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
-    embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign)
+    embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
+    semDedup)
 
   // --- q120: k-means cluster assignment + per-cluster profile --------------
   // The oracle-checked half of KMeansLite (corpus topic bucketing /
@@ -52,6 +53,73 @@ object Embeddings {
       .agg(count(lit(1)).as("n"),
         round(graft.queries.dsum(round(col("dist"), 6), 6) / count(lit(1)), 6).as("avg_dist"))
       .orderBy("cluster")
+  }
+
+  // --- q121: SemDeDup semantic deduplication -------------------------------
+  // The embedding-space member of the dedup family (Abbas et al. 2023):
+  // k-means cells are the blocking keys, semantic duplicates are
+  // high-cosine pairs WITHIN a cell, survivors are the min-id
+  // representative of each connected component (transitive, like q75).
+  // For oracle parity the cell assignment here is ONE seeded
+  // assignment step against the k=8 lowest-id seed vectors — exactly
+  // q120's oracle-proven shape, replicated in DuckDB below along with
+  // the in-cell cosine pairs, exact-vector edges, and a recursive-CTE
+  // transitive closure. The full Lloyd-trained path
+  // (Similarity.semDedup) is spec-gated in SimilaritySpec; the
+  // composition — blocked keyed pair join, exact-dup collapse first,
+  // pointer-jumping components — is identical.
+  def semDedup: Q = Q(
+    "q121_semdedup",
+    s"""WITH RECURSIVE
+       |dd AS (SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, c.cid, ${sqlSqDist("e.embedding", "c.cv")} AS dist
+       |      FROM dd e, c),
+       |best AS (SELECT vec_id, cid FROM (
+       |           SELECT vec_id, cid,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |           FROM d) WHERE rk = 1),
+       |withc AS (SELECT b.cid, e.vec_id, e.embedding
+       |          FROM dd e JOIN best b ON b.vec_id = e.vec_id),
+       |near AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM withc a JOIN withc b
+       |           ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |         WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35),
+       |exacts AS (SELECT e.vec_id AS id_a, r.vec_id AS id_b
+       |           FROM embeddings e JOIN dd r
+       |             ON e.embedding = r.embedding AND e.vec_id <> r.vec_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+       |          UNION SELECT id_b, id_a FROM near
+       |          UNION SELECT id_a, id_b FROM exacts
+       |          UNION SELECT id_b, id_a FROM exacts),
+       |reach(id, lab) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |SELECT em.vec_id, em.label
+       |FROM embeddings em
+       |JOIN clusters cl ON em.vec_id = cl.id AND em.vec_id = cl.cluster_id
+       |ORDER BY em.vec_id""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    // one seeded assignment step (q120's shape) as the blocking —
+    // lazy, broadcastable, and replicable by the SQL oracle
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cv"))
+    val assignment = { reps: org.apache.spark.sql.DataFrame =>
+      val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+      reps.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          graft.functions.SqDist(col("ev"), col("cv")).as("dist"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+    }
+    Similarity.semDedupSurvivors(e, "vec_id", "embedding", 0.35, assignment)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
   }
 
   /** The embeddings-table dimensionality every oracle fragment below

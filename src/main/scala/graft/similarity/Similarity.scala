@@ -297,6 +297,59 @@ object Similarity {
       // sketch explode (AQE would have coalesced it)
       .repartition(col(idCol))
 
+  /** Member → min-id representative edges over identical vectors (the
+    * embedding analogue of `Clusters.exactEdges`): a window over the
+    * vector groups, no self-join. Composes with semantic near-dup
+    * pairs so components span exact copies AND their paraphrases.
+    */
+  def exactVectorEdges(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))
+    embs.select(col(idCol).as("src"), min(col(idCol)).over(w).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus in embedding space, call two
+    * documents semantic duplicates when their cosine within a cluster
+    * clears `threshold`, and keep exactly the min-id representative of
+    * every connected component. The cluster id is the blocking key —
+    * pair generation is the [[blockedPairs]] keyed join, never O(n²) —
+    * and exact-duplicate vectors collapse FIRST (the dedup-family
+    * composition: k copies would otherwise multiply a block's pair
+    * fan-out by k²), re-joining the survivors via [[exactVectorEdges]].
+    *
+    * `clusterOf` maps the representative table to (idCol, cluster) —
+    * [[semDedup]] plugs in the from-scratch Lloyd trainer; the
+    * oracle-checked q121 uses a single seeded assignment step so an
+    * external engine can replicate the blocks.
+    *
+    * Returns the surviving rows of `embs`, all columns intact.
+    */
+  def semDedupSurvivors(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, clusterOf: DataFrame => DataFrame): DataFrame = {
+    // two consumers (clusterOf and the blocked join) — materialize once
+    val reps = graft.dedup.Dedup.persistTracked(
+      exactVectorRepresentatives(embs, idCol, vecCol))
+    val blocked = reps.join(clusterOf(reps).select(col(idCol), col("cluster")), Seq(idCol))
+    val near = blockedPairs(blocked, idCol, vecCol, "cluster", threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = near.unionByName(exactVectorEdges(embs, idCol, vecCol))
+    val reps2 = graft.dedup.Clusters
+      .connectedComponents(embs.select(idCol), idCol, edges, "src", "dst")
+      .filter(col(idCol) === col("cluster_id"))
+      .select(idCol)
+    embs.join(reps2, Seq(idCol), "left_semi")
+  }
+
+  /** One-call SemDeDup with [[graft.ml.KMeansLite]] blocks — the
+    * embedding-space sibling of `Dedup.dedupCorpus`. Deterministic end
+    * to end: seeded Lloyd's, exact cosine filter, min-label components.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame =
+    semDedupSurvivors(embs, idCol, vecCol, threshold, reps =>
+      graft.ml.KMeansLite.lloyd(reps, idCol, vecCol, k, iters).assignment)
+
   def lshNearDupPairs(embs0: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucketCap: Int = 2000, preDedup: Boolean = true,
       dim: Int = Dim): DataFrame = {

@@ -169,6 +169,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup (lloyd blocks) keeps one representative per semantic component; pair join is keyed") {
+    // three semantic groups around orthogonal directions (ids
+    // interleaved so the k lowest-id seeds span the groups), plus exact
+    // copies of id 0 at high ids — copies must collapse via exact
+    // edges, paraphrases via in-cell cosine, transitively.
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 30).map { i =>
+      val v = Array.fill(dim)(0.0)
+      v((i % 3) * 2) = 1.0
+      (i.toLong, v.map(x => (x + rnd.nextGaussian() * 0.005).toFloat))
+    }
+    val copies = Seq(100L, 101L).map(id => (id, base.head._2.clone()))
+    val embs = (base ++ copies).toDF("vec_id", "embedding")
+    val surv = Similarity.semDedup(embs, "vec_id", "embedding",
+      k = 3, iters = 2, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv === Set(0L, 1L, 2L))
+    // the semantic pair join is blocked (keyed on the cluster id) —
+    // never a cartesian product
+    val reps = Similarity.exactVectorRepresentatives(embs, "vec_id", "embedding")
+    val km = graft.ml.KMeansLite.lloyd(reps, "vec_id", "embedding", 3, 2)
+    val near = Similarity.blockedPairs(
+      reps.join(km.assignment.select("vec_id", "cluster"), "vec_id"),
+      "vec_id", "embedding", "cluster", 0.95)
+    val plan = near.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic pair join is not keyed:\n$plan")
+  }
+
   test("blocked pair search only compares within blocks") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pairs = Similarity.blockedPairs(embs, "vec_id", "embedding", "label", -1.0)
