@@ -156,7 +156,7 @@ object Pq {
       nCells: Int, path: String, m: Int = 16, k: Int = 16, seed: Long = 42L): Unit = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val (indexed, model) = Similarity.ivfIndex(embs, idCol, vecCol, nCells, seed)
+    val (indexed, cellCentroids) = Similarity.ivfIndex(embs, idCol, vecCol, nCells)
     val cb = train(embs, vecCol, m, k, seed = seed)
     val v = Similarity.asDouble(col(vecCol))
     indexed
@@ -165,8 +165,8 @@ object Pq {
         Similarity.norm(v).as("nrm"), col(vecCol))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path + "/vectors")
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    cellCentroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/centroids")
     cb.centroids.zipWithIndex.flatMap { case (cents, j) =>

@@ -127,38 +127,36 @@ object Similarity {
       .select(col(idCol), col("s.table_id"), col("s.bucket"))
   }
 
-  /** IVF index: partition vectors by nearest KMeans centroid (MLlib,
-    * seeded). Queries probe the `nProbe` nearest centroids and scan
-    * only those cells — the inverted-file ANN layout; at warehouse
-    * scale each cell is a parquet partition and probing is partition
-    * pruning.
+  /** IVF index: partition vectors by nearest k-means centroid
+    * ([[graft.ml.KMeansLite]] — the from-scratch seeded Lloyd's, so the
+    * coarse quantizer is bit-reproducible and the ANN path carries no
+    * MLlib dependency). Queries probe the `nProbe` nearest centroids
+    * and scan only those cells — the inverted-file ANN layout; at
+    * warehouse scale each cell is a parquet partition and probing is
+    * partition pruning. Returns (indexed rows with a `cell` column,
+    * the nCells×d centroid matrix).
     */
   def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // cache the vectorized input: KMeans iterates over it maxIter times
-    val withVec = embs.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("__v")
-      .fit(withVec)
-    (model.transform(withVec).withColumnRenamed("prediction", "cell").drop("__v"), model)
+      nCells: Int, iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
+    val km = graft.ml.KMeansLite.lloyd(embs, idCol, vecCol, nCells, iters)
+    (embs.join(km.assignment.select(col(idCol), col("cluster").as("cell")), Seq(idCol)),
+      km.centroids)
   }
 
   /** IVF top-k: score only the cells whose centroids are nearest the
     * query vector. nProbe/nCells trades recall for scan fraction.
     */
-  def ivfTopK(indexed: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+  def ivfTopK(indexed: DataFrame, centroids: Array[Array[Double]],
       idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     val qRow = indexed.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("qv")).head()
     val qv = qRow.getSeq[Double](0).toArray
-    // rank probe cells by the same metric KMeans assigned with
+    // rank probe cells by the same metric the quantizer assigned with
     // (Euclidean), not dot product — mismatched metrics probe the
     // wrong cells for unnormalized vectors
-    val cells = model.clusterCenters.zipWithIndex
+    val cells = centroids.zipWithIndex
       .sortBy { case (c, _) =>
-        c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
       }
       .take(nProbe).map(_._2)
     val q = indexed.filter(col(idCol) === queryId)
@@ -179,14 +177,14 @@ object Similarity {
     * the wrong plan at scale; build once, probe many.
     */
   def writeIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, path: String, seed: Long = 42L): Unit = {
+      nCells: Int, path: String): Unit = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val (indexed, model) = ivfIndex(embs, idCol, vecCol, nCells, seed)
+    val (indexed, centroids) = ivfIndex(embs, idCol, vecCol, nCells)
     indexed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path + "/vectors")
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/centroids")
   }

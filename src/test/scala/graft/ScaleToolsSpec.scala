@@ -49,10 +49,10 @@ class ScaleToolsSpec extends SparkSpec {
 
   test("IVF probes a subset of cells and still finds near neighbors") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
-    val (indexed, model) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val (indexed, centroids) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
     val cached = indexed.cache()
     assert(cached.select("cell").distinct().count() <= 8)
-    val ivf = Similarity.ivfTopK(cached, model, "vec_id", "embedding", 0L, 10, nProbe = 3)
+    val ivf = Similarity.ivfTopK(cached, centroids, "vec_id", "embedding", 0L, 10, nProbe = 3)
       .collect().map(_.getLong(0)).toSet
     val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet
@@ -63,8 +63,8 @@ class ScaleToolsSpec extends SparkSpec {
     val qv = embs.filter(col("vec_id") === 0L)
       .selectExpr("transform(embedding, x -> cast(x as double)) v")
       .head().getSeq[Double](0).toArray
-    val probeCells = model.clusterCenters.zipWithIndex
-      .sortBy { case (c, _) => c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum }
       .take(3).map(_._2)
     val probed = cached.filter(col("cell").isin(probeCells: _*)).count()
     assert(probed > 0 && probed < cached.count())
@@ -87,8 +87,8 @@ class ScaleToolsSpec extends SparkSpec {
     assert(scan.get.selectedPartitions.partitionCount === 3,
       s"scanned ${scan.get.selectedPartitions.partitionCount} partitions")
     // and the result agrees with refitting + probing in memory
-    val (indexed, model) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
-    val inMem = Similarity.ivfTopK(indexed, model, "vec_id", "embedding", 0L, 10, nProbe = 3)
+    val (indexed, centroids) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val inMem = Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding", 0L, 10, nProbe = 3)
       .collect().map(_.getLong(0)).toSeq
     assert(topk.collect().map(_.getAs[Long]("vec_id")).toSeq === inMem)
   }
