@@ -32,6 +32,11 @@ class MultimodalSpec extends SparkSpec {
     val resized = Multimodal.resizeImages(corpus, 32, 32).cache()
     val images = resized.filter(_.media_type == "image").collect()
     assert(images.forall(m => m.meta.width === 32 && m.meta.height === 32))
+    // synthesized images are real PNGs, so the resize is a real
+    // resample: the output decodes to the requested dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(images.head.content))
+    assert(back.getWidth === 32 && back.getHeight === 32)
     val audio0 = corpus.filter(_.media_type == "audio").head()
     val audio1 = resized.filter(_.media_type == "audio").head()
     assert(audio0.content.toSeq === audio1.content.toSeq)
@@ -93,6 +98,84 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.head.mean_intensity === (128 + 255 + 0 + 192) / 4.0)
     // non-audio bytes fall back to the stub instead of throwing
     assert(Multimodal.WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("AviCodec decodes an uncompressed DIB AVI to exact luminance frames") {
+    // two 2×2 frames of known BGR pixels; DIB rows are bottom-up and
+    // padded to a 4-byte stride (2 px × 3 B = 6 B → stride 8)
+    def dibFrame(topRow: Seq[(Int, Int, Int)], botRow: Seq[(Int, Int, Int)]): Array[Byte] = {
+      def row(px: Seq[(Int, Int, Int)]): Array[Byte] =
+        px.flatMap { case (r, g, b) => Seq(b.toByte, g.toByte, r.toByte) }.toArray ++
+          Array[Byte](0, 0)
+      row(botRow) ++ row(topRow) // bottom-up storage
+    }
+    val f0 = dibFrame(Seq((255, 255, 255), (0, 0, 0)), Seq((255, 0, 0), (128, 128, 128)))
+    val f1 = dibFrame(Seq((0, 255, 0), (0, 0, 255)), Seq((0, 0, 0), (255, 255, 255)))
+    val avi = Multimodal.AviCodec.encode(2, 2, 5, Seq(f0, f1), mjpeg = false)
+    val v = Multimodal.AviCodec.decode(avi).get
+    assert(v.width === 2 && v.height === 2)
+    assert(v.microSecPerFrame === 200000L)
+    assert(v.frames.length === 2)
+    assert(v.durationMs === 400L)
+    // BT.601 integer luminance, row-major top-down: matches ImageIoCodec's law
+    assert(Multimodal.AviCodec.frameLuminance(v, 0).get.map(_ & 0xff).toSeq
+      === Seq(255, 0, 76, 128))
+    assert(Multimodal.AviCodec.frameLuminance(v, 1).get.map(_ & 0xff).toSeq
+      === Seq(587 * 255 / 1000, 114 * 255 / 1000, 0, 255))
+    // non-AVI bytes degrade to None, never throw
+    assert(Multimodal.AviCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.AviCodec.decode("RIFF????junk".getBytes).isEmpty)
+  }
+
+  test("AviCodec round-trips MJPEG frames through the real JPEG decoder") {
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      img
+    }
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.AviCodec.encode(16, 16, 5,
+      Seq(jpeg(solid(0xffffff)), jpeg(solid(0x000000)), jpeg(solid(0x808080))), mjpeg = true)
+    val v = Multimodal.AviCodec.decode(avi).get
+    assert(v.frames.length === 3)
+    // JPEG is lossy — solid frames decode to within quantization error
+    val means = (0 until 3).map { i =>
+      val px = Multimodal.AviCodec.frameLuminance(v, i).get
+      px.map(_ & 0xff).sum.toDouble / px.length
+    }
+    assert(math.abs(means(0) - 255.0) < 3.0)
+    assert(math.abs(means(1) - 0.0) < 3.0)
+    assert(math.abs(means(2) - 128.0) < 3.0)
+  }
+
+  test("sampled frames from synthesized video are real standalone JPEGs") {
+    val frames = Multimodal.sampleFrames(corpus, everyMs = 1000L).collect()
+    assert(frames.nonEmpty)
+    // every sampled frame starts with the JPEG SOI marker and decodes
+    // through ImageIO at the synthesized 16×16 frame size
+    assert(frames.forall(f =>
+      (f.frame_bytes(0) & 0xff) == 0xff && (f.frame_bytes(1) & 0xff) == 0xd8))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.head.frame_bytes))
+    assert(img.getWidth === 16 && img.getHeight === 16)
+    // and extractFeatures on video rows uses decoded luminance: a video
+    // of solid black frames must have mean 0-ish, not a byte-stream stat
+    import spark.implicits._
+    def jpeg(rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    val black = Multimodal.AviCodec.encode(16, 16, 5, Seq(jpeg(0), jpeg(0)), mjpeg = true)
+    val item = Multimodal.MediaItem(11L, "video", black, Multimodal.MediaMeta(16, 16, 400L, "avi-mjpg"))
+    val feats = Multimodal.extractFeatures(Seq(item).toDS()).collect()
+    assert(feats.head.mean_intensity < 3.0)
   }
 
   test("table shape round-trips through parquet with binary column") {
