@@ -13,10 +13,11 @@ import graft.functions.SqDist
   *     executors as literal arrays (k·d·8 bytes — trivially broadcast),
   *     each row folds k codegen [[graft.functions.SqDist]] loops and
   *     takes the first argmin. No shuffle, no UDF.
-  *   - **update** is one keyed aggregation: `posexplode` to
-  *     (cluster, dim, x) then a (cluster, dim) group-by — k·d output
-  *     groups with map-side partial aggregation, so the shuffle is
-  *     k·d·partitions rows, independent of corpus size.
+  *   - **update** is one keyed aggregation: a k-group group-by whose
+  *     rows carry d per-dimension decimal sums + counts as COLUMNS —
+  *     map-side partial aggregation makes the shuffle k·partitions
+  *     rows of width O(d), independent of corpus size (and d× fewer
+  *     shuffle rows than a posexplode-to-(cluster,dim) shape).
   *   - the ONLY driver-side data ever collected is the k×d centroid
   *     matrix and the per-iteration inertia scalar (the repo's
   *     bounded-scalars rule); assignments stay distributed.
@@ -78,24 +79,42 @@ object KMeansLite {
         .collect().map(_.getSeq[Double](0).toArray)
     val inertia = Seq.newBuilder[Double]
 
+    val d = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 1 to iters) {
-      // One pass produces both the trace scalar and the k·d means.
+      // One pass produces both the trace scalar and the k·d means: a
+      // single k-group aggregate carrying d per-dimension decimal sums
+      // (NOT a posexplode to (cluster, dim) — that multiplies the
+      // shuffle row count by d for no information gain).
+      val dimAggs = (0 until d).flatMap { i =>
+        val x = element_at(col("__v"), i + 1)
+        Seq(sum(x.cast("decimal(28,12)")).as(s"s$i"), count(x).as(s"n$i"))
+      }
       val upd = assign(corpus, "__v", centroids.toSeq)
-        .select(col("cluster"), col("dist"), posexplode(col("__v")).as(Seq("p", "x")))
-        .groupBy("cluster", "p")
-        .agg(
-          (sum(col("x").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("m"),
-          sum(when(col("p") === 0, round(col("dist"), 9).cast("decimal(28,9)"))).as("sse"))
+        .groupBy("cluster")
+        .agg(sum(round(col("dist"), 9).cast("decimal(28,9)")).as("sse"), dimAggs: _*)
         .collect()
       // Fold per-cluster SSEs in BigDecimal (exact, order-independent):
       // collect() row order follows shuffle-block arrival, so a double
       // fold here could differ across runs and break the bit-for-bit
       // reproducibility contract.
-      inertia += upd.iterator.filter(_.getInt(1) == 0)
-        .map(r => Option(r.getDecimal(3)).getOrElse(java.math.BigDecimal.ZERO))
+      inertia += upd.iterator
+        .map(r => Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
         .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
       val next = centroids.map(_.clone())
-      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      upd.foreach { r =>
+        val c = r.getInt(0)
+        var i = 0
+        while (i < d) {
+          val s = r.getDecimal(2 + 2 * i)
+          val n = r.getLong(3 + 2 * i)
+          // a dimension with zero non-null entries keeps its previous
+          // coordinate (mirrors the empty-cluster rule)
+          if (s != null && n > 0)
+            next(c)(i) = s.divide(java.math.BigDecimal.valueOf(n),
+              java.math.MathContext.DECIMAL64).doubleValue
+          i += 1
+        }
+      }
       centroids = next
     }
     // Final assignment is consistent with the RETURNED centroids (one

@@ -203,6 +203,51 @@ object Embeddings {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
+  /** DuckDB fragment: dot of `a` against a LITERAL hyperplane — the
+    * planes depend only on (seed, dim), never on data, so embedding
+    * their constants keeps the oracle independent (same reasoning as
+    * seeded Laplace noise). `Double.toString` round-trips exactly, and
+    * the left fold matches the codegen DotProduct's accumulation order.
+    */
+  private def sqlDotPlane(a: String, p: IndexedSeq[Double]): String = {
+    val lits = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> CAST($a[i] AS DOUBLE) * ($lits)[i]), (x, y) -> x + y)"
+  }
+
+  /** DuckDB fragment: LSH bucket id of table `t` for vector column `a`
+    * — sign bits against the table's BitsPerTable planes, exactly
+    * [[Similarity.sketches]]' column math.
+    */
+  private def sqlBucket(a: String, t: Int): String = {
+    val ps = Similarity.hyperplanes(EmbDim)
+    (0 until Similarity.BitsPerTable).map { j =>
+      s"(CASE WHEN ${sqlDotPlane(a, ps(t * Similarity.BitsPerTable + j))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** CTE computing every table's bucket id per row of `src` (columns
+    * vec_id, b0..b{Tables-1}). */
+  private def sqlBucketCte(src: String): String =
+    s"""SELECT vec_id, ${(0 until Similarity.Tables)
+        .map(t => s"${sqlBucket("embedding", t)} AS b$t").mkString(", ")}
+       |FROM $src""".stripMargin
+
+  /** Full LSH top-k oracle: candidates share any table's bucket with
+    * the query row, exact cosine ranks them — [[Similarity.annTopK]]'s
+    * candidate law verbatim.
+    */
+  private def sqlAnnTopK(queryId: Long, k: Int): String =
+    s"""WITH b AS (${sqlBucketCte("embeddings")}),
+       |qb AS (SELECT * FROM b WHERE vec_id = $queryId),
+       |cand AS (SELECT DISTINCT b.vec_id FROM b, qb
+       |         WHERE b.vec_id <> $queryId
+       |           AND (${(0 until Similarity.Tables).map(t => s"b.b$t = qb.b$t").mkString(" OR ")})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId)
+       |SELECT e.vec_id, round(${sqlCos("e.embedding", "qv")}, 6) AS cos_sim
+       |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, q
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   // --- exact brute-force top-k --------------------------------------------
   def cosineTopK: Q = Q(
     "q45_cosine_topk",
@@ -230,8 +275,16 @@ object Embeddings {
       .orderBy("id_a", "id_b")
   }
 
-  // --- LSH-bucketed approximate top-k (rows-only; recall spec-tested) -----
-  def annLsh: Q = Q.rowsOnly("q47_ann_lsh") { (s, dir) =>
+  // --- LSH-bucketed approximate top-k --------------------------------------
+  // Oracle-checked: the seeded hyperplanes are data-independent
+  // constants, so DuckDB recomputes the exact candidate set (sqlBucket
+  // embeds the plane literals) and the exact cosine ranking — the
+  // approximation itself is verified, not just its row count. Recall
+  // vs brute force stays pinned in SimilaritySpec.
+  def annLsh: Q = Q(
+    "q47_ann_lsh",
+    sqlAnnTopK(queryId = 0L, k = 10),
+  ) { (s, dir) =>
     Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
   }
 
@@ -249,18 +302,46 @@ object Embeddings {
       nProbe = 4, excludeId = Some(0L))
   }
 
-  // --- q78: embedding-space near-dup pairs (rows-only) ---------------------
+  // --- q78: embedding-space near-dup pairs ---------------------------------
   // The missing dedup modality: semantic near-duplicates that n-gram /
   // MinHash / SimHash text methods can't see (paraphrases embed close
   // but share few shingles). Candidates come from shared LSH buckets
   // (keyed join, capped hot buckets), the exact cosine filter makes
   // precision 1.0, and SimilaritySpec pins recall vs the exact
-  // all-pairs set. Rows-only: the bucket set depends on the seeded
-  // hyperplanes, which DuckDB can't reproduce.
-  def embeddingNearDup: Q = Q.rowsOnly("q78_embedding_near_dup") { (s, dir) =>
-    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.35)
-      .orderBy("id_a", "id_b")
+  // all-pairs set. Oracle-checked end to end via the embedded plane
+  // constants: exact-vector collapse → per-table bucket ids →
+  // hot-bucket cap → distinct bucket-collision pairs → cosine gate,
+  // each stage replicated in SQL below.
+  def embeddingNearDup: Q = {
+    val nT = Similarity.Tables
+    Q(
+      "q78_embedding_near_dup",
+      s"""WITH dd AS (SELECT min(vec_id) AS vec_id, embedding FROM embeddings
+         |            GROUP BY embedding),
+         |b AS (${sqlBucketCte("dd")}),
+         |sk AS (${(0 until nT)
+          .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM b")
+          .mkString("\n          UNION ALL ")}),
+         |hot AS (SELECT t, bucket FROM sk GROUP BY t, bucket
+         |        HAVING count(*) > 2000),
+         |skc AS (SELECT sk.vec_id, sk.t, sk.bucket FROM sk
+         |        LEFT JOIN hot ON sk.t = hot.t AND sk.bucket = hot.bucket
+         |        WHERE hot.t IS NULL),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |         FROM skc a JOIN skc c
+         |           ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b,
+         |  round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |FROM cand
+         |JOIN dd ea ON ea.vec_id = id_a
+         |JOIN dd eb ON eb.vec_id = id_b
+         |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    ) { (s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }
   }
 
   // --- IVF probe-only serving path (rows-only) -----------------------------
@@ -302,13 +383,18 @@ object Embeddings {
     Pq.topK(embs, encoded, cb, "vec_id", "embedding", qv, 10, excludeId = Some(0L))
   }
 
-  // --- q80: LSH probe-only serving path (rows-only) ------------------------
+  // --- q80: LSH probe-only serving path ------------------------------------
   // The q70 pattern for the LSH family: sketches persisted partitioned
   // by (table_id, bucket); a probe computes the query's bucket
   // coordinates driver-side from the seeded planes (no Spark job) and
-  // scans only those dirs. Candidate set — and therefore recall — is
-  // identical to q47's in-memory path; pinned in SimilaritySpec.
-  def annLshProbe: Q = Q.rowsOnly("q80_ann_lsh_probe") { (s, dir) =>
+  // scans only those dirs. Candidate set is identical to q47's
+  // in-memory path by construction, so the same plane-literal oracle
+  // verifies the pruned serving scan returns exactly the full
+  // computation's answer.
+  def annLshProbe: Q = Q(
+    "q80_ann_lsh_probe",
+    sqlAnnTopK(queryId = 1L, k = 10),
+  ) { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val idx = ivfPath(s, dir) + "_lsh"
     val fs = org.apache.hadoop.fs.FileSystem.get(

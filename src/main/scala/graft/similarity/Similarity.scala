@@ -100,6 +100,14 @@ object Similarity {
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
 
+  /** The seeded plane matrix, exposed so oracle SQL can embed the same
+    * constants: the planes depend only on (seed 42, dim) — never on
+    * data — which is what makes the LSH queries oracle-checkable in an
+    * external engine at all.
+    */
+  def hyperplanes(dim: Int = Dim): IndexedSeq[IndexedSeq[Double]] =
+    planes(dim).map(_.toIndexedSeq).toIndexedSeq
+
   /** Row-level dimensionality guard: a vector whose length differs from
     * `dim` must fail loudly, not sketch on a truncated prefix. The
     * check rides in a FILTER (a raise_error projection would be
@@ -139,8 +147,13 @@ object Similarity {
   def ivfIndex(embs: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
     val km = graft.ml.KMeansLite.lloyd(embs, idCol, vecCol, nCells, iters)
-    (embs.join(km.assignment.select(col(idCol), col("cluster").as("cell")), Seq(idCol)),
-      km.centroids)
+    // re-assign map-only against the trained centroids (k codegen
+    // sq_dist folds per row) rather than joining km.assignment back to
+    // embs — a corpus-sized shuffle join for something a projection
+    // computes in place
+    val cell = graft.ml.KMeansLite
+      .assign(embs.withColumn("__v", asDouble(col(vecCol))), "__v", km.centroids.toSeq)
+    (cell.drop("__v", "dist").withColumnRenamed("cluster", "cell"), km.centroids)
   }
 
   /** IVF top-k: score only the cells whose centroids are nearest the
