@@ -29,6 +29,75 @@ class ExportCacheSpec extends SparkSpec {
     assert(txt.contains("\"score\": 87.5") && txt.contains("\"k\": true") && txt.contains("[\"a\", \"b\"]"))
   }
 
+  test("excel export writes a valid multi-sheet xlsx (zip + OOXML check)") {
+    val p = java.nio.file.Files.createTempFile("graft-xl", ".xlsx").toString
+    val kpis = Seq((100L, 12.5), (200L, 37.25)).toDF("total_visits", "avg_cost")
+    val byDept = Seq(("Cardiology", 10, true), ("Labs & \"ER\"", 7, false), (null, 1, true))
+      .toDF("dept", "n", "active")
+    Exporters.excel(Seq("KPIs" -> kpis, "By [Dept]/Q?" -> byDept), p)
+
+    // read back with the JDK's own zip + XML parsers — independent of
+    // the writer's string-building
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val entries = {
+        val es = zf.entries(); val b = Seq.newBuilder[String]
+        while (es.hasMoreElements) b += es.nextElement().getName
+        b.result()
+      }
+      assert(entries.contains("[Content_Types].xml"))
+      assert(entries.contains("xl/workbook.xml"))
+      assert(entries.contains("xl/worksheets/sheet1.xml"))
+      assert(entries.contains("xl/worksheets/sheet2.xml"))
+      def xml(name: String): org.w3c.dom.Document = {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        f.newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(name)))
+      }
+      // workbook lists both sheets, illegal name chars sanitized
+      val wb = xml("xl/workbook.xml")
+      val sheetNodes = wb.getElementsByTagNameNS("*", "sheet")
+      assert(sheetNodes.getLength === 2)
+      assert(sheetNodes.item(0).getAttributes.getNamedItem("name").getNodeValue === "KPIs")
+      assert(sheetNodes.item(1).getAttributes.getNamedItem("name").getNodeValue === "By _Dept__Q_")
+      // sheet 1: header row + numeric cells survive
+      val s1 = xml("xl/worksheets/sheet1.xml")
+      val vs = s1.getElementsByTagNameNS("*", "v")
+      val vals = (0 until vs.getLength).map(vs.item(_).getTextContent)
+      assert(vals.contains("100") && vals.contains("37.25"))
+      val ts = s1.getElementsByTagNameNS("*", "t")
+      val headers = (0 until ts.getLength).map(ts.item(_).getTextContent)
+      assert(headers.contains("total_visits") && headers.contains("avg_cost"))
+      // sheet 2: escaped string cell, boolean cells, null → absent cell
+      val s2 = xml("xl/worksheets/sheet2.xml")
+      val t2 = s2.getElementsByTagNameNS("*", "t")
+      val strs = (0 until t2.getLength).map(t2.item(_).getTextContent)
+      assert(strs.contains("Labs & \"ER\""))
+      val rows = s2.getElementsByTagNameNS("*", "row")
+      assert(rows.getLength === 4) // header + 3 data rows
+      val lastRowCells = rows.item(3).getChildNodes
+      assert(lastRowCells.getLength === 2) // null dept cell omitted
+    } finally zf.close()
+  }
+
+  test("excel export de-duplicates case-colliding sheet names") {
+    val p = java.nio.file.Files.createTempFile("graft-xl2", ".xlsx").toString
+    val df = Seq(1).toDF("x")
+    Exporters.excel(Seq("Report" -> df, "report" -> df), p)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      val wb = f.newDocumentBuilder().parse(
+        zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+      val sheets = wb.getElementsByTagNameNS("*", "sheet")
+      val names = (0 until sheets.getLength)
+        .map(sheets.item(_).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names.distinct.size === 2)
+      assert(names.map(_.toLowerCase).distinct.size === 2)
+    } finally zf.close()
+  }
+
   test("query cache honors TTL with an injected clock") {
     var now = 0L
     val cache = new QueryCache(ttlSeconds = 300, clock = () => now)
