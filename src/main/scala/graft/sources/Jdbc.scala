@@ -42,4 +42,21 @@ object Jdbc {
   def readQuery(spark: SparkSession, url: String, sql: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, s"($sql) AS q", props)
+
+  /** Write-back to an operational system (the reference's load step —
+    * database.py's INSERT loops — as one batched parallel write).
+    * Each partition opens one connection and streams batched INSERTs,
+    * so write parallelism = partition count; `batchSize` bounds
+    * per-round-trip rows. Repartition result-sized frames down first —
+    * 200 partitions of 10 rows is 200 connections for nothing.
+    */
+  def write(df: DataFrame, url: String, table: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Append,
+      batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val p = new java.util.Properties()
+    p.putAll(props)
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, p)
+  }
 }

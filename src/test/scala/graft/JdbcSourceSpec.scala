@@ -67,6 +67,22 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.select(countDistinct(col("C_ID"))).head().getLong(0) === 100)
   }
 
+  test("write batches rows back to the operational system") {
+    seeded
+    import spark.implicits._
+    val out = Seq((1001, "alice", 9.75), (1002, "bob", 3.25))
+      .toDF("c_id", "c_name", "c_balance")
+      .repartition(1) // result-sized → one connection
+    Jdbc.write(out, url, "ops_export",
+      mode = org.apache.spark.sql.SaveMode.Overwrite, batchSize = 500)
+    val back = Jdbc.read(spark, url, "ops_export")
+    assert(back.count() === 2)
+    assert(back.filter(col("c_id") === 1001).head().getAs[String]("c_name") === "alice")
+    // append mode accumulates instead of replacing
+    Jdbc.write(out.filter(col("c_id") === 1001), url, "ops_export")
+    assert(Jdbc.read(spark, url, "ops_export").count() === 3)
+  }
+
   test("readQuery ships SQL to the remote engine and reads only its result") {
     seeded
     val df = Jdbc.readQuery(spark, url,
