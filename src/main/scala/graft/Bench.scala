@@ -26,7 +26,12 @@ object Bench {
     // query doesn't absorb session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // SPARK_GRAFT_BENCH_ONLY=q61,q95 → time just the matching queries
+    // (substring match, like tools/check.py --only) for fast iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (r <- 1 to runs) {
       // drop cached intermediates so each repeat re-executes the full

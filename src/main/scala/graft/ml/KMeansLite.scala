@@ -7,25 +7,30 @@ import graft.functions.SqDist
 /** From-scratch distributed Lloyd's k-means over an embedding column —
   * the corpus-organization primitive (topic bucketing, stratified
   * mixture design, IVF coarse quantizers all start here). Scale shape
-  * per iteration:
+  * per iteration — the canonical single-stage aggregation Spark's own
+  * MLlib k-means uses (public pattern: `runAlgorithmWithWeight`'s
+  * per-partition sum/count accumulation):
   *
-  *   - **assignment** is map-only: the k×d centroid matrix rides to
-  *     executors as literal arrays (k·d·8 bytes — trivially broadcast),
-  *     each row folds k codegen [[graft.functions.SqDist]] loops and
-  *     takes the first argmin. No shuffle, no UDF.
-  *   - **update** is one keyed aggregation: a k-group group-by whose
-  *     rows carry d per-dimension decimal sums + counts as COLUMNS —
-  *     map-side partial aggregation makes the shuffle k·partitions
-  *     rows of width O(d), independent of corpus size (and d× fewer
-  *     shuffle rows than a posexplode-to-(cluster,dim) shape).
-  *   - the ONLY driver-side data ever collected is the k×d centroid
-  *     matrix and the per-iteration inertia scalar (the repo's
-  *     bounded-scalars rule); assignments stay distributed.
+  *   - the k×d centroid matrix rides to executors as a broadcast
+  *     (k·d·8 bytes), each partition assigns rows with tight primitive
+  *     loops (bit-identical fold order to the codegen
+  *     [[graft.functions.SqDist]]) and emits ONE record of k×d
+  *     fixed-point sums + k counts + an SSE scalar;
+  *   - there is NO shuffle anywhere in training — the per-partition
+  *     partials collect straight to the driver (k·d·partitions longs,
+  *     the repo's bounded-scalars rule) and combine exactly;
+  *   - the RETURNED assignment is the declarative map-only
+  *     [[assign]] (codegen SqDist against literal centroids), so
+  *     downstream plans see a scan+project, never a join.
   *
-  * Determinism: seeds are the k lowest-id vectors, centroid means and
-  * inertia are DECIMAL-summed (associative-exact at any partitioning),
-  * and argmin ties break toward the lowest cluster id — a re-run on a
-  * different partitioning reproduces the model bit for bit.
+  * Determinism: seeds are the k lowest-id vectors; per-element values
+  * round to fixed-point scale 1e9 before summation, so accumulation is
+  * integer-exact and ASSOCIATIVE — any partitioning, any combine
+  * order, bit-identical model. Overflow of the 64-bit accumulators
+  * (≈9.2e9 unit-scale rows per cluster per partition) fails loudly via
+  * `Math.addExact` rather than silently wrapping; corpora near that
+  * bound should train on a sample, which is standard quantizer
+  * practice anyway. Argmin ties break toward the lowest cluster id.
   *
   * The corpus projection is persisted MEMORY_AND_DISK across
   * iterations (the multi-consumer convention; `Dedup.clearCaches`
@@ -34,9 +39,10 @@ import graft.functions.SqDist
 object KMeansLite {
 
   /** Final distributed assignment plus the training trace. `inertia`
-    * has one entry per iteration (decimal-exact Σ round(dist, 9)); a
-    * correct Lloyd's run is non-increasing after each (assign, update)
-    * pair.
+    * has one entry per EXECUTED iteration (fixed-point-exact
+    * Σ round(dist, 9)) — training early-stops once centroids move less
+    * than `tol`, so the trace may be shorter than maxIters; a correct
+    * Lloyd's run is non-increasing after each (assign, update) pair.
     */
   final case class KMeansResult(
       assignment: DataFrame,
@@ -44,7 +50,12 @@ object KMeansLite {
       inertia: Seq[Double],
   )
 
-  private def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+  // ONE ArrayType literal, not array(lit, lit, …): primitive literals
+  // inline their values into the generated source, so repeated
+  // assignment plans with new centroids would miss the codegen cache
+  // and pay a full Janino compile; an array literal rides in the
+  // references array and the source stays bit-identical across plans.
+  private def centroidLit(c: Array[Double]): Column = typedLit(c)
 
   /** One assignment step against literal centroids: appends
     * (cluster, dist) to `cols` of `embs`. `vecCol` must already be
@@ -60,15 +71,23 @@ object KMeansLite {
       .drop("__d")
   }
 
-  /** Lloyd's for `iters` iterations from the k lowest-`idCol` seeds.
-    * Empty clusters keep their previous centroid (the standard
-    * degenerate-case rule; deterministic).
+  /** Fixed-point scale for exact associative accumulation (matches the
+    * previous DECIMAL(28,9) SSE contract). */
+  private val Scale = 1e9
+
+  /** Lloyd's for up to `iters` iterations from the k lowest-`idCol`
+    * seeds, stopping once every centroid moves less than `tol`
+    * (Euclidean — the standard convergence rule, deterministic because
+    * the movement is a pure function of the data; `tol = 0` forces all
+    * `iters`). Empty clusters keep their previous centroid (the
+    * standard degenerate-case rule; deterministic).
     */
-  def lloyd(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): KMeansResult = {
+  def lloyd(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      tol: Double = 1e-4): KMeansResult = {
     require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
-    // Null/empty vectors would make every SqDist null (null cluster →
-    // NPE in the update loop) or vanish from the posexplode; exclude
-    // them from training and assignment up front.
+    // Null/empty vectors would have no distance to any centroid (null
+    // cluster downstream); exclude them from training and assignment
+    // up front.
     val corpus = graft.dedup.Dedup.persistTracked(
       embs.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
         .select(col(idCol).as("__id"),
@@ -77,43 +96,90 @@ object KMeansLite {
     var centroids: Array[Array[Double]] =
       corpus.orderBy("__id").limit(k).select("__v")
         .collect().map(_.getSeq[Double](0).toArray)
-    val inertia = Seq.newBuilder[Double]
-
     val d = centroids.headOption.map(_.length).getOrElse(0)
-    for (_ <- 1 to iters) {
-      // One pass produces both the trace scalar and the k·d means: a
-      // single k-group aggregate carrying d per-dimension decimal sums
-      // (NOT a posexplode to (cluster, dim) — that multiplies the
-      // shuffle row count by d for no information gain).
-      val dimAggs = (0 until d).flatMap { i =>
-        val x = element_at(col("__v"), i + 1)
-        Seq(sum(x.cast("decimal(28,12)")).as(s"s$i"), count(x).as(s"n$i"))
-      }
-      val upd = assign(corpus, "__v", centroids.toSeq)
-        .groupBy("cluster")
-        .agg(sum(round(col("dist"), 9).cast("decimal(28,9)")).as("sse"), dimAggs: _*)
-        .collect()
-      // Fold per-cluster SSEs in BigDecimal (exact, order-independent):
-      // collect() row order follows shuffle-block arrival, so a double
-      // fold here could differ across runs and break the bit-for-bit
-      // reproducibility contract.
-      inertia += upd.iterator
-        .map(r => Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
-      val next = centroids.map(_.clone())
-      upd.foreach { r =>
-        val c = r.getInt(0)
-        var i = 0
-        while (i < d) {
-          val s = r.getDecimal(2 + 2 * i)
-          val n = r.getLong(3 + 2 * i)
-          // a dimension with zero non-null entries keeps its previous
-          // coordinate (mirrors the empty-cluster rule)
-          if (s != null && n > 0)
-            next(c)(i) = s.divide(java.math.BigDecimal.valueOf(n),
-              java.math.MathContext.DECIMAL64).doubleValue
-          i += 1
+    val inertia = Seq.newBuilder[Double]
+    val sc = corpus.sparkSession.sparkContext
+    // toRdd reads through the persisted InMemoryRelation — training
+    // never re-derives the projection. Column 1 is __v.
+    val rows = corpus.queryExecution.toRdd
+
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val bc = sc.broadcast(centroids)
+      // ONE stage, no shuffle: each partition assigns its rows with the
+      // same min-length left-fold (a-b)² loop SqDist generates, and
+      // emits a single (k×d sums, k counts, sse) record in fixed-point
+      // longs — exact, associative, partitioning-independent.
+      val partials = rows.mapPartitions { it =>
+        val cents = bc.value
+        val kk = cents.length
+        val sums = Array.ofDim[Long](kk, d)
+        val counts = new Array[Long](kk)
+        var sse = 0L
+        it.foreach { row =>
+          val arr = row.getArray(1).toDoubleArray()
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < kk) {
+            val cent = cents(c)
+            val n = math.min(arr.length, cent.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { val dd = arr(i) - cent(i); s += dd * dd; i += 1 }
+            if (s < bestD) { bestD = s; best = c } // strict < keeps the FIRST min
+            c += 1
+          }
+          counts(best) += 1
+          sse = Math.addExact(sse, Math.round(bestD * Scale))
+          val m = math.min(d, arr.length)
+          var i = 0
+          while (i < m) {
+            sums(best)(i) = Math.addExact(sums(best)(i), Math.round(arr(i) * Scale))
+            i += 1
+          }
         }
+        Iterator.single((sums, counts, sse))
+      }.collect() // ≤ #partitions records of k×d longs — bounded
+      bc.destroy()
+
+      val sums = Array.ofDim[Long](k, d)
+      val counts = new Array[Long](k)
+      var sse = 0L
+      partials.foreach { case (ps, pc, pe) =>
+        var c = 0
+        while (c < k) {
+          counts(c) = Math.addExact(counts(c), pc(c))
+          var i = 0
+          while (i < d) { sums(c)(i) = Math.addExact(sums(c)(i), ps(c)(i)); i += 1 }
+          c += 1
+        }
+        sse = Math.addExact(sse, pe)
+      }
+      inertia += java.math.BigDecimal.valueOf(sse, 9).doubleValue
+      val next = centroids.map(_.clone())
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) {
+            // exact scale-9 sum ÷ count, like the previous decimal-sum
+            // contract; DECIMAL64 division is deterministic
+            next(c)(i) = java.math.BigDecimal.valueOf(sums(c)(i), 9)
+              .divide(java.math.BigDecimal.valueOf(counts(c)),
+                java.math.MathContext.DECIMAL64).doubleValue
+            i += 1
+          }
+        } // empty cluster keeps its previous centroid
+        c += 1
+      }
+      // Movement-based early stop (deterministic — movement is a pure
+      // function of the data): every saved iteration is a saved job.
+      converged = next.iterator.zip(centroids.iterator).forall { case (a, b) =>
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+        s < tol * tol
       }
       centroids = next
     }

@@ -288,10 +288,16 @@ object Embeddings {
     Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
   }
 
-  // --- IVF (KMeans-cell) approximate top-k (rows-only) --------------------
+  // --- IVF (k-means-cell) approximate top-k (rows-only) --------------------
   // Build-once/probe-many: the index is written partitioned by cell and
   // the probe scans only the nProbe winning cell directories (partition
   // pruning) — the layout a warehouse-scale ANN store would use.
+  // Rows-only BY NECESSITY, unlike the LSH family: the cell centroids
+  // are TRAINED from the data (KMeansLite Lloyd's), so embedding them
+  // in oracle SQL would verify Spark's own output against itself.
+  // The training math is oracle-checked where it can be done
+  // non-circularly (q120's seeded assignment step), and recall@10 vs
+  // brute force is spec-pinned.
   def annIvf: Q = Q.rowsOnly("q61_ann_ivf") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val idx = ivfPath(s, dir)
@@ -371,9 +377,9 @@ object Embeddings {
   // ~1.6 TB and ADC scores each row with 16 table lookups instead of
   // 64 multiplies. Candidates re-rank exactly against the raw vectors
   // (broadcast id join), so the output sims are exact cosines; recall
-  // vs brute force is pinned in SimilaritySpec. Rows-only: codes
-  // depend on the seeded Lloyd's codebook, which DuckDB can't
-  // reproduce.
+  // vs brute force is pinned in SimilaritySpec. Rows-only BY
+  // NECESSITY: the codebook is TRAINED from a data sample (embedding
+  // it in the oracle would be circular, the q61 argument).
   def annPq: Q = Q.rowsOnly("q94_ann_pq") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val cb = Pq.train(embs, "embedding")

@@ -162,6 +162,11 @@ object Ml {
   }
 
   // --- isolation-forest anomaly scores (rows-only; seeded) ----------------
+  // Rows-only BY NECESSITY: the forest's split points come from seeded
+  // random subsampling at fit time — no SQL engine can re-derive them.
+  // The algorithm (Liu et al. 2008) is spec-gated instead:
+  // MlPipelineSpec pins determinism, score bounds, and that planted
+  // outliers score above the contamination threshold.
   def iforestAnomaly: Q = Q.rowsOnly("q53_iforest_anomaly") { (s, dir) =>
     val features = MlPipeline.buildFeatures(Tables.events(s, dir))
     val model = IsolationForestLite.fit(features, MlPipeline.FeatureCols, numTrees = 50)
@@ -171,7 +176,11 @@ object Ml {
       .orderBy("event_id")
   }
 
-  // --- multimodal feature extraction (rows-only; deterministic stub) ------
+  // --- multimodal feature extraction (rows-only) ---------------------------
+  // Rows-only BY NECESSITY: the features derive from REAL binary
+  // decode (PNG/WAV/AVI bytes through the JDK codecs) — SQL engines
+  // cannot decode media. The codecs are fixture-tested to known
+  // pixel/sample values in MultimodalSpec.
   def multimodalFeatures: Q = Q.rowsOnly("q54_multimodal_features") { (s, dir) =>
     val corpus = Multimodal.synthesize(s, 500)
     Multimodal.extractFeatures(corpus, dim = 16).toDF()

@@ -47,6 +47,17 @@ class ScaleToolsSpec extends SparkSpec {
     s.sql("DROP TABLE t_left"); s.sql("DROP TABLE t_right")
   }
 
+  test("IVF cell assignment is map-only: no exchange, no join in the indexed plan") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (indexed, _) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 4, iters = 2)
+    // training shuffles internally (k-group update agg) but the RETURNED
+    // frame must be scan+project only — joining the assignment back
+    // would put a corpus-sized shuffle join on every downstream plan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      plan.take(2000))
+  }
+
   test("IVF probes a subset of cells and still finds near neighbors") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
     val (indexed, centroids) = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
