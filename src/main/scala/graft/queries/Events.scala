@@ -11,8 +11,8 @@ import graft.{Q, Tables}
 object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
-    streamingSessionize, rangeJoinClicks, funnel, retention, trailingWindow,
-    gapFill, transitions, rateSpike, sessionPaths, trendSlope)
+    streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
+    trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope)
 
   // --- q115: top session paths (sequence mining) -----------------------------
   // The most common first-5-event-type paths across q49's 30-min-gap
@@ -410,6 +410,57 @@ object Events {
     // detach the result from the memory sink (checkpoint cuts lineage)
     // so the temp view can be dropped instead of leaking per invocation
     val out = s.table(sink).orderBy("hour", "event_type").localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  // --- q122: stream-stream interval join (attribution) ---------------------
+  // The last Structured Streaming join shape the engine was missing:
+  // TWO live streams joined on key + event-time range — purchases
+  // attributed to a same-user view within the preceding 30 minutes.
+  // Both sides carry watermarks and the join condition bounds p_ts to
+  // [v_ts, v_ts + 30 min], which is exactly what lets Spark expire
+  // buffered state (a view older than watermark + 30 min can never
+  // match again) — unbounded-state stream joins don't survive
+  // production. Inner join in append mode; the q62/q77/q88 oracle
+  // pattern: the drained stream result must hash-match the plain batch
+  // interval join below.
+  def streamingIntervalJoin: Q = Q(
+    "q122_stream_stream_join",
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_us,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS purchase_us,
+      |  round(CAST(b.value AS DOUBLE), 2) AS purchase_value
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin,
+  ) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // schema probe only
+    def side(tpe: String, p: String) =
+      graft.Tables.normalizeEventsTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").as(s"${p}_ts"), col("value").as(s"${p}_value"))
+        .withWatermark(s"${p}_ts", "2 hours")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"))
+    val sink = s"graft_ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink)
+      .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+        col("p_id").as("purchase_id"),
+        unix_micros(col("v_ts")).as("view_us"), unix_micros(col("p_ts")).as("purchase_us"),
+        round(col("p_value").cast("double"), 2).as("purchase_value"))
+      .orderBy("view_id", "purchase_id")
+      .localCheckpoint(true)
     s.catalog.dropTempView(sink)
     out
   }
