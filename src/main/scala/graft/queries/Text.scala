@@ -15,7 +15,24 @@ object Text {
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
-    editDistancePairs, tfidfKeywords)
+    editDistancePairs, tfidfKeywords, bpeMergeTraining)
+
+  // --- q123: BPE merge training (tokenizer learning) -----------------------
+  // The tokenizer-TRAINING operator (Sennrich et al. 2016): learn the
+  // top-8 merge rules over the corpus word-frequency table. Rows-only
+  // BY NECESSITY: merge r's selection depends on merges 1..r-1 having
+  // been applied — an inherently iterative data-dependent argmax that
+  // one SQL query cannot express (recursive CTEs forbid aggregation in
+  // the recursive member). BpeSpec gates it instead: hand-computed
+  // merges on the paper's own fixture style, bit-determinism across
+  // partitionings, and prefix stability (an M-merge run extends an
+  // (M-1)-merge run).
+  def bpeMergeTraining: Q = Q.rowsOnly("q123_bpe_merge_training") { (s, dir) =>
+    import s.implicits._
+    graft.text.BpeTrainer
+      .train(graft.text.BpeTrainer.wordVocab(Tables.documents(s, dir), "text"), 8)
+      .toDF().orderBy("rank")
+  }
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
