@@ -9,7 +9,51 @@ object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
-    semDedup)
+    semDedup, incrementalEmbeddingDedup)
+
+  // --- q124: incremental embedding near-dup gate ----------------------------
+  // The q84/q96 incremental-ingest shape for the embedding modality:
+  // which NEW vectors (vec_id ≥ 350, exact-dup-collapsed like q84's
+  // `inc`) are semantically novel vs the base corpus? Candidates are a
+  // keyed join of delta sketches against base sketches — the delta
+  // never scans the base — and the plane-literal oracle replicates the
+  // whole gate: collapse → buckets → bucket-collision candidates →
+  // cosine ≥ 0.35 → anti-join.
+  def incrementalEmbeddingDedup: Q = {
+    val nT = Similarity.Tables
+    Q(
+      "q124_incremental_embedding_dedup",
+      s"""WITH dd AS (SELECT min(vec_id) AS vec_id, embedding FROM embeddings
+         |            WHERE vec_id >= 350 GROUP BY embedding),
+         |base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350),
+         |bd AS (${sqlBucketCte("dd")}),
+         |bb AS (${sqlBucketCte("base")}),
+         |skd AS (${(0 until nT)
+          .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM bd")
+          .mkString("\n          UNION ALL ")}),
+         |skb AS (${(0 until nT)
+          .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM bb")
+          .mkString("\n          UNION ALL ")}),
+         |cand AS (SELECT DISTINCT d.vec_id AS did, b.vec_id AS bid
+         |         FROM skd d JOIN skb b ON d.t = b.t AND d.bucket = b.bucket),
+         |matched AS (SELECT DISTINCT c.did FROM cand c
+         |            JOIN dd ON dd.vec_id = c.did
+         |            JOIN base bs ON bs.vec_id = c.bid
+         |            WHERE ${sqlCos("dd.embedding", "bs.embedding")} >= 0.35)
+         |SELECT dd.vec_id, e.label
+         |FROM dd JOIN embeddings e ON e.vec_id = dd.vec_id
+         |WHERE dd.vec_id NOT IN (SELECT did FROM matched)
+         |ORDER BY dd.vec_id""".stripMargin,
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshNovelVsBase(
+        e.filter(col("vec_id") < 350), e.filter(col("vec_id") >= 350),
+        "vec_id", "embedding", threshold = 0.35)
+        .join(e.select("vec_id", "label"), Seq("vec_id"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }
+  }
 
   // --- q120: k-means cluster assignment + per-cluster profile --------------
   // The oracle-checked half of KMeansLite (corpus topic bucketing /

@@ -399,6 +399,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Incremental novelty gate (the `Dedup.incrementalNew` shape for the
+    * embedding modality): keep only the delta rows that are NOT a
+    * semantic near-dup of anything in the base corpus. Delta collapses
+    * to exact-vector representatives first (k identical arrivals cost
+    * one probe), candidates come from shared LSH buckets — a keyed join
+    * of the delta's sketches against the base's, so the delta never
+    * scans the base — and the exact cosine filter decides. An exact
+    * copy of a base vector shares every bucket and scores cosine 1, so
+    * exact duplicates need no separate path.
+    *
+    * At scale the base side is the PERSISTED sketch index
+    * ([[writeLshIndex]]) rather than a recompute; the join shape is
+    * identical.
+    */
+  def lshNovelVsBase(base: DataFrame, delta: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int = Dim): DataFrame = {
+    // three consumers (delta sketches, norms, the anti-join output)
+    val reps = graft.dedup.Dedup.persistTracked(
+      exactVectorRepresentatives(delta, idCol, vecCol))
+    val baseSk = sketches(base.select(col(idCol).as("__bid"), col(vecCol)), "__bid", vecCol, dim)
+    val cand = sketches(reps, idCol, vecCol, dim)
+      .join(baseSk, Seq("table_id", "bucket"))
+      .select(col(idCol), col("__bid")).distinct()
+    val bn = base.select(col(idCol).as("__bid"),
+      asDouble(col(vecCol)).as("bv"), norm(asDouble(col(vecCol))).as("bn"))
+    val dn = reps.select(col(idCol),
+      asDouble(col(vecCol)).as("dv"), norm(asDouble(col(vecCol))).as("dn"))
+    val matched = cand.join(dn, Seq(idCol)).join(bn, Seq("__bid"))
+      .filter(dot(col("dv"), col("bv")) / (col("dn") * col("bn")) >= threshold)
+      .select(idCol).distinct()
+    reps.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Exact top-k for a BATCH of query vectors in one corpus scan: the
     * serving-throughput shape. One query per scan (the
     * [[bruteForceTopK]] loop) reads the corpus q times; this joins the

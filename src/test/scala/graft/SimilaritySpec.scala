@@ -208,4 +208,26 @@ class SimilaritySpec extends SparkSpec {
       .join(labels.toDF("id_b", "lb"), "id_b")
     assert(joined.filter(col("la") =!= col("lb")).count() === 0)
   }
+
+  test("incremental novelty gate rejects exact base copies, collapses delta dups, keyed join only") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val base = embs.filter(col("vec_id") < 300)
+    // delta = the remaining rows + an exact copy of base vector 5 under
+    // a new id + a duplicated pair of copies of base vector 7
+    val copies = base.filter(col("vec_id").isin(5L, 7L, 7L))
+      .withColumn("vec_id", col("vec_id") + 9000L)
+    val delta = embs.filter(col("vec_id") >= 300).unionByName(copies)
+    val novel = Similarity.lshNovelVsBase(base, delta, "vec_id", "embedding", 0.35)
+    val ids = novel.select("vec_id").collect().map(_.getLong(0)).toSet
+    // an exact copy of a base vector shares every bucket and scores
+    // cosine 1 — never novel
+    assert(!ids.contains(9005L) && !ids.contains(9007L))
+    // novel ids all come from the delta
+    assert(ids.forall(id => id >= 300))
+    // the candidate join is keyed on (table_id, bucket) — no cross shape
+    val plan = novel.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty gate is not keyed:\n$plan")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
 }
