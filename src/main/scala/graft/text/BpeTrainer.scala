@@ -64,21 +64,24 @@ object BpeTrainer {
     require(merges >= 1, s"merges=$merges must be >= 1")
     var vocab = graft.dedup.Dedup.persistTracked(
       vocab0.select(col("n"), split(col("word"), "").as("syms")))
+    // the round-r pair-count job is what materializes round r's persist,
+    // so round r-1's cache can drop right after it — no dedicated
+    // materialization job per round, lineage still stays one fold deep
+    var prev: Option[DataFrame] = None
     val out = Seq.newBuilder[Merge]
     var done = false
     for (r <- 1 to merges if !done) {
       val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(vocab)
       if (top.isEmpty) done = true
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += Merge(r, a, b, cnt)
-        val nextVocab = graft.dedup.Dedup.persistTracked(
+        vocab = graft.dedup.Dedup.persistTracked(
           vocab.withColumn("syms", mergeOnce(col("syms"), a, b)))
-        nextVocab.count() // materialize before dropping the parent
-        vocab.unpersist()
-        vocab = nextVocab
       }
     }
     out.result()
