@@ -147,4 +147,18 @@ class Analytics(wh: Warehouse) {
     */
   def visitsInYear(yr: Int): DataFrame =
     fact.filter(col("visit_year") === yr)
+
+  /** The reference's `generate_analytics_report`
+    * (`export_utils.py:66-126`): the same five sheets from the same
+    * query surface, one multi-sheet xlsx via [[graft.export.Exporters
+    * .excel]]. Report-sized results only — each sheet is an aggregate.
+    */
+  def exportReport(path: String): Unit =
+    graft.export.Exporters.excel(Seq(
+      "KPIs" -> kpiBlock,
+      "Age_Groups" -> avgVisitsPerAgeGroup,
+      "Top_Diagnoses" -> topDiagnoses(20),
+      "Provider_Stats" -> specialtyStats,
+      "Monthly_Trends" -> monthlyTrend,
+    ), path)
 }

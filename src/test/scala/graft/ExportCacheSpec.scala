@@ -80,6 +80,26 @@ class ExportCacheSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("excel export addresses columns past Z (AA…) correctly") {
+    val p = java.nio.file.Files.createTempFile("graft-xl3", ".xlsx").toString
+    // 30 columns forces AA/AB/AC/AD refs in row 1
+    val wide = spark.range(1).select((0 until 30).map(i => lit(i).as(s"c$i")): _*)
+    Exporters.excel(Seq("Wide" -> wide), p)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      val s1 = f.newDocumentBuilder().parse(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      val cells = s1.getElementsByTagNameNS("*", "c")
+      val refs = (0 until cells.getLength)
+        .map(cells.item(_).getAttributes.getNamedItem("r").getNodeValue)
+      assert(refs.contains("Z1") && refs.contains("AA1") && refs.contains("AD1"))
+      assert(refs.contains("AD2")) // data row uses the same addressing
+      assert(!refs.exists(_.startsWith("BA"))) // no runaway columns
+    } finally zf.close()
+  }
+
   test("excel export de-duplicates case-colliding sheet names") {
     val p = java.nio.file.Files.createTempFile("graft-xl2", ".xlsx").toString
     val df = Seq(1).toDF("x")

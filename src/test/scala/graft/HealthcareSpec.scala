@@ -135,6 +135,29 @@ class HealthcareSpec extends SparkSpec {
     assert(pv.count() >= 1 && pv.count() <= 5)
   }
 
+  test("exportReport writes the reference's five-sheet xlsx") {
+    val p = java.nio.file.Files.createTempFile("graft-report", ".xlsx").toString
+    an.exportReport(p)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      val wb = f.newDocumentBuilder().parse(
+        zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+      val sheets = wb.getElementsByTagNameNS("*", "sheet")
+      val names = (0 until sheets.getLength)
+        .map(sheets.item(_).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names === Seq("KPIs", "Age_Groups", "Top_Diagnoses",
+        "Provider_Stats", "Monthly_Trends"))
+      // the KPI sheet carries the same total the DataFrame reports
+      val s1 = f.newDocumentBuilder().parse(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      val vs = s1.getElementsByTagNameNS("*", "v")
+      val vals = (0 until vs.getLength).map(vs.item(_).getTextContent)
+      assert(vals.contains("1000")) // total_patients
+    } finally zf.close()
+  }
+
   test("audited reads append READ rows to the audit log") {
     val before = wh.auditLog.filter(col("action_type") === "READ").count()
     wh.factVisitsAudited("analyst")
