@@ -83,17 +83,18 @@ object Embeddings {
        |FROM best WHERE rk = 1
        |GROUP BY cid ORDER BY cluster""".stripMargin,
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cv"))
-    val scored = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        graft.functions.SqDist(col("ev"), col("cv")).as("dist"))
-    val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .groupBy(col("cid").as("cluster"))
+    // the k seed vectors are a bounded driver collect; assignment is
+    // then MAP-ONLY (k codegen sq_dist folds per row — KMeansLite's
+    // shape) instead of a crossJoin + per-row window. array_position's
+    // first-match rule is the same tie-break as the oracle's
+    // row_number() OVER (ORDER BY dist, cid).
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(Similarity.asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    graft.ml.KMeansLite.assign(
+        e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v")), "__v", cents)
+      .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n"),
         round(graft.queries.dsum(round(col("dist"), 6), 6) / count(lit(1)), 6).as("avg_dist"))
       .orderBy("cluster")
@@ -146,20 +147,19 @@ object Embeddings {
        |JOIN clusters cl ON em.vec_id = cl.id AND em.vec_id = cl.cluster_id
        |ORDER BY em.vec_id""".stripMargin,
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    // one seeded assignment step (q120's shape) as the blocking —
-    // lazy, broadcastable, and replicable by the SQL oracle
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cv"))
+    // one seeded assignment step (q120's map-only shape) as the
+    // blocking — seeds are a bounded driver collect, replicable by the
+    // SQL oracle; array_position's first-match tie-break ≡ the oracle's
+    // row_number() OVER (ORDER BY dist, cid)
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(Similarity.asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
     val assignment = { reps: org.apache.spark.sql.DataFrame =>
-      val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-      reps.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          graft.functions.SqDist(col("ev"), col("cv")).as("dist"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid").as("cluster"))
+      graft.ml.KMeansLite.assign(
+          reps.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v")),
+          "__v", cents)
+        .select(col("vec_id"), col("cluster"))
     }
     Similarity.semDedupSurvivors(e, "vec_id", "embedding", 0.35, assignment)
       .select("vec_id", "label")
