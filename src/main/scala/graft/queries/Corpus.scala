@@ -15,7 +15,52 @@ import graft.{Q, Tables}
 object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
-    sourceOverlap, bigramLogprob)
+    sourceOverlap, bigramLogprob, pmiCooccur)
+
+  // --- q127: PMI term co-occurrence (phrase/collocation mining) ------------
+  // The word2vec-preprocessing signal: which vocabulary terms co-occur
+  // in the same document far more than independence predicts. The
+  // all-pairs trap is avoided the inverted-index way: pairs are
+  // generated ONLY by a self-join keyed on doc_id AFTER restricting to
+  // a bounded top-60 df vocabulary, so per-doc fan-out is ≤ C(60,2)
+  // regardless of corpus size, and the vocab (bounded by construction)
+  // broadcasts. The distinct-token explode is persisted once and
+  // feeds both the df table and the pair join.
+  def pmiCooccur: Q = Q(
+    "q127_pmi_cooccur",
+    """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM raw),
+      |dft AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+      |vocab AS (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 60),
+      |vt AS (SELECT t.doc_id, t.tok, v.df FROM tok t JOIN vocab v USING (tok)),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b
+      |      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok)
+      |SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS df_ab,
+      |  round(ln(CAST(count(*) * (SELECT n_docs FROM n) AS DOUBLE)
+      |           / CAST(max(df_a) * max(df_b) AS DOUBLE)), 6) AS pmi
+      |FROM p GROUP BY tok_a, tok_b
+      |ORDER BY df_ab DESC, tok_a, tok_b LIMIT 40""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tokens = graft.dedup.Dedup.persistTracked(
+      docs.select(col("doc_id"), explode(array_distinct(toks)).as("tok")))
+    val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(60)
+    val vt = tokens.join(broadcast(vocab), "tok")
+    val pairs = vt.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+      .join(vt.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b")),
+        Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("df_ab"), max("df_a").as("df_a"), max("df_b").as("df_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("df_ab"),
+        round(log((col("df_ab") * col("n_docs")).cast("double")
+          / (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("df_ab").desc, col("tok_a"), col("tok_b")).limit(40)
+  }
 
   // --- q118: corpus bigram-LM fluency score -----------------------------------
   // Per-doc mean bigram log-probability under the corpus's own MLE

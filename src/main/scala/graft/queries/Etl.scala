@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Transforms
-import graft.warehouse.{Keys, Merge, Quality, Scd2}
+import graft.warehouse.{AggState, Keys, Merge, Quality, Scd2}
 
 /** ETL-layer operators (SURVEY.md §2.A, §2.H): anonymization, age
   * bucketing, validity flags, merge/upsert, surrogate keys, and the
@@ -12,7 +12,42 @@ import graft.warehouse.{Keys, Merge, Quality, Scd2}
 object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
-    scd2History, columnProfile, histogram)
+    scd2History, columnProfile, histogram, aggStateMerge)
+
+  // --- q126: incremental aggregate-state maintenance ----------------------
+  // The warehouse refresh path: the monthly summary table is NOT
+  // recomputed from the full fact table — the new partition's partial
+  // state folds into the stored state (warehouse.AggState), and the
+  // oracle proves merge(build(old), build(delta)) == build(all) bit
+  // for bit (counts and DECIMAL sums associative, min/max idempotent).
+  // At 100 TB this turns a full-corpus scan per refresh into a
+  // delta-sized one.
+  def aggStateMerge: Q = Q(
+    "q126_agg_state_merge",
+    """SELECT o_orderpriority AS priority,
+      |  date_trunc('month', o_orderdate) AS month,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS vmin, max(o_totalprice) AS vmax,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_v
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY priority, month""".stripMargin,
+  ) { (s, dir) =>
+    val keys = Seq("priority", "month")
+    val cut = lit("1997-01-01").cast("timestamp")
+    val prep = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_totalprice").as("v"), col("o_orderdate"))
+    def side(pred: org.apache.spark.sql.Column) =
+      AggState.build(prep.filter(pred).drop("o_orderdate"), keys, "v")
+    val merged = AggState.merge(side(col("o_orderdate") < cut),
+      side(col("o_orderdate") >= cut), keys)
+    AggState.withAvg(merged)
+      .select(col("priority"), col("month"), col("cnt"),
+        col("total").cast("double").as("total"), col("vmin"), col("vmax"), col("avg_v"))
+      .orderBy("priority", "month")
+  }
 
   // --- q111: equi-width histogram -------------------------------------------
   // 20-bin equi-width histogram of order value — the q93 profile's

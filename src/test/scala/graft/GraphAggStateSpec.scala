@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+import graft.warehouse.AggState
+
+/** PageRank (operators.PageRank) and mergeable aggregate state
+  * (warehouse.AggState): hand-checked values, conservation/monoid
+  * invariants, and partitioning-independence — the properties the
+  * q125/q126 oracles can't see (they pin one dataset; these pin the
+  * algebra).
+  */
+class GraphAggStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- PageRank -----------------------------------------------------------
+
+  test("pagerank: symmetric 2-cycle is uniform at every iteration") {
+    // two nodes, one undirected edge: each node forwards its whole
+    // rank, so r stays exactly (1-d)/2 + d/2 = 1/2
+    val edges = PageRank.undirected(Seq((1L, 2L)).toDF("src", "dst"))
+    val r = PageRank.run(edges, iters = 3).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(math.abs(r(1L) - 0.5) < 1e-12 && math.abs(r(2L) - 0.5) < 1e-12)
+  }
+
+  test("pagerank: star center outranks leaves; total mass conserved") {
+    // undirected star 0-{1,2,3,4}: hub collects 4 full leaf ranks,
+    // leaves split the hub's — the canonical centrality sanity check
+    val edges = PageRank.undirected(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst"))
+    val r = PageRank.run(edges, iters = 10).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > r(1L) * 2, s"hub ${r(0L)} should dominate leaf ${r(1L)}")
+    assert((1L to 4L).forall(i => math.abs(r(i) - r(1L)) < 1e-12), "leaves symmetric")
+    // no dangling mass on a symmetrized graph: Σr = 1 exactly (up to
+    // the decimal(28,18) contribution quantum)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass ${r.values.sum}")
+  }
+
+  test("pagerank: one hand-computed iteration on a path graph") {
+    // path 1-2-3 undirected, d=0.85, N=3, r0=1/3 each; deg(2)=2, deg(1)=deg(3)=1.
+    // r1(1) = 0.15/3 + 0.85*(r0(2)/2)         = 0.05 + 0.85/6
+    // r1(2) = 0.15/3 + 0.85*(r0(1) + r0(3))   = 0.05 + 0.85*2/3
+    val edges = PageRank.undirected(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val r = PageRank.run(edges, iters = 1).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - (0.05 + 0.85 * (1.0 / 3) / 2)) < 1e-12)
+    assert(math.abs(r(2L) - (0.05 + 0.85 * (2.0 / 3))) < 1e-12)
+    assert(r(1L) === r(3L))
+  }
+
+  test("pagerank: ranks are partitioning-independent (decimal-summed contributions)") {
+    val es = (1L to 40L).map(i => (i, i % 7 + 100L))
+    def ranks(parts: Int) = {
+      val e = PageRank.undirected(es.toDF("src", "dst").repartition(parts))
+      PageRank.run(e, iters = 4).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    }
+    assert(ranks(1) === ranks(13)) // exact ==, not approx: the determinism contract
+  }
+
+  // --- AggState -----------------------------------------------------------
+
+  private def raw = Seq(
+    ("a", 1.25), ("a", 2.50), ("a", -3.00), ("b", 10.00), ("b", 0.01), ("c", 7.77),
+  ).toDF("k", "v")
+
+  test("aggstate: merge(build(old), build(delta)) == build(all) bit for bit") {
+    val old = raw.filter(col("v") > 0)
+    val delta = raw.filter(col("v") <= 0)
+    val merged = AggState.merge(
+      AggState.build(old, Seq("k"), "v"), AggState.build(delta, Seq("k"), "v"), Seq("k"))
+    val direct = AggState.build(raw, Seq("k"), "v")
+    val m = AggState.withAvg(merged).orderBy("k").collect().toSeq
+    val d = AggState.withAvg(direct).orderBy("k").collect().toSeq
+    assert(m === d)
+  }
+
+  test("aggstate: disjoint groups pass through and merge is associative") {
+    val a = AggState.build(Seq(("x", 1.0)).toDF("k", "v"), Seq("k"), "v")
+    val b = AggState.build(Seq(("y", 2.0), ("y", 4.0)).toDF("k", "v"), Seq("k"), "v")
+    val c = AggState.build(Seq(("x", 3.0)).toDF("k", "v"), Seq("k"), "v")
+    val left = AggState.merge(AggState.merge(a, b, Seq("k")), c, Seq("k"))
+    val right = AggState.merge(a, AggState.merge(b, c, Seq("k")), Seq("k"))
+    assert(left.orderBy("k").collect().toSeq === right.orderBy("k").collect().toSeq)
+    val x = left.filter(col("k") === "x").collect().head
+    assert(x.getLong(1) === 2L && x.getDecimal(2).doubleValue === 4.0)
+  }
+
+  test("aggstate: merge refuses mismatched state schemas") {
+    val good = AggState.build(raw, Seq("k"), "v")
+    intercept[IllegalArgumentException] {
+      AggState.merge(good, good.drop("vmax"), Seq("k"))
+    }
+  }
+}
