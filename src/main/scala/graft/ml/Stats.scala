@@ -113,4 +113,56 @@ object Stats {
       round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
+
+  /** Kaplan-Meier survival curve under right-censoring. Input: one row
+    * per subject with an integer duration `tCol` and `endedCol` = 1 if
+    * the terminal event was observed, 0 if censored. Aggregate-first:
+    * subjects collapse to per-duration (events, total) counts and only
+    * that bounded table (≤ #distinct durations rows) sees the
+    * unpartitioned windows — at-risk as a reverse cumulative count,
+    * the survival product as exp of a cumulative DECIMAL(18,9) sum of
+    * 9dp-rounded ln(1 − d/n) terms (associative-exact, the
+    * never-sum-raw-doubles rule). A final d = n step zeroes survival
+    * through the flag rather than evaluating ln(0). Returns
+    * (t, n_risk, d_ended, surv) ordered by t.
+    */
+  def kaplanMeier(subjects: DataFrame, tCol: String, endedCol: String): DataFrame = {
+    val byt = subjects.groupBy(col(tCol).as("t"))
+      .agg(count(lit(1)).as("n_all"), sum(col(endedCol)).as("d"))
+    val wAll = Window.orderBy("t")
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byt
+      .withColumn("n_risk",
+        sum(col("n_all")).over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("d") < col("n_risk"), round(log(lit(1) - col("d") / col("n_risk")), 9)))
+      .withColumn("dead", when(col("d") >= col("n_risk"), 1).otherwise(0))
+      .select(col("t"), col("n_risk"), col("d").as("d_ended"),
+        when(max(col("dead")).over(wCum) === 1, lit(0.0))
+          .otherwise(round(exp(coalesce(
+            sum(col("term").cast("decimal(18,9)")).over(wCum).cast("double"), lit(0))), 6))
+          .as("surv"))
+  }
+
+  /** CUPED covariate adjustment (Deng et al., WSDM'13): one-row
+    * (n, xbar, theta) with θ = cov(x,y)/var(x) from pooled DECIMAL
+    * moment sums over the (pre-metric x, experiment-metric y) table.
+    * Broadcast it and adjust per row as y − θ·(x − x̄): variance the
+    * pre-period already explains cancels, the adjusted grand mean is
+    * exactly the raw grand mean (Σ(x − x̄) = 0). x and y must carry
+    * ≤ 2dp (sums are DECIMAL(18,2) per the dsum contract).
+    */
+  def cupedTheta(users: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    users.agg(count(lit(1)).as("n"),
+      sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+      sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+      sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"),
+      sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"))
+      .select(col("n"), (col("sx") / col("n")).as("xbar"),
+        ((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"))
+  }
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * re-expressed relationally — no GraphX, no RDDs, no driver-side
   * adjacency).
   *
-  * Per iteration the plan is: ranks ⋈ edges on `src` (one hash
-  * exchange on the node key), a `groupBy(dst)` partial-then-final
-  * aggregate of the contributions, and a keyed join back to the
-  * degree table — three shuffles per iteration, each on a node-id
-  * key, which is the minimum a distributed PR step needs when the
-  * rank vector no longer fits on one machine. The edge and degree
-  * tables are persisted once and reused by every iteration.
+  * Per iteration the plan is: ranks ⋈ edges on `src`, then a
+  * `groupBy(dst)` partial-then-final aggregate of the contributions.
+  * The degree-annotated edge list is built ONCE, hash-partitioned by
+  * `src`, and persisted — the cached partitioning satisfies the join
+  * requirement every iteration, and the previous iteration's
+  * `groupBy(dst)` leaves the rank vector hash-partitioned on the
+  * same node key, so the steady-state loop pays ONE exchange per
+  * iteration (the contribution aggregate) — the minimum a
+  * distributed PR step needs once the rank vector no longer fits on
+  * one machine.
   *
   * Determinism contract (the repo's never-sum-raw-doubles rule):
   * each contribution `rank/outdeg` is cast to DECIMAL(28,18) before
@@ -43,11 +46,15 @@ object PageRank {
     */
   def run(edges0: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
-    val edges = graft.dedup.Dedup.persistTracked(
-      edges0.select(col("src").cast("long"), col("dst").cast("long")))
+    val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = graft.dedup.Dedup.persistTracked(
-      edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      e.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .select(col("src").as("id"), col("outdeg")))
+    // Degree-annotated edges, hash-partitioned by src BEFORE the
+    // persist: every iteration's join reads the cached partitioning
+    // instead of re-exchanging the (big) edge side.
+    val ed = graft.dedup.Dedup.persistTracked(
+      e.join(deg.withColumnRenamed("id", "src"), "src").repartition(col("src")))
     // N is a 1-row broadcast scalar (the C4 cross-scalar idiom), never
     // a driver collect — plan construction launches zero jobs.
     val n = deg.agg(count(lit(1)).as("nn"))
@@ -55,9 +62,9 @@ object PageRank {
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("nn")).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(ranks.join(deg, "id"), edges("src") === col("id"))
+      ranks = ed.join(ranks, ed("src") === ranks("id"))
         .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
-      ranks = contrib.groupBy("dst")
+        .groupBy("dst")
         .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("m"))
         .crossJoin(broadcast(n))
         .select(col("dst").as("id"),

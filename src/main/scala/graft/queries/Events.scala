@@ -12,7 +12,80 @@ object Events {
 
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
-    trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope)
+    trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
+    kaplanMeier)
+
+  // --- q130: Kaplan-Meier survival over session durations ------------------
+  // "How long do sessions last?" answered correctly under censoring: a
+  // session whose last event is within 30 min of the corpus edge may
+  // still be open, so it enters the at-risk counts but never the death
+  // counts — the naive histogram systematically understates long
+  // sessions. Aggregate-first: q49's sessionization collapses events
+  // to sessions, sessions collapse to per-duration-minute (ended, all)
+  // counts, and only THAT bounded table (≤ max session minutes rows)
+  // sees unpartitioned windows — at-risk via reverse cumulative count,
+  // the survival product as exp of a cumulative DECIMAL sum of 9dp-
+  // rounded ln(1 − d/n) terms (the q118 never-sum-raw-doubles idiom;
+  // a d = n final step zeroes survival via the flag, never ln(0)).
+  def kaplanMeier: Q = Q(
+    "q130_kaplan_meier",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+      |    ts FROM e),
+      |sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+      |         FROM s GROUP BY user_id, session_id),
+      |g AS (SELECT max(en) AS gmax FROM sess),
+      |d AS (SELECT CAST(floor((epoch_us(en) - epoch_us(st)) / 60000000) AS BIGINT) AS t_min,
+      |        CASE WHEN en <= gmax - INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ended
+      |      FROM sess, g),
+      |byt AS (SELECT t_min, CAST(count(*) AS BIGINT) AS n_all,
+      |          CAST(sum(ended) AS BIGINT) AS d FROM d GROUP BY t_min),
+      |k AS (SELECT t_min, d,
+      |    CAST(sum(n_all) OVER () AS BIGINT)
+      |      - CAST(coalesce(sum(n_all) OVER (ORDER BY t_min
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM byt),
+      |f AS (SELECT t_min, d, n_risk,
+      |    CASE WHEN d < n_risk THEN round(ln(1 - d / n_risk), 9) END AS term,
+      |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+      |  FROM k)
+      |SELECT t_min, n_risk, d AS d_ended,
+      |  CASE WHEN max(dead) OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+      |       ELSE round(exp(coalesce(CAST(sum(CAST(term AS DECIMAL(18,9)))
+      |              OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0)), 6)
+      |  END AS surv
+      |FROM f ORDER BY t_min""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val gmax = sess.agg(max(col("en")).as("gmax"))
+    val durs = sess.crossJoin(broadcast(gmax))
+      .select(
+        floor((unix_micros(col("en")) - unix_micros(col("st"))) / lit(60000000L))
+          .as("t_min"),
+        when(col("en") <= col("gmax") - expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0).as("ended"))
+    graft.ml.Stats.kaplanMeier(durs, "t_min", "ended")
+      .select(col("t").as("t_min"), col("n_risk"), col("d_ended"), col("surv"))
+      .orderBy("t_min")
+  }
 
   // --- q115: top session paths (sequence mining) -----------------------------
   // The most common first-5-event-type paths across q49's 30-min-gap

@@ -11,7 +11,103 @@ import graft.multimodal.Multimodal
 object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
-    chiSquare, aucMannWhitney)
+    chiSquare, aucMannWhitney, robustOutliers, cuped)
+
+  // --- q128: robust outlier detection (median/MAD) -------------------------
+  // q52's z-score breaks when the contamination it hunts inflates the
+  // mean/stddev it thresholds on; the robust twin uses median and MAD
+  // (both exact interpolated percentiles, the q11 idiom — breakdown
+  // point 50%). Shape: one grouped-percentile scan for medians, one
+  // scan joined against the broadcast medians to build the persisted
+  // absolute-deviation projection, which then feeds BOTH the MAD
+  // percentile and the outlier count — two scans of the fact table
+  // total, everything after keyed on the (tiny) group key.
+  def robustOutliers: Q = Q(
+    "q128_robust_outliers",
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |            FROM events GROUP BY event_type),
+      |b AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+      |      FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      |        FROM b GROUP BY event_type)
+      |SELECT b.event_type, round(max(b.med), 6) AS med, round(max(m.mad), 6) AS mad,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE b.absdev > 3 * CAST(1.4826 AS DOUBLE) * m.mad)
+      |       AS BIGINT) AS n_outliers
+      |FROM b JOIN mad m USING (event_type)
+      |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin,
+  ) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val b = graft.dedup.Dedup.persistTracked(
+      events.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("absdev")))
+    val mad = b.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    b.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("absdev") > lit(3) * lit(1.4826) * col("mad"), lit(1)))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // --- q129: CUPED variance-reduced experiment readout ---------------------
+  // The A/B-testing workhorse: adjust each user's experiment-period
+  // metric by their PRE-period activity (y − θ·(x − x̄), θ = cov/var
+  // from pooled pre/post moments) so user-level variance the
+  // experiment didn't cause cancels out. ONE scan of events builds the
+  // per-user (x, y) table by conditional aggregation; θ and x̄ are a
+  // 1-row broadcast; per-variant means come off the same user table.
+  // All sums DECIMAL (the q52 moments idiom) — θ is a deterministic
+  // function of exact sums.
+  def cuped: Q = Q(
+    "q129_cuped",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+      |  FROM events GROUP BY user_id),
+      |uu AS (SELECT user_id, variant, coalesce(x, 0.0) AS x, coalesce(y, 0.0) AS y FROM u),
+      |g AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+      |  FROM uu),
+      |t AS (SELECT n, sx / n AS xbar,
+      |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta FROM g)
+      |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_y,
+      |  round(CAST(sum(CAST(y - t.theta * (x - t.xbar) AS DECIMAL(24,6))) AS DOUBLE)
+      |        / count(*), 6) AS mean_y_cuped,
+      |  round(max(t.theta), 6) AS theta
+      |FROM uu, t GROUP BY variant ORDER BY variant""".stripMargin,
+  ) { (s, dir) =>
+    val cut = lit("2024-01-16").cast("timestamp")
+    val u = graft.dedup.Dedup.persistTracked(
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("ts") < cut, col("value").cast("decimal(18,2)")))
+            .cast("double"), lit(0.0)).as("x"),
+          coalesce(sum(when(col("ts") >= cut, col("value").cast("decimal(18,2)")))
+            .cast("double"), lit(0.0)).as("y"))
+        .select(col("user_id"), pmod(col("user_id"), lit(2)).as("variant"),
+          col("x"), col("y")))
+    val t = graft.ml.Stats.cupedTheta(u, "x", "y")
+    u.crossJoin(broadcast(t))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        round(dsum(col("y")) / count(lit(1)), 6).as("mean_y"),
+        round(sum((col("y") - col("theta") * (col("x") - col("xbar")))
+          .cast("decimal(24,6)")).cast("double") / count(lit(1)), 6).as("mean_y_cuped"),
+        round(max(col("theta")), 6).as("theta"))
+      .orderBy("variant")
+  }
 
   // --- q116: chi-square contingency cells (independence diagnostic) ---------
   // event_type × day-of-week contingency table with expected counts

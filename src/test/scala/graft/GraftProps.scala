@@ -138,4 +138,50 @@ object GraftProps extends Properties("graft") {
       val r = graft.ml.Stats.trendSlope(df, "g", "x", "y").head()
       r.getAs[Double]("slope") == a.toDouble && r.getAs[Double]("intercept") == b.toDouble
     }
+
+  property("KM with no censoring equals the empirical survival function") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 20L)).map(_.take(30))) { ts =>
+      val df = ts.map((_, 1)).toDF("t", "ended")
+      val rows = graft.ml.Stats.kaplanMeier(df, "t", "ended")
+        .orderBy("t").collect()
+      val n = ts.length.toDouble
+      rows.forall { r =>
+        val t = r.getLong(0)
+        // S(t) = P(T > t): the product telescopes to (# survivors)/n
+        val expect = ts.count(_ > t) / n
+        math.abs(r.getDouble(3) - expect) < 1e-6
+      }
+    }
+
+  property("KM survival is monotone non-increasing and censoring never lowers it") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 15L), Gen.oneOf(0, 1))).map(_.take(30))) { subj =>
+      val df = subj.toDF("t", "ended")
+      val s = graft.ml.Stats.kaplanMeier(df, "t", "ended")
+        .orderBy("t").collect().map(_.getDouble(3))
+      val allObserved = subj.map { case (t, _) => (t, 1) }.toDF("t", "ended")
+      val sAll = graft.ml.Stats.kaplanMeier(allObserved, "t", "ended")
+        .orderBy("t").collect().map(_.getDouble(3))
+      s.zip(s.drop(1)).forall { case (a, b) => b <= a + 1e-12 } &&
+        s.zip(sAll).forall { case (cens, obs) => cens >= obs - 1e-9 }
+    }
+
+  property("CUPED preserves the grand mean and zeroes theta-direction covariance") =
+    Prop.forAll(Gen.listOfN(20,
+      Gen.zip(Gen.choose(0, 2000), Gen.choose(0, 2000)))) { xy0 =>
+      // 2dp inputs per the contract; need var(x) > 0 for theta
+      val xy = xy0.map { case (a, b) => (a / 100.0, b / 100.0) }
+      (xy.map(_._1).distinct.length <= 1) || {
+        val df = xy.toDF("x", "y")
+        val t = graft.ml.Stats.cupedTheta(df, "x", "y").head()
+        val (xbar, theta) = (t.getAs[Double]("xbar"), t.getAs[Double]("theta"))
+        val adj = xy.map { case (x, y) => y - theta * (x - xbar) }
+        val rawMean = xy.map(_._2).sum / xy.length
+        // Σ(x−x̄)=0 ⇒ grand mean unchanged; θ is the OLS slope ⇒ the
+        // adjusted metric is uncorrelated with the covariate
+        val cov = xy.map(_._1).zip(adj).map { case (x, a) => (x - xbar) * a }.sum
+        math.abs(adj.sum / adj.length - rawMean) < 1e-6 &&
+          math.abs(cov / xy.length) < 1e-4
+      }
+    }
 }
