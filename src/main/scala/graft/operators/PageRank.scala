@@ -73,3 +73,45 @@ object PageRank {
     ranks
   }
 }
+
+/** Triangle counting by degree-ordered orientation (Schank/Wagner
+  * forward counting) — the at-scale algorithm, not the naive 3-way
+  * self-join. Every undirected edge is oriented ascending by
+  * (degree, id), so a triangle a≺b≺c is found exactly once: as the
+  * wedge at its lowest-order apex (a→b, a→c) closed by the oriented
+  * edge b→c. Wedge fan-out per node is bounded by OUT-degree, which
+  * the orientation caps at O(√m) — power-law hubs don't blow up the
+  * join. Joins are keyed (wedges on the apex, closure on the (v,w)
+  * edge key); values are exact integers; the oriented edge list is
+  * persisted once and reused by all three legs.
+  */
+object Triangles {
+
+  /** Per-node triangle membership counts over canonical undirected
+    * edges (`src` < `dst`, pre-deduplicated). Nodes in no triangle
+    * are absent. Output: (id, n_tri).
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("sa"), col("dst").cast("long").as("sb"))
+    val deg = e.select(col("sa").as("id")).unionByName(e.select(col("sb").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // one sortable key for the (degree, id) total order; ids must fit
+    // 32 bits below a 2^32 degree multiplier
+    val ord = deg.select(col("id"), (col("d") * lit(4294967296L) + col("id")).as("ord"))
+    val o = e.join(ord.as("oa"), col("sa") === col("oa.id"))
+      .join(ord.as("ob"), col("sb") === col("ob.id"))
+      .select(
+        when(col("oa.ord") < col("ob.ord"), col("sa")).otherwise(col("sb")).as("u"),
+        when(col("oa.ord") < col("ob.ord"), col("sb")).otherwise(col("sa")).as("v"),
+        greatest(col("oa.ord"), col("ob.ord")).as("ordv"))
+    val op = graft.dedup.Dedup.persistTracked(o)
+    val tri = op.as("w1").join(op.as("w2"),
+        col("w1.u") === col("w2.u") && col("w1.ordv") < col("w2.ordv"))
+      .join(op.as("cl"), col("cl.u") === col("w1.v") && col("cl.v") === col("w2.v"))
+      .select(col("w1.u").as("a"), col("w1.v").as("b"), col("w2.v").as("c"))
+    tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+}

@@ -13,7 +13,108 @@ import graft.{Q, Tables}
   */
 object Graph {
 
-  val all: Seq[Q] = Seq(pagerank)
+  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity)
+
+  /** Distinct (customer, supplier) purchase pairs — the bipartite
+    * incidence both co-purchase queries project through.
+    */
+  private def custSupp(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+
+  // def, not val: `val all` above runs at object init, before vals
+  // declared below it (the Embeddings.EmbDim rule)
+  private def CustSuppSql =
+    """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+
+  // --- q131: triangle counting, degree-ordered orientation ---------------
+  // Triangles in the supplier co-purchase graph (suppliers linked when
+  // they share ≥ 190 customers — the projection threshold that keeps
+  // the graph sparse). The at-scale algorithm, not the naive 3-way
+  // self-join: every edge is ORIENTED ascending by (degree, id), so a
+  // triangle a≺b≺c is found exactly once — as the wedge at its
+  // lowest-order apex closed by one oriented-edge lookup — and
+  // per-node wedge fan-out is bounded by out-degree ≤ O(√m) instead
+  // of max degree (Schank/Wagner forward counting; the reason
+  // power-law hubs don't blow up the join). All joins are keyed
+  // (wedge on apex, closure on the (v,w) edge key); all values exact
+  // integers.
+  def triangles: Q = Q(
+    "q131_triangles",
+    s"""WITH $CustSuppSql,
+      |e AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+      |      GROUP BY 1, 2 HAVING count(*) >= 190),
+      |deg AS (SELECT id, count(*) AS d FROM
+      |        (SELECT sa AS id FROM e UNION ALL SELECT sb AS id FROM e) GROUP BY id),
+      |ord AS (SELECT id, d * 4294967296 + id AS ord FROM deg),
+      |o AS (SELECT CASE WHEN oa.ord < ob.ord THEN e.sa ELSE e.sb END AS u,
+      |        CASE WHEN oa.ord < ob.ord THEN e.sb ELSE e.sa END AS v,
+      |        CASE WHEN oa.ord < ob.ord THEN ob.ord ELSE oa.ord END AS ordv
+      |      FROM e JOIN ord oa ON e.sa = oa.id JOIN ord ob ON e.sb = ob.id),
+      |tri AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
+      |        FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.ordv < w2.ordv
+      |        JOIN o cl ON cl.u = w1.v AND cl.v = w2.v),
+      |pern AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM
+      |         (SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+      |          UNION ALL SELECT c AS id FROM tri) GROUP BY id)
+      |SELECT id, n_tri FROM pern ORDER BY n_tri DESC, id LIMIT 15""".stripMargin,
+  ) { (s, dir) =>
+    val cs = custSupp(s, dir)
+    val e = cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
+      .select("sa", "sb")
+    graft.operators.Triangles.perNode(e.select(col("sa").as("src"), col("sb").as("dst")))
+      .orderBy(col("n_tri").desc, col("id")).limit(15)
+  }
+
+  // --- q132: item-item cosine similarity (co-purchase recommender) --------
+  // "Customers who bought from s also bought from t": cosine over the
+  // suppliers' binary customer-incidence vectors, sim = |Ca∩Cb| /
+  // √(|Ca|·|Cb|). Pair generation is the inverted-index join on the
+  // shared customer key (the repo's only sanctioned pair shape —
+  // never all-pairs); per-supplier customer counts ride back on a
+  // broadcast; top-3 neighbors per supplier via a partitioned window.
+  def itemSimilarity: Q = Q(
+    "q132_item_similarity",
+    s"""WITH $CustSuppSql,
+      |cnt AS (SELECT sp, count(*) AS n FROM cs GROUP BY sp),
+      |p AS (SELECT a.sp AS sa, b.sp AS sb, count(*) AS shared
+      |      FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+      |sym AS (SELECT sa AS s, sb AS o, shared FROM p
+      |        UNION ALL SELECT sb AS s, sa AS o, shared FROM p),
+      |sim AS (SELECT s, o, CAST(shared AS BIGINT) AS shared,
+      |    CAST(shared AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cos
+      |  FROM sym JOIN cnt ca ON sym.s = ca.sp JOIN cnt cb ON sym.o = cb.sp),
+      |rk AS (SELECT s, o, shared, cos,
+      |    row_number() OVER (PARTITION BY s ORDER BY cos DESC, o) AS rk FROM sim)
+      |SELECT s, o, shared, round(cos, 6) AS cos, CAST(rk AS BIGINT) AS rk
+      |FROM rk WHERE rk <= 3 ORDER BY s, rk""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cs = graft.dedup.Dedup.persistTracked(custSupp(s, dir))
+    val cnt = cs.groupBy(col("sp")).agg(count(lit(1)).as("n"))
+    val p = cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    val sym = p.select(col("sa").as("s"), col("sb").as("o"), col("shared"))
+      .unionByName(p.select(col("sb").as("s"), col("sa").as("o"), col("shared")))
+    val sim = sym
+      .join(broadcast(cnt.select(col("sp"), col("n").as("na"))), col("s") === col("sp")).drop("sp")
+      .join(broadcast(cnt.select(col("sp"), col("n").as("nb"))), col("o") === col("sp")).drop("sp")
+      .select(col("s"), col("o"), col("shared"),
+        (col("shared").cast("double") / sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+    sim.withColumn("rk",
+        row_number().over(Window.partitionBy("s").orderBy(col("cos").desc, col("o"))))
+      .filter(col("rk") <= 3)
+      .select(col("s"), col("o"), col("shared"), round(col("cos"), 6).as("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("s", "rk")
+  }
 
   // --- q125: PageRank centrality over the purchase graph -----------------
   // Nodes: customers (2k) and suppliers (2k+1); edges: "c bought from

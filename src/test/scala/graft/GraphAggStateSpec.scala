@@ -56,6 +56,33 @@ class GraphAggStateSpec extends SparkSpec {
     assert(ranks(1) === ranks(13)) // exact ==, not approx: the determinism contract
   }
 
+  // --- Triangles ----------------------------------------------------------
+
+  test("triangles: oriented forward count matches brute force on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + trial * 2
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      val adj = edges.toSet
+      val brute = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj((a, b)) && adj((b, c)) && adj((a, c))
+      } yield Seq(a, b, c)).flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.operators.Triangles.perNode(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute, s"trial $trial: $got vs $brute")
+    }
+  }
+
+  test("triangles: a complete K5 gives every node C(4,2)=6 triangles") {
+    val edges = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val got = graft.operators.Triangles.perNode(edges.toSeq.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 5L).map(_ -> 6L).toMap)
+  }
+
   // --- AggState -----------------------------------------------------------
 
   private def raw = Seq(
