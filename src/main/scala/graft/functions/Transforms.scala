@@ -82,4 +82,18 @@ object Transforms {
     val u = (h.cast("double") + 0.5) / 1000003.0
     log(u) / weight
   }
+
+  /** Gumbel-top-k sampling key: logWeight + (−ln(−ln u)) with u the
+    * same pure (key, salt) LCG uniform as [[weightedSampleKey]]. The
+    * k largest keys are a without-replacement sample with inclusion
+    * probability ∝ exp(logWeight) — the Gumbel-max trick, entirely in
+    * log domain so importance weights spanning hundreds of nats never
+    * overflow. Reproducible across engines, partitionings, retries;
+    * pair with orderBy(desc).limit(k) → TakeOrderedAndProject.
+    */
+  def gumbelKey(logWeight: Column, key: Column, salt: Long = 7L): Column = {
+    val h = pmod(pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(salt), lit(1000003L))
+    val u = (h.cast("double") + 0.5) / 1000003.0
+    logWeight + -log(-log(u))
+  }
 }

@@ -14,7 +14,81 @@ import graft.text.TextAnalysis
 object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
-    balancedMixture, temperatureMixture, sourceQuota, weightedSample)
+    balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample)
+
+  // --- q134: DSIR importance resampling -------------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every raw doc by how target-like its unigram distribution is —
+  // logw(d) = Σ_w c_{d,w}·(ln p̂_target(w) − ln p̂_raw(w)) over a
+  // bounded vocabulary with add-one smoothing — then draw a
+  // without-replacement sample ∝ exp(logw) via Gumbel top-k (seeded,
+  // the q110 idiom). Scale shape: ONE token explode feeds per-doc term
+  // counts; the vocabulary is bounded (top-300 by total count) so the
+  // λ_w = ln-ratio table broadcasts; the per-doc weight is a keyed
+  // join + DECIMAL-summed aggregate; the sample is a
+  // TakeOrderedAndProject. No all-pairs shape, no driver data — the
+  // λ table is the only collect-free broadcast. ln terms round to 9 dp
+  // before the exact sum (the never-sum-raw-doubles rule), which is
+  // also what makes the whole chain — counts, smoothing, weights,
+  // Gumbel keys — replicate bit-for-bit in the DuckDB oracle.
+  def dsirResample: Q = Q(
+    "q134_dsir_resample",
+    """WITH tokc AS (SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |cls AS (SELECT doc_id, source, source IN ('src0', 'src1', 'src2') AS tgt
+      |        FROM documents),
+      |tc AS (SELECT t.tok,
+      |         sum(CASE WHEN c2.tgt THEN t.c ELSE 0 END) AS tcnt,
+      |         sum(CASE WHEN c2.tgt THEN 0 ELSE t.c END) AS rcnt
+      |       FROM tokc t JOIN cls c2 USING (doc_id) GROUP BY t.tok),
+      |vocab AS (SELECT tok, tcnt, rcnt FROM tc ORDER BY tcnt + rcnt DESC, tok LIMIT 300),
+      |tot AS (SELECT sum(tcnt) AS tt, sum(rcnt) AS tr FROM vocab),
+      |lam AS (SELECT tok,
+      |    round(ln(CAST(tcnt + 1 AS DOUBLE) / CAST(tt + 300 AS DOUBLE)), 9)
+      |  - round(ln(CAST(rcnt + 1 AS DOUBLE) / CAST(tr + 300 AS DOUBLE)), 9) AS lam
+      |  FROM vocab, tot),
+      |logw AS (SELECT t.doc_id,
+      |    CAST(sum(CAST(round(CAST(t.c AS DOUBLE) * l.lam, 9) AS DECIMAL(18,9)))
+      |         AS DOUBLE) AS lw
+      |  FROM tokc t JOIN lam l USING (tok) JOIN cls c2 USING (doc_id)
+      |  WHERE NOT c2.tgt GROUP BY t.doc_id),
+      |g AS (SELECT doc_id, lw, lw + (-ln(-ln(
+      |        (((doc_id % 1000003) * 2654435761 + 7) % 1000003 + 0.5) / 1000003.0)))
+      |      AS s FROM logw)
+      |SELECT g.doc_id, d.source, round(g.lw, 6) AS logw, round(g.s, 6) AS score
+      |FROM g JOIN documents d ON d.doc_id = g.doc_id
+      |ORDER BY g.s DESC, g.doc_id LIMIT 50""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tokc = Dedup.persistTracked(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c")))
+    val cls = docs.select(col("doc_id"), col("source"),
+      col("source").isin("src0", "src1", "src2").as("tgt"))
+    val tc = tokc.join(cls.select("doc_id", "tgt"), "doc_id")
+      .groupBy("tok")
+      .agg(sum(when(col("tgt"), col("c")).otherwise(lit(0))).as("tcnt"),
+        sum(when(col("tgt"), lit(0)).otherwise(col("c"))).as("rcnt"))
+    val vocab = tc.orderBy((col("tcnt") + col("rcnt")).desc, col("tok")).limit(300)
+    val tot = vocab.agg(sum("tcnt").as("tt"), sum("rcnt").as("tr"))
+    val lam = vocab.crossJoin(broadcast(tot)) // 1-row scalar broadcast
+      .select(col("tok"),
+        (round(log((col("tcnt") + 1).cast("double") / (col("tt") + 300).cast("double")), 9)
+          - round(log((col("rcnt") + 1).cast("double") / (col("tr") + 300).cast("double")), 9))
+          .as("lam"))
+    val logw = tokc.join(broadcast(lam), "tok")
+      .join(cls.select("doc_id", "tgt"), "doc_id")
+      .filter(!col("tgt"))
+      .groupBy("doc_id")
+      .agg(dsum(round(col("c").cast("double") * col("lam"), 9), 9).as("lw"))
+    logw.select(col("doc_id"), col("lw"),
+        graft.functions.Transforms.gumbelKey(col("lw"), col("doc_id"), 7L).as("s"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .orderBy(col("s").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), col("source"), round(col("lw"), 6).as("logw"),
+        round(col("s"), 6).as("score"))
+  }
 
   // --- q110: deterministic weighted sampling (Efraimidis–Spirakis) ----------
   // Weighted sampling without replacement as a top-k: each doc gets

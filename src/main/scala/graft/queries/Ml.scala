@@ -11,7 +11,76 @@ import graft.multimodal.Multimodal
 object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
-    chiSquare, aucMannWhitney, robustOutliers, cuped)
+    chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier)
+
+  // One unrolled gradient-descent iteration of the q133 oracle: the
+  // sigmoid fold order, 9-dp rounding, DECIMAL(18,9) gradient sums,
+  // and w − lr·(g/n) update mirror graft.ml.LogRegLite term for term.
+  private def lrIterSql(k: Int, prevW: String): String =
+    s"""s$k AS (SELECT f.*, round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+       |    exp(-((((w.b0 + f.x1 * w.b1) + f.x2 * w.b2) + f.x3 * w.b3)))), 9) AS s
+       |  FROM f, $prevW w),
+       |g$k AS (SELECT
+       |    CAST(sum(CAST(round(s - y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS g0,
+       |    CAST(sum(CAST(round(x1 * (s - y), 9) AS DECIMAL(18,9))) AS DOUBLE) AS g1,
+       |    CAST(sum(CAST(round(x2 * (s - y), 9) AS DECIMAL(18,9))) AS DOUBLE) AS g2,
+       |    CAST(sum(CAST(round(x3 * (s - y), 9) AS DECIMAL(18,9))) AS DOUBLE) AS g3,
+       |    CAST(count(*) AS DOUBLE) AS n FROM s$k),
+       |w$k AS (SELECT w.b0 - CAST(0.5 AS DOUBLE) * (g.g0 / g.n) AS b0,
+       |    w.b1 - CAST(0.5 AS DOUBLE) * (g.g1 / g.n) AS b1,
+       |    w.b2 - CAST(0.5 AS DOUBLE) * (g.g2 / g.n) AS b2,
+       |    w.b3 - CAST(0.5 AS DOUBLE) * (g.g3 / g.n) AS b3 FROM g$k g, $prevW w)""".stripMargin
+
+  // --- q133: linear quality classifier (from-scratch logistic regression) --
+  // The CCNet/fastText-shaped curation move: train a cheap linear
+  // classifier on per-doc statistics, score the corpus, keep the high
+  // end. Trainer is `ml.LogRegLite` — full-batch GD where each
+  // iteration is ONE map-side-combined aggregation of d+1 exact
+  // DECIMAL(18,9) gradient sums (only d+2 scalars ever reach the
+  // driver), weights ride back in as literals, serving is a map-only
+  // scan+project. Because the per-row gradient terms round to 9 dp
+  // before the decimal cast, training is bit-reproducible across
+  // partitionings AND expressible in ANSI SQL — the oracle replays
+  // all 3 iterations as chained 1-row CTEs and hash-checks the scored
+  // output, so the entire training trajectory is driver-verified.
+  // Features: chars/400, tokens/100, mean word length/10 (O(1)-scaled);
+  // label: lang = 'en'.
+  def qualityClassifier: Q = Q(
+    "q133_quality_classifier",
+    s"""WITH f AS (SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE) AS x1,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+      |      / CAST(100 AS DOUBLE) AS x2,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+      |       * CAST(10 AS DOUBLE)) AS x3,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+      |  FROM documents),
+      |w0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+      |       CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3),
+      |${lrIterSql(1, "w0")},
+      |${lrIterSql(2, "w1")},
+      |${lrIterSql(3, "w2")},
+      |sc AS (SELECT f.doc_id, f.y, round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+      |    exp(-((((w.b0 + f.x1 * w.b1) + f.x2 * w.b2) + f.x3 * w.b3)))), 9) AS s
+      |  FROM f, w3 w)
+      |SELECT doc_id, y AS label, round(s, 6) AS score
+      |FROM sc ORDER BY s DESC, doc_id LIMIT 15""".stripMargin,
+  ) { (s, dir) =>
+    def tokd = (length(col("text")) - length(expr("replace(text, ' ', '')")) + lit(1))
+      .cast("double")
+    val f = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (col("n_chars").cast("double") / lit(400.0)).as("x1"),
+      (tokd / lit(100.0)).as("x2"),
+      (col("n_chars").cast("double") / (tokd * lit(10.0))).as("x3"),
+      when(col("lang") === "en", lit(1)).otherwise(lit(0)).cast("double").as("y"))
+    val feat = Seq("x1", "x2", "x3")
+    val m = graft.ml.LogRegLite.train(f, feat, "y", iters = 3, lr = 0.5)
+    graft.ml.LogRegLite.score(f, feat, m.weights.toSeq, "s")
+      .orderBy(col("s").desc, col("doc_id")).limit(15)
+      .select(col("doc_id"), col("y").as("label"), round(col("s"), 6).as("score"))
+  }
 
   // --- q128: robust outlier detection (median/MAD) -------------------------
   // q52's z-score breaks when the contamination it hunts inflates the

@@ -55,6 +55,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean)
   }
 
+  test("q133 classifier scores are valid probabilities over the top docs") {
+    val out = run("q133_quality_classifier").cache()
+    assert(out.count() === 15)
+    assert(out.filter(col("score") < 0.0 || col("score") > 1.0).count() === 0)
+    assert(out.filter(col("label").isin(0.0, 1.0) === false).count() === 0)
+    out.unpersist()
+  }
+
+  test("q134 DSIR sample draws only raw-pool docs; gumbelKey tracks exp(logw)") {
+    val out = SparkEntry.queries("q134_dsir_resample")(spark, "/root/testdata/sf0.01").cache()
+    assert(out.count() === 50)
+    // the target corpus defines the distribution; it is never sampled
+    assert(out.filter(col("source").isin("src0", "src1", "src2")).count() === 0)
+    out.unpersist()
+    graft.dedup.Dedup.clearCaches(spark)
+    // Gumbel-top-k bias: 50 keys at weight 20 among 1000 at weight 1 —
+    // a uniform draw of 100 would include ~4.8 heavy keys, weighted
+    // inclusion ∝ exp(lw) yields ~40; assert the separation.
+    import spark.implicits._
+    val df = (0L until 1050L).map(k => (k, if (k < 50) math.log(20.0) else 0.0))
+      .toDF("k", "lw")
+    val heavy = df.select(col("k"),
+        graft.functions.Transforms.gumbelKey(col("lw"), col("k")).as("s"))
+      .orderBy(col("s").desc).limit(100).filter(col("k") < 50).count()
+    assert(heavy >= 25, s"only $heavy heavy keys in the weighted top-100")
+  }
+
   test("q112 count-min estimates never undercount") {
     val out = run("q112_cms_heavy_hitters").cache()
     assert(out.count() === 20)
