@@ -12,7 +12,62 @@ import graft.warehouse.{AggState, Keys, Merge, Quality, Scd2}
 object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
-    scd2History, columnProfile, histogram, aggStateMerge)
+    scd2History, columnProfile, histogram, aggStateMerge, histQuantileState)
+
+  // --- q135: incremental quantile maintenance (mergeable histogram) --------
+  // q126's refresh contract extended to order statistics: percentiles
+  // can't be maintained from the monoid quad, so the stored state is
+  // the exactly-mergeable fixed-bin histogram (warehouse.HistState,
+  // 50 bins over [0, 500)). The query folds a pre/post-cut delta pair
+  // with merge() and estimates p50/p90 from the MERGED state; the
+  // oracle recomputes the histogram from the FULL table — so the
+  // hash-match is itself the proof that merge(build(old),
+  // build(delta)) == build(all), bins and interpolation bit for bit.
+  // A refresh at 100 TB shuffles ~|groups|·bins counter rows, never
+  // the fact table; the estimate is windows over ≤ 50 rows per group.
+  def histQuantileState: Q = Q(
+    "q135_hist_quantile_state",
+    """WITH st AS (SELECT event_type,
+      |    CAST(least(greatest(floor((value - CAST(0 AS DOUBLE)) / CAST(10 AS DOUBLE)),
+      |                        0), 49) AS INT) AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM st),
+      |sel AS (SELECT event_type, bin, cnt, n, cum, cum - cnt AS bef FROM c),
+      |q50 AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |    max(round(CAST(0 AS DOUBLE) +
+      |      (bin + (CAST(0.5 AS DOUBLE) * (n - 1) - bef) / cnt) * CAST(10 AS DOUBLE), 6)) AS p50
+      |  FROM sel WHERE CAST(0.5 AS DOUBLE) * (n - 1) >= bef
+      |    AND CAST(0.5 AS DOUBLE) * (n - 1) < cum GROUP BY event_type),
+      |q90 AS (SELECT event_type,
+      |    max(round(CAST(0 AS DOUBLE) +
+      |      (bin + (CAST(0.9 AS DOUBLE) * (n - 1) - bef) / cnt) * CAST(10 AS DOUBLE), 6)) AS p90
+      |  FROM sel WHERE CAST(0.9 AS DOUBLE) * (n - 1) >= bef
+      |    AND CAST(0.9 AS DOUBLE) * (n - 1) < cum GROUP BY event_type)
+      |SELECT q50.event_type, q50.n, q50.p50, q90.p90
+      |FROM q50 JOIN q90 USING (event_type) ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    import graft.warehouse.HistState
+    val (lo, hi, bins) = (0.0, 500.0, 50)
+    val keys = Seq("event_type")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"), col("ts"))
+    def side(pred: org.apache.spark.sql.Column) =
+      HistState.build(ev.filter(pred).drop("ts"), keys, "value", lo, hi, bins)
+    val merged = graft.dedup.Dedup.persistTracked(
+      HistState.merge(side(col("ts") < cut), side(col("ts") >= cut), keys))
+    val n = merged.groupBy("event_type").agg(sum("cnt").as("n"))
+    val p50 = HistState.quantile(merged, keys, lo, hi, bins, 0.5)
+      .withColumnRenamed("q", "p50")
+    val p90 = HistState.quantile(merged, keys, lo, hi, bins, 0.9)
+      .withColumnRenamed("q", "p90")
+    n.join(p50, keys).join(p90, keys)
+      .select(col("event_type"), col("n"), col("p50"), col("p90"))
+      .orderBy("event_type")
+  }
 
   // --- q126: incremental aggregate-state maintenance ----------------------
   // The warehouse refresh path: the monthly summary table is NOT

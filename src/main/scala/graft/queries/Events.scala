@@ -13,7 +13,53 @@ object Events {
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
-    kaplanMeier)
+    kaplanMeier, lastTouchAttribution)
+
+  // --- q139: last-touch attribution ----------------------------------------
+  // The marketing-analytics workhorse the funnel (q99) and transition
+  // matrix (q109) don't answer: which touch gets CREDIT for each
+  // purchase? Last-touch: the user's most recent click/view strictly
+  // before the purchase, provided it's within the 7-day lookback —
+  // otherwise the purchase is 'direct'. One keyed window per user
+  // (ORDER BY ts, event_id — total order, so credit is deterministic
+  // under timestamp ties), carrying touch type and touch time as two
+  // IGNORE-NULLS last_value calls over the strictly-preceding frame;
+  // then a 3-group aggregate of DECIMAL-exact credited revenue. No
+  // self-join, no explode — the window shuffles each user's events
+  // once, which is the minimum for any per-user attribution.
+  def lastTouchAttribution: Q = Q(
+    "q139_last_touch_attribution",
+    """WITH t AS (SELECT user_id, event_type, ts, event_id, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+      |      IGNORE NULLS) OVER w AS touch_type,
+      |    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+      |      IGNORE NULLS) OVER w AS touch_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (SELECT CASE WHEN touch_ts IS NOT NULL
+      |        AND touch_ts >= ts - INTERVAL 7 DAY THEN touch_type
+      |        ELSE 'direct' END AS channel, value
+      |      FROM t WHERE event_type = 'purchase')
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS credited_value
+      |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val t = Tables.events(s, dir)
+      .withColumn("touch_type", last(when(isTouch, col("event_type")), true).over(w))
+      .withColumn("touch_ts", last(when(isTouch, col("ts")), true).over(w))
+    t.filter(col("event_type") === "purchase")
+      .select(when(col("touch_ts").isNotNull
+          && col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAY"), col("touch_type"))
+        .otherwise(lit("direct")).as("channel"), col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(dsum(col("value")), 2).as("credited_value"))
+      .orderBy("channel")
+  }
 
   // --- q130: Kaplan-Meier survival over session durations ------------------
   // "How long do sessions last?" answered correctly under censoring: a

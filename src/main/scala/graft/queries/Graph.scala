@@ -13,7 +13,39 @@ import graft.{Q, Tables}
   */
 object Graph {
 
-  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity)
+  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend)
+
+  // --- q141: ALS matrix-factorization recommendations ----------------------
+  // The model-based half of the recommender family (q132 is the
+  // memory-based half): factor the customer×supplier purchase-count
+  // matrix with from-scratch distributed ALS-WR (ml.AlsLite — keyed
+  // joins only, per-group exact ridge solves, neither factor matrix
+  // ever broadcast or collected), then recommend the top-3 UNSEEN
+  // suppliers for a bounded 10-customer panel. Candidate generation is
+  // panel × items (the q101 batch-top-k shape — bounded by the panel,
+  // not the catalog) minus seen pairs via anti-join. Rows-only by
+  // necessity (an iterative data-dependent matrix factorization has
+  // no single-SQL oracle); AlsSpec gates the trainer: monotone
+  // regularized objective, bit-identical factors across
+  // partitionings, rank-1 matrix recovery, and a hand-checked 1×1
+  // ridge solve.
+  def alsRecommend: Q = Q.rowsOnly("q141_als_recommend") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ratings = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+      .agg(count(lit(1)).as("r"))
+    val m = graft.ml.AlsLite.train(ratings, "u", "i", "r", k = 8, iters = 2, lambda = 0.1)
+    val panel = ratings.select("u").distinct().orderBy("u").limit(10)
+    val items = ratings.select("i").distinct()
+    val candidates = panel.crossJoin(items) // bounded: 10 × catalog
+      .join(ratings.select("u", "i"), Seq("u", "i"), "left_anti")
+    val scored = graft.ml.AlsLite.predict(candidates, m.userFactors, m.itemFactors, "u", "i")
+    val rk = row_number().over(Window.partitionBy("u").orderBy(col("pred").desc, col("i")))
+    scored.withColumn("rk", rk).filter(col("rk") <= 3)
+      .select(col("u"), col("i"), round(col("pred"), 6).as("pred"), col("rk"))
+      .orderBy("u", "rk")
+  }
 
   /** Distinct (customer, supplier) purchase pairs — the bipartite
     * incidence both co-purchase queries project through.

@@ -11,12 +11,79 @@ import graft.multimodal.Multimodal
 object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
-    chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier)
+    chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
+    bootstrapCi)
 
-  // One unrolled gradient-descent iteration of the q133 oracle: the
-  // sigmoid fold order, 9-dp rounding, DECIMAL(18,9) gradient sums,
-  // and w − lr·(g/n) update mirror graft.ml.LogRegLite term for term.
-  private def lrIterSql(k: Int, prevW: String): String =
+  // --- q138: Poisson-bootstrap confidence interval -------------------------
+  // The only bootstrap that works on a cluster (Chamandy et al.,
+  // Google 2012): instead of resampling n rows with replacement (a
+  // sequential draw), every (row, replicate) pair gets an independent
+  // Poisson(1) weight — the multinomial's limit — so all B replicates
+  // are computed in ONE pass. Weights come from the seeded LCG
+  // uniform through the Poisson(1) inverse CDF (pure function of
+  // (o_orderkey, b): engine-reproducible, retry-stable). Scale shape:
+  // the ×B explode feeds a partial aggregate with B groups, so each
+  // partition emits ≤ B rows and the shuffle is B·partitions counters
+  // — the fact table is scanned once and never shuffled. The CI is an
+  // exact interpolated percentile over the B-row replicate table.
+  def bootstrapCi: Q = Q(
+    "q138_bootstrap_ci",
+    """WITH r AS (SELECT o_orderkey, o_totalprice, unnest(range(1, 101)) AS b FROM orders),
+      |w AS (SELECT b, o_totalprice,
+      |    CASE
+      |      WHEN u < CAST(0.367879441 AS DOUBLE) THEN 0
+      |      WHEN u < CAST(0.735758882 AS DOUBLE) THEN 1
+      |      WHEN u < CAST(0.919698603 AS DOUBLE) THEN 2
+      |      WHEN u < CAST(0.981011843 AS DOUBLE) THEN 3
+      |      WHEN u < CAST(0.996340153 AS DOUBLE) THEN 4
+      |      ELSE 5 END AS wt
+      |  FROM (SELECT b, o_totalprice,
+      |      ((((o_orderkey + b * 7919) % 1000003) * 2654435761 + 42) % 1000003 + 0.5)
+      |        / 1000003.0 AS u
+      |    FROM r)),
+      |m AS (SELECT b,
+      |    CAST(sum(CAST(wt * o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / sum(wt) AS mean_b
+      |  FROM w GROUP BY b),
+      |full_m AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*) AS mean_full FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+      |  round(max(f.mean_full), 4) AS mean_full,
+      |  round(quantile_cont(mean_b, 0.025), 4) AS boot_lo95,
+      |  round(quantile_cont(mean_b, 0.975), 4) AS boot_hi95
+      |FROM m, full_m f""".stripMargin,
+  ) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val key = (pmod((col("o_orderkey") + col("b") * lit(7919L)), lit(1000003L))
+      * lit(2654435761L) + lit(42L))
+    val u = (pmod(key, lit(1000003L)).cast("double") + lit(0.5)) / lit(1000003.0)
+    val wt = when(u < lit(0.367879441), lit(0))
+      .when(u < lit(0.735758882), lit(1))
+      .when(u < lit(0.919698603), lit(2))
+      .when(u < lit(0.981011843), lit(3))
+      .when(u < lit(0.996340153), lit(4))
+      .otherwise(lit(5))
+    val m = orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(1L), lit(100L))).as("b"))
+      .select(col("b"), col("o_totalprice"), wt.as("wt"))
+      .groupBy("b")
+      .agg((dsum(col("wt") * col("o_totalprice")) / sum(col("wt"))).as("mean_b"))
+    val fullM = orders.agg(
+      (dsum(col("o_totalprice")) / count(lit(1))).as("mean_full"))
+    m.crossJoin(broadcast(fullM)) // 1-row scalar broadcast
+      .agg(count(lit(1)).as("n_replicates"),
+        round(max(col("mean_full")), 4).as("mean_full"),
+        round(expr("percentile(mean_b, 0.025)"), 4).as("boot_lo95"),
+        round(expr("percentile(mean_b, 0.975)"), 4).as("boot_hi95"))
+  }
+
+  // One unrolled gradient-descent iteration of the q133/q137 oracle:
+  // the sigmoid fold order, 9-dp rounding, DECIMAL(18,9) gradient
+  // sums, and w − lr·(g/n) update mirror graft.ml.LogRegLite term for
+  // term. `lr` is spliced as a literal so both engines parse the same
+  // decimal string.
+  private def lrIterSql(k: Int, prevW: String, lr: String = "0.5"): String =
     s"""s$k AS (SELECT f.*, round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
        |    exp(-((((w.b0 + f.x1 * w.b1) + f.x2 * w.b2) + f.x3 * w.b3)))), 9) AS s
        |  FROM f, $prevW w),
@@ -26,10 +93,42 @@ object Ml {
        |    CAST(sum(CAST(round(x2 * (s - y), 9) AS DECIMAL(18,9))) AS DOUBLE) AS g2,
        |    CAST(sum(CAST(round(x3 * (s - y), 9) AS DECIMAL(18,9))) AS DOUBLE) AS g3,
        |    CAST(count(*) AS DOUBLE) AS n FROM s$k),
-       |w$k AS (SELECT w.b0 - CAST(0.5 AS DOUBLE) * (g.g0 / g.n) AS b0,
-       |    w.b1 - CAST(0.5 AS DOUBLE) * (g.g1 / g.n) AS b1,
-       |    w.b2 - CAST(0.5 AS DOUBLE) * (g.g2 / g.n) AS b2,
-       |    w.b3 - CAST(0.5 AS DOUBLE) * (g.g3 / g.n) AS b3 FROM g$k g, $prevW w)""".stripMargin
+       |w$k AS (SELECT w.b0 - CAST($lr AS DOUBLE) * (g.g0 / g.n) AS b0,
+       |    w.b1 - CAST($lr AS DOUBLE) * (g.g1 / g.n) AS b1,
+       |    w.b2 - CAST($lr AS DOUBLE) * (g.g2 / g.n) AS b2,
+       |    w.b3 - CAST($lr AS DOUBLE) * (g.g3 / g.n) AS b3 FROM g$k g, $prevW w)""".stripMargin
+
+  // Shared q133/q137 feature block: O(1)-scaled per-doc statistics +
+  // a 0/1 label, identical arithmetic in both engines. q133 trains on
+  // the lang='en' label (near-zero text signal in this corpus — the
+  // classifier correctly converges to the base rate); q137's
+  // calibration readout instead uses a learnable long-doc proxy label
+  // so the scores span the probability axis and the diagram has bins
+  // to show.
+  private def lrFeatSql(labelSql: String): String =
+    s"""f AS (SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE) AS x1,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+      |      / CAST(100 AS DOUBLE) AS x2,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+      |       * CAST(10 AS DOUBLE)) AS x3,
+      |    CAST(CASE WHEN $labelSql THEN 1 ELSE 0 END AS DOUBLE) AS y
+      |  FROM documents),
+      |w0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+      |       CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3)""".stripMargin
+
+  private def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String,
+      label: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    def tokd = (length(col("text")) - length(expr("replace(text, ' ', '')")) + lit(1))
+      .cast("double")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      (col("n_chars").cast("double") / lit(400.0)).as("x1"),
+      (tokd / lit(100.0)).as("x2"),
+      (col("n_chars").cast("double") / (tokd * lit(10.0))).as("x3"),
+      when(label, lit(1)).otherwise(lit(0)).cast("double").as("y"))
+  }
 
   // --- q133: linear quality classifier (from-scratch logistic regression) --
   // The CCNet/fastText-shaped curation move: train a cheap linear
@@ -47,17 +146,7 @@ object Ml {
   // label: lang = 'en'.
   def qualityClassifier: Q = Q(
     "q133_quality_classifier",
-    s"""WITH f AS (SELECT doc_id,
-      |    CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE) AS x1,
-      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
-      |      / CAST(100 AS DOUBLE) AS x2,
-      |    CAST(n_chars AS DOUBLE) /
-      |      (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
-      |       * CAST(10 AS DOUBLE)) AS x3,
-      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
-      |  FROM documents),
-      |w0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
-      |       CAST(0 AS DOUBLE) AS b2, CAST(0 AS DOUBLE) AS b3),
+    s"""WITH ${lrFeatSql("lang = 'en'")},
       |${lrIterSql(1, "w0")},
       |${lrIterSql(2, "w1")},
       |${lrIterSql(3, "w2")},
@@ -67,19 +156,52 @@ object Ml {
       |SELECT doc_id, y AS label, round(s, 6) AS score
       |FROM sc ORDER BY s DESC, doc_id LIMIT 15""".stripMargin,
   ) { (s, dir) =>
-    def tokd = (length(col("text")) - length(expr("replace(text, ' ', '')")) + lit(1))
-      .cast("double")
-    val f = Tables.documents(s, dir).select(
-      col("doc_id"),
-      (col("n_chars").cast("double") / lit(400.0)).as("x1"),
-      (tokd / lit(100.0)).as("x2"),
-      (col("n_chars").cast("double") / (tokd * lit(10.0))).as("x3"),
-      when(col("lang") === "en", lit(1)).otherwise(lit(0)).cast("double").as("y"))
+    val f = lrFeatures(s, dir, col("lang") === "en")
     val feat = Seq("x1", "x2", "x3")
     val m = graft.ml.LogRegLite.train(f, feat, "y", iters = 3, lr = 0.5)
     graft.ml.LogRegLite.score(f, feat, m.weights.toSeq, "s")
       .orderBy(col("s").desc, col("doc_id")).limit(15)
       .select(col("doc_id"), col("y").as("label"), round(col("s"), 6).as("score"))
+  }
+
+  // --- q137: classifier calibration (reliability diagram) ------------------
+  // The eval half of q133: bin the scored corpus into 10 score
+  // deciles and compare mean predicted probability against the
+  // empirical positive rate per bin — the standard calibration
+  // readout before a classifier's scores become sampling weights.
+  // Trains on the LEARNABLE long-doc proxy label (n_chars > 280; the
+  // q133 lang label has ~no text signal in this corpus, so its scores
+  // collapse to the base rate and the diagram would be one bin) for
+  // 10 iterations at lr 2 — scores span ~7 deciles. One scan of the
+  // scored docs, one ≤10-group aggregate; score and label sums are
+  // DECIMAL-exact. The oracle replays all 10 training iterations as
+  // unrolled CTEs, then the binning — eval verified against the same
+  // trajectory.
+  def calibration: Q = Q(
+    "q137_calibration",
+    s"""WITH ${lrFeatSql("n_chars > 280")},
+      |${(1 to 10).map(k => lrIterSql(k, s"w${k - 1}", "2")).mkString(",\n")},
+      |sc AS (SELECT f.doc_id, f.y, round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+      |    exp(-((((w.b0 + f.x1 * w.b1) + f.x2 * w.b2) + f.x3 * w.b3)))), 9) AS s
+      |  FROM f, w10 w),
+      |b AS (SELECT CAST(least(floor(s * CAST(10 AS DOUBLE)), 9) AS INT) AS bin, y, s
+      |      FROM sc)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_score,
+      |  round(CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS pos_rate
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+  ) { (s, dir) =>
+    val f = lrFeatures(s, dir, col("n_chars") > 280)
+    val feat = Seq("x1", "x2", "x3")
+    val m = graft.ml.LogRegLite.train(f, feat, "y", iters = 10, lr = 2.0)
+    graft.ml.LogRegLite.score(f, feat, m.weights.toSeq, "s")
+      .select(least(floor(col("s") * lit(10.0)), lit(9)).cast("int").as("bin"),
+        col("y"), col("s"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("s"), 9) / count(lit(1)), 6).as("avg_score"),
+        round(dsum(col("y"), 9) / count(lit(1)), 6).as("pos_rate"))
+      .orderBy("bin")
   }
 
   // --- q128: robust outlier detection (median/MAD) -------------------------

@@ -11,7 +11,34 @@ import graft.{Q, Tables}
 object Scale {
 
   val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile, groupingSets,
-    saltedSkewJoin, cmsHeavyHitters)
+    saltedSkewJoin, cmsHeavyHitters, hllDistinctState)
+
+  // --- q136: incremental distinct-count maintenance (mergeable HLL) --------
+  // The sketch family's member of the q126/q135 refresh contract:
+  // COUNT(DISTINCT) is not mergeable from counts, so the stored state
+  // is a per-(event_type, day) Apache DataSketches HLL of user_id
+  // (Spark's codegen hll_sketch_agg — fixed memory per group). A
+  // monthly refresh unions ONLY the new day's sketches
+  // (hll_union_agg, register-wise max — associative, commutative,
+  // idempotent), never rescans the fact table. Rows-only by necessity
+  // (DuckDB's HLL is a different sketch); GraphAggStateSpec gates
+  // union(build(days)) == build(all) exactly and the estimate's
+  // error vs exact; the exact count rides along here for eyeballing.
+  def hllDistinctState: Q = Q.rowsOnly("q136_hll_distinct_state") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    // state table: one
+    // sketch per (event_type, day) — the stored granularity
+    val state = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val monthly = state.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    monthly.join(exact, "event_type")
+      .select(col("event_type"), col("approx_users"), col("exact_users"))
+      .orderBy("event_type")
+  }
 
   // --- q112: Count-Min sketch heavy hitters ---------------------------------
   // The third sketch in the family (HLL q56, KLL q57): term frequencies

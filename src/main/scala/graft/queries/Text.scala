@@ -15,7 +15,65 @@ object Text {
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
-    editDistancePairs, tfidfKeywords, bpeMergeTraining)
+    editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs)
+
+  // --- q140: TF-IDF sparse-cosine document pairs ---------------------------
+  // The sparse-vector member of the similarity family (dense ANN =
+  // q45+, token-set Jaccard = q40, character edit = q102): document
+  // pairs ranked by cosine over TF-IDF-weighted token vectors. Pair
+  // generation is the inverted-index join on the token key — and the
+  // df cap (≤ 100) that standard sparse-cosine systems apply to drop
+  // ubiquitous terms is ALSO the scale bound: per-token fan-out is
+  // ≤ C(100,2) regardless of corpus size, and dropped terms carry
+  // ~zero idf anyway. Norms are per-doc keyed aggregates joined back
+  // UNhinted (a corpus-scale norm table is not broadcastable); dot
+  // products and norms are DECIMAL-exact sums of 9-dp terms, so the
+  // whole chain — tf, smoothed idf, weights, cosine — replicates in
+  // the oracle. Cosine lives in the capped subspace by construction
+  // (documented; both engines identical).
+  def tfidfCosinePairs: Q = Q(
+    "q140_tfidf_cosine_pairs",
+    """WITH tokc AS (SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |dft AS (SELECT tok, count(*) AS df FROM tokc GROUP BY tok),
+      |wt AS (SELECT t.doc_id, t.tok,
+      |    CAST(t.tf AS DOUBLE) * round(ln(n.n / df), 9) AS w
+      |  FROM tokc t JOIN dft USING (tok), n WHERE df <= 100),
+      |nrm AS (SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      |  FROM wt GROUP BY doc_id),
+      |dot AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      |  FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |c AS (SELECT da, db, round(dot / (x.nrm * y.nrm), 6) AS cos
+      |  FROM dot JOIN nrm x ON da = x.doc_id JOIN nrm y ON db = y.doc_id)
+      |SELECT da, db, cos FROM c ORDER BY cos DESC, da, db LIMIT 25""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tokc = graft.dedup.Dedup.persistTracked(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+    val dft = tokc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wt = graft.dedup.Dedup.persistTracked(
+      tokc.join(dft, "tok").filter(col("df") <= 100)
+        .crossJoin(broadcast(nDocs)) // 1-row scalar broadcast
+        .select(col("doc_id"), col("tok"),
+          (col("tf").cast("double") * round(log(col("n") / col("df")), 9)).as("w")))
+    val nrm = wt.groupBy("doc_id")
+      .agg(sqrt(dsum(round(col("w") * col("w"), 9), 9)).as("nrm"))
+    val dot = wt.as("a").join(wt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(dsum(round(col("a.w") * col("b.w"), 9), 9).as("dot"))
+    dot.join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .select(col("da"), col("db"), round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("da"), col("db")).limit(25)
+  }
 
   // --- q123: BPE merge training (tokenizer learning) -----------------------
   // The tokenizer-TRAINING operator (Sennrich et al. 2016): learn the

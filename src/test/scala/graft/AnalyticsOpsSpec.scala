@@ -82,6 +82,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(heavy >= 25, s"only $heavy heavy keys in the weighted top-100")
   }
 
+  test("q138 bootstrap CI brackets the full-sample mean") {
+    val r = run("q138_bootstrap_ci").head
+    assert(r.getAs[Long]("n_replicates") === 100L)
+    val (lo, hi, m) = (r.getAs[Double]("boot_lo95"), r.getAs[Double]("boot_hi95"),
+      r.getAs[Double]("mean_full"))
+    assert(lo < hi)
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+  }
+
+  test("q139 attribution credit partitions the purchase set") {
+    val out = run("q139_last_touch_attribution").cache()
+    val channels = out.select("channel").collect().map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("click", "view", "direct")))
+    val credited = out.agg(sum("n_purchases")).head.getLong(0)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(credited === purchases) // every purchase credited exactly once
+    out.unpersist()
+  }
+
   test("q112 count-min estimates never undercount") {
     val out = run("q112_cms_heavy_hitters").cache()
     assert(out.count() === 20)

@@ -117,4 +117,71 @@ class GraphAggStateSpec extends SparkSpec {
       AggState.merge(good, good.drop("vmax"), Seq("k"))
     }
   }
+
+  // --- HistState ----------------------------------------------------------
+
+  import graft.warehouse.HistState
+
+  private def vals = (0 until 200).map(i => ("g" + (i % 2), (i * 7 % 100).toDouble))
+    .toDF("k", "v")
+
+  test("histstate: merge(build(old), build(delta)) == build(all) bit for bit") {
+    val old = vals.filter(col("v") < 30)
+    val delta = vals.filter(col("v") >= 30)
+    val merged = HistState.merge(
+      HistState.build(old, Seq("k"), "v", 0, 100, 20),
+      HistState.build(delta, Seq("k"), "v", 0, 100, 20), Seq("k"))
+    val direct = HistState.build(vals, Seq("k"), "v", 0, 100, 20)
+    assert(merged.orderBy("k", "bin").collect().toSeq
+      === direct.orderBy("k", "bin").collect().toSeq)
+  }
+
+  test("histstate: quantile estimate is within one bin width of the exact percentile") {
+    val st = HistState.build(vals, Seq("k"), "v", 0, 100, 20)
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val est = HistState.quantile(st, Seq("k"), 0, 100, 20, p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact = vals.groupBy("k").agg(expr(s"percentile(v, $p)").as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (k, e) =>
+        assert(math.abs(est(k) - e) <= 5.0 + 1e-9, s"p=$p k=$k est=${est(k)} exact=$e")
+      }
+    }
+  }
+
+  test("histstate: out-of-range values clamp into edge bins, totals preserved") {
+    val df = Seq(("g", -50.0), ("g", 25.0), ("g", 999.0)).toDF("k", "v")
+    val st = HistState.build(df, Seq("k"), "v", 0, 100, 10)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(st === Map(0 -> 1L, 2 -> 1L, 9 -> 1L))
+  }
+
+  test("histstate: merge refuses mismatched state schemas") {
+    val good = HistState.build(vals, Seq("k"), "v", 0, 100, 20)
+    intercept[IllegalArgumentException] {
+      HistState.merge(good, good.drop("cnt"), Seq("k"))
+    }
+  }
+
+  // --- HLL distinct state (q136) ------------------------------------------
+
+  test("hll state: union of per-day sketches equals the direct sketch, near exact") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val unioned = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val u = unioned.orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val d = direct.orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(u.toSeq === d.toSeq) // register-wise max == direct build, exactly
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    u.foreach { case (k, est) =>
+      assert(math.abs(est.toDouble - exact(k)) / exact(k) < 0.05,
+        s"$k: est=$est exact=${exact(k)}")
+    }
+  }
 }
