@@ -176,9 +176,13 @@ object Graph {
          |SELECT id, round(pr, 12) AS pr FROM r5
          |ORDER BY pr DESC, id LIMIT 20""".stripMargin,
     ) { (s, dir) =>
+      // distinct BEFORE symmetrizing (matches the oracle's e CTE):
+      // undirected()'s own dedup then runs on 2×|pairs| rows instead
+      // of 2×|lineitem| — a 4× smaller shuffle at any scale
       val edges = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
       val ranks = graft.operators.PageRank.run(
         graft.operators.PageRank.undirected(edges), iters = 5)
       ranks.select(col("id"), round(col("pr"), 12).as("pr"))
