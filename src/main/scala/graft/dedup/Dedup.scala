@@ -185,6 +185,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[jaccardPairs]] with PPJoin-style prefix filtering (Chaudhuri et
+    * al. 2006; Xiao et al. 2008) — the same EXACT result, with
+    * candidate generation restricted to each document's rarest
+    * shingles: in the global (df, hash) canonical order, a pair with
+    * Jaccard ≥ t must share a shingle within each side's first
+    * |X| − ⌈t·|X|⌉ + 1 shingles, so only that prefix (a (1−t) fraction of
+    * the index) enters the self-join. At t = 0.8 the pair join
+    * processes ~20% of the inverted index — the standard set-similarity
+    * scale lever on top of the df cap. Candidates are verified exactly
+    * against the full sets (two keyed joins), so the output equals
+    * [[jaccardPairs]] bit for bit (DedupSpec pins it; q142 proves it
+    * against the q40 oracle).
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, dfCap: Int = DefaultHotKeyCap,
+      preDedup: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
+    val sh0 = shingleTable(base, idCol, textCol, n)
+    val sh = if (dfCap > 0) {
+      val hot = observeDrops(
+        sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap),
+        "jaccardPairsPrefix", dfCap)
+      sh0.join(hot, Seq("shingle"), "left_anti")
+    } else sh0
+    val hashed = persistTracked(
+      sh.select(col(idCol), xxhash64(col("shingle")).as("sh_h")))
+    val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val dfs = hashed.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+    // Rank each doc's shingles in the global rarest-first order; the
+    // ε guard keeps ⌈t·n⌉ from rounding up on exact products (a too-
+    // short prefix would silently LOSE pairs — DedupSpec pins equality)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("sh_h"))
+    val prefix = persistTracked(hashed.join(dfs, "sh_h")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .filter(col("__rk") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col(idCol), col("sh_h")))
+    val cand = prefix.toDF("id_a", "sh_h").join(prefix.toDF("id_b", "sh_h"), Seq("sh_h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification against the FULL sets: two keyed joins
+    val inter = cand
+      .join(hashed.toDF("id_a", "sh_h"), "id_a")
+      .join(hashed.toDF("id_b", "sh_h"), Seq("id_b", "sh_h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   val NumPerms = 32

@@ -15,7 +15,40 @@ object Text {
     ngramJaccard, minhashLsh, simhashPairs, rollingFingerprint, md5Fingerprint,
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
-    editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs)
+    editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
+    ngramJaccardPrefix)
+
+  // --- q142: prefix-filtered exact Jaccard pairs ---------------------------
+  // q40's result through the PPJoin-style scale path: candidates come
+  // only from each doc's rarest-shingle prefix (length
+  // |X| − ⌈t·|X|⌉ + 1 in the global (df, hash) order — a lossless
+  // filter for Jaccard ≥ t), exact-verified against the full sets.
+  // The oracle is q40's plain inverted-index SQL, so a green hash IS
+  // the machine-checked proof that prefix filtering lost nothing.
+  def ngramJaccardPrefix: Q = Q(
+    "q142_ngram_jaccard_prefix",
+    """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin,
+  ) { (s, dir) =>
+    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
 
   // --- q140: TF-IDF sparse-cosine document pairs ---------------------------
   // The sparse-vector member of the similarity family (dense ANN =

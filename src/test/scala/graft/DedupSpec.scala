@@ -37,6 +37,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index result exactly") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val pref = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", threshold = t)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(pref === full, s"t=$t: prefix filter changed the result")
+    }
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("prefix filter indexes only a (1-t) fraction of each doc's shingles") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingleTable(
+      Dedup.exactRepresentatives(corpus, "doc_id", "text"), "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val total = sh.count()
+    // replicate the prefix rule to measure its selectivity
+    val dfs = sh.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("sh_h"))
+    val t = 0.8
+    val kept = sh.join(dfs, "sh_h")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("__rk") <= col("__n") - ceil(lit(t) * col("__n") - lit(1e-9)) + 1)
+      .count()
+    assert(kept < total / 2, s"prefix kept $kept of $total at t=$t")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("preDedup collapses exact copies before the pair join") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -257,4 +257,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("DSIR resample: bounded λ table broadcasts, sample is TakeOrderedAndProject") {
+    val p = plan("q134_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // the per-doc weight join must meet the bounded vocab broadcast-side
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hist-quantile state: windows partition by the group key, never one reducer") {
+    val p = plan("q135_hist_quantile_state")
+    assert(p.contains("hashpartitioning(event_type"), p.take(1500))
+    // two delta builds + merge = partial aggregation everywhere
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1500))
+  }
+
+  test("bootstrap CI: the replicate explode feeds a partial aggregate") {
+    val p = plan("q138_bootstrap_ci")
+    assert(p.contains("Generate explode"), p.take(1500))
+    // partial agg on (b) before the exchange: the ×100 rows never shuffle raw
+    val gen = p.indexOf("Generate explode")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregate, got $aggs")
+    assert(p.contains("hashpartitioning(b"), p.take(1500))
+  }
+
+  test("last-touch attribution windows partition by user, never one reducer") {
+    val p = plan("q139_last_touch_attribution")
+    assert(p.contains("hashpartitioning(user_id"), p.take(1500))
+    assert(!p.contains("SinglePartition, Window")
+      && !p.contains("Window.*SinglePartition"), "attribution window must be per-user")
+  }
+
+  test("tf-idf cosine pairs join on the token key with no cartesian") {
+    val p = plan("q140_tfidf_cosine_pairs")
+    // (the 1-row doc-count scalar broadcast is the accepted BNLJ form)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("logreg training aggregate is map-side partial before one-row reduce") {
+    // the per-iteration gradient must partial-aggregate per partition —
+    // only d+2 scalars may cross the exchange
+    val f = Tables.documents(spark, sf).select(
+      (org.apache.spark.sql.functions.col("n_chars") / 400.0).as("x1"),
+      org.apache.spark.sql.functions.lit(1.0).as("y"))
+    import org.apache.spark.sql.functions._
+    val g = f.agg(graft.queries.dsum(round(col("x1"), 9), 9).as("g"))
+    val p = g.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
 }
