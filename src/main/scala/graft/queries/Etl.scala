@@ -12,7 +12,8 @@ import graft.warehouse.{AggState, Keys, Merge, Quality, Scd2}
 object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
-    scd2History, columnProfile, histogram, aggStateMerge, histQuantileState)
+    scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
+    streamingHistState)
 
   // --- q135: incremental quantile maintenance (mergeable histogram) --------
   // q126's refresh contract extended to order statistics: percentiles
@@ -25,8 +26,9 @@ object Etl {
   // build(delta)) == build(all), bins and interpolation bit for bit.
   // A refresh at 100 TB shuffles ~|groups|·bins counter rows, never
   // the fact table; the estimate is windows over ≤ 50 rows per group.
-  def histQuantileState: Q = Q(
-    "q135_hist_quantile_state",
+  // Shared q135/q143 oracle: the full-table histogram → p50/p90
+  // estimate (50 bins over [0, 500)).
+  private def histQuantileSql: String =
     """WITH st AS (SELECT event_type,
       |    CAST(least(greatest(floor((value - CAST(0 AS DOUBLE)) / CAST(10 AS DOUBLE)),
       |                        0), 49) AS INT) AS bin,
@@ -48,7 +50,11 @@ object Etl {
       |  FROM sel WHERE CAST(0.9 AS DOUBLE) * (n - 1) >= bef
       |    AND CAST(0.9 AS DOUBLE) * (n - 1) < cum GROUP BY event_type)
       |SELECT q50.event_type, q50.n, q50.p50, q90.p90
-      |FROM q50 JOIN q90 USING (event_type) ORDER BY event_type""".stripMargin,
+      |FROM q50 JOIN q90 USING (event_type) ORDER BY event_type""".stripMargin
+
+  def histQuantileState: Q = Q(
+    "q135_hist_quantile_state",
+    histQuantileSql,
   ) { (s, dir) =>
     import graft.warehouse.HistState
     val (lo, hi, bins) = (0.0, 500.0, 50)
@@ -63,6 +69,45 @@ object Etl {
     val p50 = HistState.quantile(merged, keys, lo, hi, bins, 0.5)
       .withColumnRenamed("q", "p50")
     val p90 = HistState.quantile(merged, keys, lo, hi, bins, 0.9)
+      .withColumnRenamed("q", "p90")
+    n.join(p50, keys).join(p90, keys)
+      .select(col("event_type"), col("n"), col("p50"), col("p90"))
+      .orderBy("event_type")
+  }
+
+  // --- q143: streaming histogram-state maintenance -------------------------
+  // q135's state maintained by Structured Streaming instead of batch
+  // merges: the SAME `HistState.build` call runs over a live stream
+  // (keyed streaming aggregation — Spark keeps (group, bin) counters
+  // as store state, which is exactly the histogram state table), the
+  // drained counters feed the SAME `HistState.quantile`, and the
+  // result must hash-match the SAME full-table oracle as q135. One
+  // code path, three refresh modes (batch rebuild, delta merge,
+  // stream) — the q62/q77 twin pattern applied to the sketch family.
+  def streamingHistState: Q = Q(
+    "q143_streaming_hist_state",
+    histQuantileSql,
+  ) { (s, dir) =>
+    import graft.warehouse.HistState
+    val (lo, hi, bins) = (0.0, 500.0, 50)
+    val keys = Seq("event_type")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // schema probe only
+    val stream = graft.Tables.normalizeEventsTs(
+      s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("event_type"), col("value"))
+    val state = HistState.build(stream, keys, "value", lo, hi, bins)
+    val sink = s"graft_stream_${System.nanoTime()}"
+    val q = state.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    val n = drained.groupBy("event_type").agg(sum("cnt").as("n"))
+    val p50 = HistState.quantile(drained, keys, lo, hi, bins, 0.5)
+      .withColumnRenamed("q", "p50")
+    val p90 = HistState.quantile(drained, keys, lo, hi, bins, 0.9)
       .withColumnRenamed("q", "p90")
     n.join(p50, keys).join(p90, keys)
       .select(col("event_type"), col("n"), col("p50"), col("p90"))

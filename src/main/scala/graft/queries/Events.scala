@@ -13,7 +13,59 @@ object Events {
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
-    kaplanMeier, lastTouchAttribution)
+    kaplanMeier, lastTouchAttribution, cohortLtv)
+
+  // --- q144: cohort LTV triangle -------------------------------------------
+  // The BI companion to retention (q104): customers grouped by
+  // first-order month, cumulative revenue per customer tracked by
+  // cohort age in months — the LTV curve marketing payback math reads
+  // off. Shape: first-order month is one keyed aggregate; the cohort
+  // join is keyed on customer (a customer-sized dim is NOT
+  // broadcastable at warehouse scale — unhinted, AQE decides);
+  // revenue is DECIMAL-exact, the cumulative sum is a per-cohort
+  // window over ≤ |ages| rows per cohort (never a global sort);
+  // cohort labels emit as ISO strings (the cross-engine date rule).
+  def cohortLtv: Q = Q(
+    "q144_cohort_ltv",
+    """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m, o_totalprice
+      |           FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+      |cs AS (SELECT cm, count(*) AS n_cust FROM f GROUP BY 1),
+      |base AS (SELECT f.cm, datediff('month', f.cm, o.m) AS age, o.o_totalprice
+      |         FROM o JOIN f USING (o_custkey)),
+      |agg AS (SELECT cm, CAST(age AS BIGINT) AS age, CAST(count(*) AS BIGINT) AS n_orders,
+      |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM base GROUP BY 1, 2),
+      |cum AS (SELECT cm, age, n_orders,
+      |        CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age) * 100 AS BIGINT) AS cents
+      |        FROM agg)
+      |SELECT strftime(cum.cm, '%Y-%m') AS cohort, age, n_orders,
+      |  CAST((cents * 10000) // cs.n_cust AS DOUBLE) / 1000000.0 AS ltv
+      |FROM cum JOIN cs ON cum.cm = cs.cm
+      |ORDER BY cohort, age""".stripMargin,
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+    val f = o.groupBy("o_custkey").agg(min("m").as("cm"))
+    val cs = f.groupBy("cm").agg(count(lit(1)).as("n_cust"))
+    val base = o.join(f, "o_custkey")
+      .select(col("cm"), months_between(col("m"), col("cm")).cast("long").as("age"),
+        col("o_totalprice"))
+    val agg = base.groupBy("cm", "age")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy("cm").orderBy("age")
+    // the ratio is computed in exact integer micro-units (cents·10⁴
+    // div n_cust — identical both engines; a double division rounded
+    // at 4 dp sat exactly on half boundaries and flipped per engine);
+    // cents·10⁴ ≤ ~2e15 at 100 TB, well inside BIGINT
+    agg.withColumn("cents", (sum(col("rev")).over(w) * 100).cast("long"))
+      .join(cs, "cm")
+      .select(date_format(col("cm"), "yyyy-MM").as("cohort"), col("age"),
+        col("n_orders"),
+        (expr("cents * 10000 div n_cust").cast("double") / lit(1000000.0)).as("ltv"))
+      .orderBy("cohort", "age")
+  }
 
   // --- q139: last-touch attribution ----------------------------------------
   // The marketing-analytics workhorse the funnel (q99) and transition
