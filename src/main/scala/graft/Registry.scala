@@ -8,5 +8,6 @@ object Registry {
     queries.Relational.all ++ queries.Privacy.all ++ queries.Etl.all ++
       queries.Text.all ++ queries.Embeddings.all ++ queries.Events.all ++
       queries.Ml.all ++ queries.Scale.all ++ queries.Extras.all ++
-      queries.Curation.all ++ queries.Corpus.all ++ queries.Graph.all
+      queries.Curation.all ++ queries.Corpus.all ++ queries.Graph.all ++
+      queries.Search.all
 }

@@ -297,6 +297,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("bm25 broadcasts the query-term df table; top-k is TakeOrderedAndProject") {
+    val p = plan("q145_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
