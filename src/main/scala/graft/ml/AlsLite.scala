@@ -152,9 +152,13 @@ object AlsLite {
     err + lambda * (reg(uF) + reg(iF))
   }
 
-  /** Train k-factor ALS-WR for `iters` full iterations. */
+  /** Train k-factor ALS-WR for `iters` full iterations.
+    * `traceObjective = false` skips the per-iteration objective
+    * evaluation (3 extra jobs each) when only the factors matter —
+    * serving paths use it; specs keep the trace on.
+    */
   def train(ratings: DataFrame, userCol: String, itemCol: String, ratingCol: String,
-      k: Int, iters: Int, lambda: Double): AlsResult = {
+      k: Int, iters: Int, lambda: Double, traceObjective: Boolean = true): AlsResult = {
     require(k >= 1 && iters >= 1 && lambda >= 0, s"k=$k iters=$iters lambda=$lambda")
     val spark = ratings.sparkSession
     import spark.implicits._
@@ -175,7 +179,8 @@ object AlsLite {
     for (_ <- 1 to iters) {
       uF = solveSide(rts, userCol, itemCol, ratingCol, iF, k, lambda).localCheckpoint(true)
       iF = solveSide(rts, itemCol, userCol, ratingCol, uF, k, lambda).localCheckpoint(true)
-      trace += objective(rts, uF, iF, userCol, itemCol, ratingCol, lambda)
+      if (traceObjective)
+        trace += objective(rts, uF, iF, userCol, itemCol, ratingCol, lambda)
     }
     AlsResult(uF, iF, trace.result())
   }

@@ -35,7 +35,8 @@ object Graph {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
       .agg(count(lit(1)).as("r"))
-    val m = graft.ml.AlsLite.train(ratings, "u", "i", "r", k = 8, iters = 2, lambda = 0.1)
+    val m = graft.ml.AlsLite.train(ratings, "u", "i", "r", k = 8, iters = 2, lambda = 0.1,
+      traceObjective = false)
     val panel = ratings.select("u").distinct().orderBy("u").limit(10)
     val items = ratings.select("i").distinct()
     val candidates = panel.crossJoin(items) // bounded: 10 × catalog
