@@ -12,7 +12,63 @@ object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
-    bootstrapCi)
+    bootstrapCi, psiDrift)
+
+  // --- q147: PSI drift monitor ---------------------------------------------
+  // The industry drift readout next to KS (q107): Population Stability
+  // Index between the first and second half of the month, binned on
+  // the q135 histogram grid — PSI = Σ (p_i − q_i)·ln(p_i / q_i) with
+  // the standard 0.5-count smoothing so empty bins stay finite.
+  // Per-type bin counts are two keyed aggregates full-outer-joined on
+  // (type, bin) (≤ 50 rows per type); the ln terms round to 9 dp and
+  // DECIMAL-sum, so the whole statistic replicates in the oracle.
+  // PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted — the row
+  // carries the verdict label too.
+  def psiDrift: Q = Q(
+    "q147_psi_drift",
+    """WITH b AS (SELECT event_type,
+      |    CAST(least(greatest(floor((value - CAST(0 AS DOUBLE)) / CAST(10 AS DOUBLE)),
+      |                        0), 49) AS INT) AS bin,
+      |    CAST(ts < TIMESTAMP '2024-01-16' AS INT) AS ref
+      |  FROM events),
+      |c AS (SELECT event_type, bin,
+      |    sum(ref) AS n_ref, sum(1 - ref) AS n_cur FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type,
+      |    CAST(sum(n_ref) AS DOUBLE) AS t_ref, CAST(sum(n_cur) AS DOUBLE) AS t_cur,
+      |    CAST(count(*) AS DOUBLE) AS nb FROM c GROUP BY 1),
+      |p AS (SELECT c.event_type,
+      |    (CAST(n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (t_ref + CAST(0.5 AS DOUBLE) * nb) AS p,
+      |    (CAST(n_cur AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (t_cur + CAST(0.5 AS DOUBLE) * nb) AS q
+      |  FROM c JOIN t ON c.event_type = t.event_type)
+      |SELECT event_type,
+      |  round(CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+      |  CASE WHEN CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE) < 0.1 THEN 'stable'
+      |       WHEN CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE) < 0.25 THEN 'drifting'
+      |       ELSE 'shifted' END AS verdict
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    val bin = least(greatest(floor((col("value") - lit(0.0)) / lit(10.0)), lit(0)), lit(49))
+      .cast("int")
+    val b = Tables.events(s, dir)
+      .select(col("event_type"), bin.as("bin"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("int").as("ref"))
+    val c = b.groupBy("event_type", "bin")
+      .agg(sum("ref").as("n_ref"), sum(lit(1) - col("ref")).as("n_cur"))
+    val t = c.groupBy("event_type")
+      .agg(sum("n_ref").cast("double").as("t_ref"),
+        sum("n_cur").cast("double").as("t_cur"),
+        count(lit(1)).cast("double").as("nb"))
+    val p = c.join(broadcast(t), "event_type")
+      .select(col("event_type"),
+        ((col("n_ref").cast("double") + lit(0.5)) / (col("t_ref") + lit(0.5) * col("nb"))).as("p"),
+        ((col("n_cur").cast("double") + lit(0.5)) / (col("t_cur") + lit(0.5) * col("nb"))).as("q"))
+    val psi = dsum(round((col("p") - col("q")) * log(col("p") / col("q")), 9), 9)
+    p.groupBy("event_type")
+      .agg(round(psi, 6).as("psi"),
+        when(psi < 0.1, "stable").when(psi < 0.25, "drifting").otherwise("shifted")
+          .as("verdict"))
+      .orderBy("event_type")
+  }
 
   // --- q138: Poisson-bootstrap confidence interval -------------------------
   // The only bootstrap that works on a cluster (Chamandy et al.,
