@@ -16,7 +16,70 @@ object Text {
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
-    ngramJaccardPrefix)
+    ngramJaccardPrefix, perplexityFilter)
+
+  // --- q148: perplexity filter (cross-entropy vs reference LM) -------------
+  // The CCNet move q118 builds toward: score EVERY doc's cross-entropy
+  // under a bigram LM trained on the TARGET domain only (src0–2, the
+  // q134 convention) — high perplexity = unlike the reference corpus =
+  // filter candidate. p(w2|w1) = c2/c1 when the bigram is in the
+  // model, else stupid backoff 0.4·(c1(w2)+1)/(T+V) (add-one unigram
+  // over prefix positions — never zero, so ln stays finite). Shape:
+  // one bigram explode; model joins are LEFT keyed joins on the
+  // bigram/unigram keys (a corpus-scale LM is NOT broadcastable —
+  // unhinted, AQE decides); T/V are 1-row broadcast scalars; ln terms
+  // round to 9 dp into DECIMAL per-doc means. Fully oracle-checked —
+  // training counts, backoff, and ranking replicate in DuckDB.
+  def perplexityFilter: Q = Q(
+    "q148_perplexity_filter",
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      |       FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |tgt AS (SELECT w1, w2 FROM bg WHERE source IN ('src0', 'src1', 'src2')),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tgt GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM tgt GROUP BY 1),
+      |tv AS (SELECT CAST(sum(c1) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS vv FROM c1),
+      |terms AS (SELECT bg.doc_id, bg.source,
+      |    CASE WHEN m.c2 IS NOT NULL
+      |      THEN round(ln(CAST(m.c2 AS DOUBLE) / p.c1), 9)
+      |      ELSE round(ln((CAST(0.4 AS DOUBLE) * (coalesce(u.c1, 0) + 1)) / (tv.tt + tv.vv)), 9)
+      |    END AS lp
+      |  FROM bg
+      |  LEFT JOIN c2 m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+      |  LEFT JOIN c1 p ON bg.w1 = p.w1
+      |  LEFT JOIN c1 u ON bg.w2 = u.w1, tv)
+      |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(-(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / count(*)), 6) AS ce
+      |FROM terms GROUP BY doc_id, source
+      |ORDER BY ce DESC, doc_id LIMIT 20""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val bg = graft.dedup.Dedup.persistTracked(
+      docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2")))
+    val tgt = bg.filter(col("source").isin("src0", "src1", "src2")).select("w1", "w2")
+    val c2 = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = tgt.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val tv = c1.agg(sum("c1").cast("double").as("tt"), count(lit(1)).cast("double").as("vv"))
+    val terms = bg
+      .join(c2.toDF("w1", "w2", "c2"), Seq("w1", "w2"), "left")
+      .join(c1.toDF("w1", "c1p"), Seq("w1"), "left")
+      .join(c1.toDF("w2", "c1u"), Seq("w2"), "left")
+      .crossJoin(broadcast(tv)) // 1-row scalar broadcast
+      .select(col("doc_id"), col("source"),
+        when(col("c2").isNotNull, round(log(col("c2").cast("double") / col("c1p")), 9))
+          .otherwise(round(log((lit(0.4) * (coalesce(col("c1u"), lit(0L)) + lit(1)))
+            / (col("tt") + col("vv"))), 9)).as("lp"))
+    terms.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(dsum(col("lp"), 9) / count(lit(1))), 6).as("ce"))
+      .orderBy(col("ce").desc, col("doc_id")).limit(20)
+  }
 
   // --- q142: prefix-filtered exact Jaccard pairs ---------------------------
   // q40's result through the PPJoin-style scale path: candidates come
