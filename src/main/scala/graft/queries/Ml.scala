@@ -12,7 +12,98 @@ object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
-    bootstrapCi, psiDrift)
+    bootstrapCi, psiDrift, classifierMetrics, trimmedMean)
+
+  // --- q150: trimmed and winsorized means ----------------------------------
+  // The robust-location pair next to q128's MAD: drop (trimmed) or
+  // clamp (winsorized) everything outside the per-group [p10, p90]
+  // band before averaging. Bounds are exact interpolated percentiles
+  // (q11 idiom) broadcast back into one fact scan; sums are
+  // DECIMAL-exact. Two scans total, everything keyed on the tiny
+  // group key.
+  def trimmedMean: Q = Q(
+    "q150_trimmed_mean",
+    """WITH b AS (SELECT event_type, quantile_cont(value, 0.1) AS lo,
+      |           quantile_cont(value, 0.9) AS hi
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |          FILTER (WHERE value >= lo AND value <= hi) AS DOUBLE)
+      |    / count(*) FILTER (WHERE value >= lo AND value <= hi), 6) AS trimmed_mean,
+      |  round(CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 6) AS winsor_mean
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+  ) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val b = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.1)").as("lo"), expr("percentile(value, 0.9)").as("hi"))
+    val in = col("value") >= col("lo") && col("value") <= col("hi")
+    events.join(broadcast(b), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(dsum(when(in, col("value"))) / count(when(in, lit(1))), 6).as("trimmed_mean"),
+        round(dsum(least(greatest(col("value"), col("lo")), col("hi"))) / count(lit(1)), 6)
+          .as("winsor_mean"))
+      .orderBy("event_type")
+  }
+
+  // --- q149: classifier evaluation metrics ---------------------------------
+  // The scalar eval block next to q137's diagram: accuracy, Brier
+  // score, log-loss, and expected calibration error for the same
+  // 10-iteration trained model. Everything is aggregate-first — one
+  // scan for the row metrics, one ≤10-row bin pass for ECE — with
+  // 9-dp DECIMAL sums throughout; the oracle replays training then
+  // all four metrics.
+  def classifierMetrics: Q = Q(
+    "q149_classifier_metrics",
+    s"""WITH ${lrFeatSql("n_chars > 280")},
+      |${(1 to 10).map(k => lrIterSql(k, s"w${k - 1}", "2")).mkString(",\n")},
+      |sc AS (SELECT f.doc_id, f.y, round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+      |    exp(-((((w.b0 + f.x1 * w.b1) + f.x2 * w.b2) + f.x3 * w.b3)))), 9) AS s
+      |  FROM f, w10 w),
+      |row_m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN (s >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+      |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS acc,
+      |    CAST(sum(CAST(round((s - y) * (s - y), 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*) AS brier,
+      |    CAST(sum(CAST(round(-(y * ln(greatest(s, CAST(1e-12 AS DOUBLE)))
+      |      + (CAST(1 AS DOUBLE) - y) * ln(greatest(CAST(1 AS DOUBLE) - s,
+      |          CAST(1e-12 AS DOUBLE)))), 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*) AS logloss
+      |  FROM sc),
+      |bins AS (SELECT CAST(least(floor(s * CAST(10 AS DOUBLE)), 9) AS INT) AS bin,
+      |    CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE) AS ss,
+      |    CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy
+      |  FROM sc GROUP BY 1),
+      |e AS (SELECT CAST(sum(CAST(round(abs(ss - sy), 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      AS num FROM bins)
+      |SELECT n, round(acc, 6) AS acc, round(brier, 6) AS brier,
+      |  round(logloss, 6) AS logloss, round(e.num / n, 6) AS ece
+      |FROM row_m, e""".stripMargin,
+  ) { (s, dir) =>
+    val f = lrFeatures(s, dir, col("n_chars") > 280)
+    val feat = Seq("x1", "x2", "x3")
+    val m = graft.ml.LogRegLite.train(f, feat, "y", iters = 10, lr = 2.0)
+    val sc = graft.dedup.Dedup.persistTracked(
+      graft.ml.LogRegLite.score(f, feat, m.weights.toSeq, "s").select("doc_id", "y", "s"))
+    val eps = lit(1e-12)
+    val rowM = sc.agg(
+      count(lit(1)).as("n"),
+      (sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("acc"),
+      (dsum(round((col("s") - col("y")) * (col("s") - col("y")), 9), 9) / count(lit(1)))
+        .as("brier"),
+      (dsum(round(-(col("y") * log(greatest(col("s"), eps))
+        + (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("s"), eps))), 9), 9)
+        / count(lit(1))).as("logloss"))
+    val bins = sc.groupBy(least(floor(col("s") * lit(10.0)), lit(9)).cast("int").as("bin"))
+      .agg(dsum(col("s"), 9).as("ss"), dsum(col("y"), 9).as("sy"))
+    val e = bins.agg(dsum(round(abs(col("ss") - col("sy")), 9), 9).as("num"))
+    rowM.crossJoin(broadcast(e)) // 1-row scalar broadcast
+      .select(col("n"), round(col("acc"), 6).as("acc"), round(col("brier"), 6).as("brier"),
+        round(col("logloss"), 6).as("logloss"), round(col("num") / col("n"), 6).as("ece"))
+  }
 
   // --- q147: PSI drift monitor ---------------------------------------------
   // The industry drift readout next to KS (q107): Population Stability
