@@ -13,7 +13,70 @@ object Events {
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
-    kaplanMeier, lastTouchAttribution, cohortLtv)
+    kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin)
+
+  // --- q151: stream-stream LEFT OUTER join (abandonment) --------------------
+  // The outer variant of q122 — the shape that answers "which views
+  // NEVER converted?" live. Left outer stream-stream joins are the
+  // hard case: the null-extended row can only be emitted once the
+  // watermark proves no matching purchase can still arrive, so the
+  // interval bound + both watermarks aren't just state hygiene — they
+  // are what makes the answer DEFINED. Drained result hash-matches
+  // the plain batch left join (the q62/q77/q122 twin rule). Unmatched
+  // views carry purchase_id −1 / value −1 (COALESCE both engines —
+  // null hashing differs across engines, sentinels don't).
+  def streamingLeftOuterJoin: Q = Q(
+    "q151_stream_left_outer_join",
+    """SELECT a.user_id, a.event_id AS view_id,
+      |  coalesce(b.event_id, -1) AS purchase_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_us,
+      |  round(coalesce(CAST(b.value AS DOUBLE), -1), 2) AS purchase_value
+      |FROM events a LEFT JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.event_type = 'purchase'
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |WHERE a.event_type = 'view' AND CAST(a.ts AS TIMESTAMP) < TIMESTAMP '2024-01-28'
+      |ORDER BY view_id, purchase_id""".stripMargin,
+  ) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // schema probe only
+    def side(tpe: String, p: String) =
+      graft.Tables.normalizeEventsTs(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").as(s"${p}_ts"), col("value").as(s"${p}_value"))
+        .withWatermark(s"${p}_ts", "2 hours")
+    // Views after maxTs − watermark − bound can never be PROVEN
+    // unmatched before the one-shot stream ends (the watermark stops
+    // at maxTs − 2 h), so both engines restrict the view side to a
+    // deterministic cutoff the watermark demonstrably clears.
+    val joined = side("view", "v")
+      .filter(col("v_ts") < lit("2024-01-28").cast("timestamp"))
+      .join(side("purchase", "p"),
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"),
+        "left_outer")
+    val sink = s"graft_slo_${System.nanoTime()}"
+    // same state-store sizing note as q122: 8 partitions for the drain
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val out = s.table(sink)
+      .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+        coalesce(col("p_id"), lit(-1L)).as("purchase_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        round(coalesce(col("p_value").cast("double"), lit(-1.0)), 2).as("purchase_value"))
+      .orderBy("view_id", "purchase_id")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
 
   // --- q144: cohort LTV triangle -------------------------------------------
   // The BI companion to retention (q104): customers grouped by
