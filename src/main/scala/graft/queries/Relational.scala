@@ -21,8 +21,47 @@ import graft.{Q, Tables}
   */
 object Relational {
 
+  // --- q152: revenue concentration (Pareto shares) -------------------------
+  // "What share of revenue do the top 1% / 5% / 10% of customers
+  // carry?" — the concentration readout behind every account-tiering
+  // decision. Aggregate-first, NO global sort: per-customer totals are
+  // one keyed aggregate; the three cut points are exact interpolated
+  // percentiles of that table (q11 idiom) riding a 1-row broadcast;
+  // shares are conditional DECIMAL sums in ONE pass over the totals.
+  // At any scale the only shuffle is the customer aggregate.
+  def paretoShare: Q = Q(
+    "q152_pareto_share",
+    """WITH t AS (SELECT o_custkey,
+      |           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |           FROM orders GROUP BY 1),
+      |cut AS (SELECT quantile_cont(CAST(rev AS DOUBLE), 0.99) AS p99,
+      |        quantile_cont(CAST(rev AS DOUBLE), 0.95) AS p95,
+      |        quantile_cont(CAST(rev AS DOUBLE), 0.90) AS p90 FROM t)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cust,
+      |  round(CAST(sum(rev) FILTER (WHERE CAST(rev AS DOUBLE) > p99) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE), 6) AS top1_share,
+      |  round(CAST(sum(rev) FILTER (WHERE CAST(rev AS DOUBLE) > p95) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE), 6) AS top5_share,
+      |  round(CAST(sum(rev) FILTER (WHERE CAST(rev AS DOUBLE) > p90) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE), 6) AS top10_share
+      |FROM t, cut""".stripMargin,
+  ) { (s, dir) =>
+    val t = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val cut = t.agg(
+      expr("percentile(CAST(rev AS DOUBLE), 0.99)").as("p99"),
+      expr("percentile(CAST(rev AS DOUBLE), 0.95)").as("p95"),
+      expr("percentile(CAST(rev AS DOUBLE), 0.90)").as("p90"))
+    def share(p: String) =
+      round(sum(when(col("rev").cast("double") > col(p), col("rev"))).cast("double")
+        / sum(col("rev")).cast("double"), 6)
+    t.crossJoin(broadcast(cut)) // 1-row scalar broadcast
+      .agg(count(lit(1)).as("n_cust"), share("p99").as("top1_share"),
+        share("p95").as("top5_share"), share("p90").as("top10_share"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, paretoShare)
 
   // --- q01: pricing summary (D1 D4 D9 F1 H7; TPC-H Q1 shape) -------------
   def q01: Q = Q(
