@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -15,7 +16,60 @@ import graft.{Q, Tables}
 object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
-    sourceOverlap, bigramLogprob, pmiCooccur)
+    sourceOverlap, bigramLogprob, pmiCooccur, sequencePack)
+
+  // --- q153: concat-and-chunk sequence packing -----------------------------
+  // The packing LLM pretraining actually uses: per source stream, all
+  // documents are conceptually concatenated into one token stream and
+  // cut into fixed 64-token training sequences; a document may span a
+  // sequence boundary (unlike q73, where a doc belongs to exactly one
+  // shard). Per-doc [start, end) offsets come from ONE running-sum
+  // window partitioned by source — the window state is bounded per
+  // source stream and sources pack in parallel, so there is no global
+  // ORDER BY serializing the corpus through a single task. The
+  // boundary expansion is a per-row `sequence` explode whose fan-out
+  // is ceil(ntok/L)+1 per doc — bounded by doc length, never by
+  // corpus size. Output: per-sequence composition (how many docs, how
+  // many tokens carried over a boundary) — the packing-efficiency
+  // audit run before writing training shards.
+  def sequencePack: Q = {
+    val L = 64
+    Q(
+      "q153_sequence_pack",
+      s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS ntok FROM documents),
+         |c AS (SELECT doc_id, source, ntok,
+         |        CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM d),
+         |s AS (SELECT source, doc_id, cum - ntok AS st, cum AS en FROM c),
+         |x AS (SELECT source, doc_id, st, en,
+         |        unnest(range(st // $L, (en - 1) // $L + 1)) AS seq_id FROM s)
+         |SELECT source, seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(en, (seq_id + 1) * $L) - greatest(st, seq_id * $L)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST(count(CASE WHEN st < seq_id * $L THEN 1 END) AS BIGINT) AS n_carried
+         |FROM x GROUP BY source, seq_id
+         |ORDER BY source, seq_id""".stripMargin,
+    ) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val offsets = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("ntok"))
+        .withColumn("cum", sum("ntok").over(w))
+        .select(col("source"), col("doc_id"),
+          (col("cum") - col("ntok")).as("st"), col("cum").as("en"))
+      offsets
+        .select(col("source"), col("doc_id"), col("st"), col("en"),
+          explode(sequence(expr(s"st div $L"), expr(s"(en - 1) div $L"))).as("seq_id"))
+        .groupBy("source", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(least(col("en"), (col("seq_id") + 1) * L)
+            - greatest(col("st"), col("seq_id") * L)).as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+          count(when(col("st") < col("seq_id") * L, 1)).as("n_carried"))
+        .orderBy("source", "seq_id")
+    }
+  }
 
   // --- q127: PMI term co-occurrence (phrase/collocation mining) ------------
   // The word2vec-preprocessing signal: which vocabulary terms co-occur

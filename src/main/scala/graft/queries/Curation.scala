@@ -14,7 +14,119 @@ import graft.text.TextAnalysis
 object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
-    balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample)
+    balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
+    quantileNormalize, curationFunnel)
+
+  // --- q158: curation-funnel waterfall -------------------------------------
+  // The audit every data team runs before a training launch: how many
+  // documents survive each successive gate (length → quality → exact
+  // dedup), where did the volume go. Per-doc boolean gate flags are
+  // computed in ONE pass (the dedup flag is a keyed min-per-text join,
+  // the q39 idiom — no window over corpus-sized partitions), reduced
+  // to a single counts row, then unpivoted with `stack` into the
+  // 4-row waterfall — so the corpus is scanned once and the window
+  // (for the drop deltas) runs over 4 rows, not over docs.
+  def curationFunnel: Q = Q(
+    "q158_curation_funnel",
+    s"""WITH m AS (SELECT text, min(doc_id) AS mn FROM documents GROUP BY text),
+       |f AS (SELECT d.doc_id,
+       |    len(string_split(text, ' ')) >= 10 AS g1,
+       |    (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.5
+       |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |          / len(string_split(text, ' '))) * 0.5) >= 0.6 AS g2,
+       |    d.doc_id = m.mn AS g3
+       |  FROM documents d JOIN m USING (text)),
+       |agg AS (SELECT count(*) AS c0,
+       |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+       |  FROM f),
+       |s AS (SELECT 0 AS stage_id, 'total' AS stage, c0 AS n_pass, c0 FROM agg
+       |  UNION ALL SELECT 1, 'min_length', c1, c0 FROM agg
+       |  UNION ALL SELECT 2, 'quality', c2, c0 FROM agg
+       |  UNION ALL SELECT 3, 'exact_dedup', c3, c0 FROM agg)
+       |SELECT stage_id, stage, n_pass,
+       |  CAST(coalesce(lag(n_pass) OVER (ORDER BY stage_id) - n_pass, 0) AS BIGINT) AS n_drop,
+       |  round(CAST(n_pass AS DOUBLE) / c0, 6) AS pct_retained
+       |FROM s ORDER BY stage_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val mins = docs.groupBy("text").agg(min("doc_id").as("mn"))
+    val f = docs.join(mins, "text")
+      .select(
+        (TextAnalysis.tokenCount(col("text")) >= 10).as("g1"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.6).as("g2"),
+        (col("doc_id") === col("mn")).as("g3"))
+    val agg = f.agg(count(lit(1)).as("c0"),
+      sum(when(col("g1"), 1).otherwise(0)).as("c1"),
+      sum(when(col("g1") && col("g2"), 1).otherwise(0)).as("c2"),
+      sum(when(col("g1") && col("g2") && col("g3"), 1).otherwise(0)).as("c3"))
+    val st = agg.select(
+      expr("stack(4, 0, 'total', c0, 1, 'min_length', c1, " +
+        "2, 'quality', c2, 3, 'exact_dedup', c3) as (stage_id, stage, n_pass)"),
+      col("c0"))
+    st.select(col("stage_id"), col("stage"), col("n_pass"),
+        coalesce(lag("n_pass", 1).over(Window.orderBy("stage_id")) - col("n_pass"),
+          lit(0L)).as("n_drop"),
+        round(col("n_pass").cast("double") / col("c0"), 6).as("pct_retained"))
+      .orderBy("stage_id")
+  }
+
+  // --- q155: cross-source quantile normalization ---------------------------
+  // Quality scores are not comparable across sources (a "long" web doc
+  // and a "long" code file sit at different absolute lengths), so
+  // mixing pipelines normalize per-source before applying one global
+  // gate. Each doc gets its within-source decile and its global decile
+  // — tie-safe integer math throughout: decile = ⌊10·|{v' < v}|/N⌋
+  // from a cumulative count over the VALUE histogram, never an
+  // interpolated percentile (whose float rounding could flip a bucket
+  // between engines) and never a per-row global row_number. The
+  // windows run over histograms (distinct score values, bounded by
+  // the score's range), not over docs, so the unpartitioned global
+  // window is calendar-sized, not corpus-sized; the per-doc work is
+  // two hash joins on the score value and one broadcast.
+  def quantileNormalize: Q = Q(
+    "q155_quantile_normalize",
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |n AS (SELECT count(*) AS nn FROM d),
+      |hg AS (SELECT n_chars, count(*) AS c FROM d GROUP BY 1),
+      |hg2 AS (SELECT n_chars,
+      |          CAST(sum(c) OVER (ORDER BY n_chars) - c AS BIGINT) AS lt FROM hg),
+      |hs AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+      |sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS sc FROM hs GROUP BY 1),
+      |hs2 AS (SELECT source, n_chars,
+      |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) - c AS BIGINT) AS slt
+      |        FROM hs)
+      |SELECT doc_id, d.source, d.n_chars,
+      |  CAST((slt * 10) // sc AS BIGINT) AS src_decile,
+      |  CAST((lt * 10) // (SELECT nn FROM n) AS BIGINT) AS global_decile
+      |FROM d
+      |  JOIN hg2 ON d.n_chars = hg2.n_chars
+      |  JOIN hs2 ON d.source = hs2.source AND d.n_chars = hs2.n_chars
+      |  JOIN sn ON d.source = sn.source
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val n = d.agg(count(lit(1)).as("nn"))
+    val hg = d.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val hg2 = hg
+      .withColumn("lt", sum("c").over(Window.orderBy("n_chars")) - col("c"))
+      .select("n_chars", "lt")
+    val hs = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val sn = hs.groupBy("source").agg(sum("c").as("sc"))
+    val hs2 = hs
+      .withColumn("slt",
+        sum("c").over(Window.partitionBy("source").orderBy("n_chars")) - col("c"))
+      .select("source", "n_chars", "slt")
+    d.join(hg2, "n_chars")
+      .join(hs2, Seq("source", "n_chars"))
+      .join(broadcast(sn), "source")
+      .crossJoin(broadcast(n)) // 1-row scalar
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(slt * 10) div sc").as("src_decile"),
+        expr("(lt * 10) div nn").as("global_decile"))
+      .orderBy("doc_id")
+  }
 
   // --- q134: DSIR importance resampling -------------------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023): score

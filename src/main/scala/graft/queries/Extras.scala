@@ -11,7 +11,50 @@ import graft.{Q, Tables}
   */
 object Extras {
 
-  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue)
+  val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
+    ewmaSmoothing)
+
+  // --- q156: EWMA smoothing over the daily revenue series -----------------
+  // Exponentially weighted trailing average (α = 1/2, 4 lags) — the
+  // monitoring smoother that reacts faster than q64's flat moving
+  // average. The α = 1/2 weights are INTEGER after scaling by 8
+  // (8,4,2,1), so the weighted numerator stays exact DECIMAL through
+  // lag and addition; the only float op is the final normalization by
+  // the constant 15 on bit-identical doubles. The window runs over the
+  // daily aggregate (calendar-sized — the corpus reduces to ≤ one row
+  // per day before any window state exists), so the unpartitioned
+  // ORDER BY is safe at any fact-table scale.
+  def ewmaSmoothing: Q = Q(
+    "q156_ewma",
+    """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |lagged AS (SELECT day, rev,
+      |    lag(rev, 1) OVER (ORDER BY day) AS x1,
+      |    lag(rev, 2) OVER (ORDER BY day) AS x2,
+      |    lag(rev, 3) OVER (ORDER BY day) AS x3,
+      |    row_number() OVER (ORDER BY day) AS rn
+      |  FROM daily)
+      |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev * 8 + x1 * 4 + x2 * 2 + x3 AS DOUBLE) / 15.0, 2) AS ewma
+      |FROM lagged WHERE rn >= 4
+      |ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("x1", lag("rev", 1).over(w))
+      .withColumn("x2", lag("rev", 2).over(w))
+      .withColumn("x3", lag("rev", 3).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 4)
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+        round((col("rev") * 8 + col("x1") * 4 + col("x2") * 2 + col("x3"))
+          .cast("double") / 15.0, 2).as("ewma"))
+      .orderBy("day")
+  }
 
   // --- q98: pivot (long → wide) --------------------------------------------
   // Market segment × order priority revenue matrix. The pivot values

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -13,7 +14,54 @@ import graft.{Q, Tables}
   */
 object Graph {
 
-  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend)
+  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits)
+
+  // --- q157: HITS hubs & authorities ---------------------------------------
+  // The directional complement to q125's PageRank: on the
+  // customer→supplier purchase graph, hub scores find the customers
+  // whose baskets span the influential suppliers, authority scores
+  // the suppliers those hub customers concentrate on. Two full
+  // power-iteration rounds via operators.Hits — exact DECIMAL(38,0)
+  // integer arithmetic end to end (see Hits scaladoc); the only
+  // float op is the final normalization against a broadcast max
+  // scalar, identical in both engines. Per half-iteration the plan
+  // is one keyed join + one partial-agg'd groupBy against the
+  // persisted edge list — no adjacency ever leaves the executors.
+  def hits: Q = Q(
+    "q157_hits",
+    """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |h1 AS (SELECT src, CAST(count(*) AS DECIMAL(38,0)) AS h FROM e GROUP BY src),
+      |a1 AS (SELECT dst, CAST(sum(h) AS DECIMAL(38,0)) AS a
+      |       FROM e JOIN h1 USING (src) GROUP BY dst),
+      |h2 AS (SELECT src, CAST(sum(a) AS DECIMAL(38,0)) AS h
+      |       FROM e JOIN a1 USING (dst) GROUP BY src),
+      |a2 AS (SELECT dst, CAST(sum(h) AS DECIMAL(38,0)) AS a
+      |       FROM e JOIN h2 USING (src) GROUP BY dst),
+      |mh AS (SELECT CAST(max(h) AS DOUBLE) AS m FROM h2),
+      |ma AS (SELECT CAST(max(a) AS DOUBLE) AS m FROM a2)
+      |SELECT role, id, raw, score FROM (
+      |  SELECT 'authority' AS role, dst AS id, CAST(a AS DOUBLE) AS raw,
+      |    round(CAST(a AS DOUBLE) / (SELECT m FROM ma), 12) AS score FROM a2
+      |  UNION ALL
+      |  SELECT 'hub' AS role, src AS id, CAST(h AS DOUBLE) AS raw,
+      |    round(CAST(h AS DOUBLE) / (SELECT m FROM mh), 12) AS score FROM h2)
+      |ORDER BY role, score DESC, id LIMIT 40""".stripMargin,
+  ) { (s, dir) =>
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    val (hubs, auths) = graft.operators.Hits.run(edges, iters = 2)
+    def scored(df: DataFrame, c: String, role: String) = {
+      val mx = df.agg(max(col(c)).cast("double").as("m"))
+      df.crossJoin(broadcast(mx)) // 1-row scalar
+        .select(lit(role).as("role"), col("id"),
+          col(c).cast("double").as("raw"),
+          round(col(c).cast("double") / col("m"), 12).as("score"))
+    }
+    scored(auths, "a", "authority").unionByName(scored(hubs, "h", "hub"))
+      .orderBy(col("role"), col("score").desc, col("id")).limit(40)
+  }
 
   // --- q141: ALS matrix-factorization recommendations ----------------------
   // The model-based half of the recommender family (q132 is the

@@ -61,7 +61,64 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, paretoShare)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, paretoShare,
+    fullOuterRecon)
+
+  // --- q154: period-over-period reconciliation (FULL OUTER join) ----------
+  // Year-over-year revenue per customer with churn labeling — the one
+  // join type the registry didn't yet exercise. Customers active in
+  // only one of the two years surface as unmatched rows on either
+  // side (churned/new); FULL OUTER + COALESCE is the canonical shape.
+  // Both sides are keyed aggregates of the same fact table, so the
+  // join is a same-key shuffle join (sort-merge / shuffled-hash under
+  // AQE) — neither side is broadcastable at warehouse scale and the
+  // plan must not pretend otherwise. Revenue stays DECIMAL through
+  // the join and the delta subtraction, so the result is
+  // associative-exact; DOUBLE only at the output boundary.
+  def fullOuterRecon: Q = Q(
+    "q154_full_outer_recon",
+    """WITH a AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |             count(*) AS n
+      |           FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |             AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+      |b AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |        count(*) AS n
+      |      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |        AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1)
+      |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+      |  CAST(coalesce(a.rev, 0) AS DOUBLE) AS rev_prev,
+      |  CAST(coalesce(b.rev, 0) AS DOUBLE) AS rev_curr,
+      |  CAST(coalesce(b.rev, 0) - coalesce(a.rev, 0) AS DOUBLE) AS delta,
+      |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_prev,
+      |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_curr,
+      |  CASE WHEN a.o_custkey IS NULL THEN 'new'
+      |       WHEN b.o_custkey IS NULL THEN 'churned'
+      |       ELSE 'retained' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin,
+  ) { (s, dir) =>
+    def yearRev(yr: Int, ck: String) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp")
+        && col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as(ck))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as(s"rev_$ck"),
+        count(lit(1)).as(s"n_$ck"))
+    val zero = lit(0).cast("decimal(18,2)")
+    yearRev(1997, "ck_a").join(yearRev(1998, "ck_b"),
+        col("ck_a") === col("ck_b"), "full_outer")
+      .select(
+        coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("rev_ck_a"), zero).cast("double").as("rev_prev"),
+        coalesce(col("rev_ck_b"), zero).cast("double").as("rev_curr"),
+        (coalesce(col("rev_ck_b"), zero) - coalesce(col("rev_ck_a"), zero))
+          .cast("double").as("delta"),
+        coalesce(col("n_ck_a"), lit(0L)).as("n_prev"),
+        coalesce(col("n_ck_b"), lit(0L)).as("n_curr"),
+        when(col("ck_a").isNull, "new")
+          .when(col("ck_b").isNull, "churned")
+          .otherwise("retained").as("status"))
+      .orderBy("custkey")
+  }
 
   // --- q01: pricing summary (D1 D4 D9 F1 H7; TPC-H Q1 shape) -------------
   def q01: Q = Q(

@@ -304,6 +304,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sequence packing windows partition by source; expansion is a per-row explode") {
+    val p = plan("q153_sequence_pack")
+    assert(p.contains("hashpartitioning(source"), p.take(1200))
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("full-outer reconciliation keeps a keyed shuffle join, no nested loop") {
+    val p = plan("q154_full_outer_recon")
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quantile normalization windows run over histograms keyed by source") {
+    val p = plan("q155_quantile_normalize")
+    assert(p.contains("hashpartitioning(source"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ewma smoothing reduces to the daily aggregate before any window state") {
+    val p = plan("q156_ewma")
+    // partial + final aggregate below the window sort
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hits iterations reuse the persisted edge list via keyed joins only") {
+    val p = plan("q157_hits")
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("curation funnel scans the corpus once and unpivots via stack") {
+    val p = plan("q158_curation_funnel")
+    assert(p.contains("Generate stack"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
