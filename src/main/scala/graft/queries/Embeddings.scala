@@ -9,7 +9,40 @@ object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
-    semDedup, incrementalEmbeddingDedup)
+    semDedup, incrementalEmbeddingDedup, semanticDecontaminate)
+
+  // --- q161: semantic decontamination (train vs eval, embedding space) -----
+  // q81/q92 catch VERBATIM eval contamination by shingle; this is the
+  // embedding-space analogue that catches paraphrased leakage: flag
+  // every training vector whose cosine to ANY benchmark vector (the
+  // deterministic vec_id % 10 = 0 holdout) reaches 0.35, with match
+  // count and worst-case similarity as the evidence columns. Pairs
+  // come from Similarity.blockedCrossPairs — a label-keyed join with
+  // per-row norms precomputed, never an all-pairs cross — and the
+  // threshold gate runs on the unrounded cosine in both engines
+  // (rounding is presentation only). Swap the label block for LSH
+  // buckets (q124's shape) when no supervised block key exists.
+  def semanticDecontaminate: Q = Q(
+    "q161_semantic_decontaminate",
+    s"""WITH ev AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |p AS (SELECT t.vec_id, t.label,
+       |        round(${sqlCos("t.embedding", "e.embedding")}, 6) AS c
+       |      FROM tr t JOIN ev e ON t.label = e.label
+       |      WHERE ${sqlCos("t.embedding", "e.embedding")} >= 0.35)
+       |SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_matches,
+       |  max(c) AS max_sim
+       |FROM p GROUP BY vec_id, label
+       |ORDER BY vec_id""".stripMargin,
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    Similarity.blockedCrossPairs(
+        e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", threshold = 0.35)
+      .groupBy(col("id_cand").as("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_matches"), max("cos_sim").as("max_sim"))
+      .orderBy("vec_id")
+  }
 
   // --- q124: incremental embedding near-dup gate ----------------------------
   // The q84/q96 incremental-ingest shape for the embedding modality:

@@ -13,7 +13,99 @@ object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
-    streamingHistState)
+    streamingHistState, integrityAudit)
+
+  // --- q159: star-schema integrity audit -----------------------------------
+  // The dbt-style constraint suite run after every load: referential
+  // integrity (orphan facts via anti-joins on each FK), key
+  // uniqueness, and domain ranges — one row per named check with
+  // violation counts and rates. Each FK probe is a keyed LEFT ANTI
+  // join (dimension sides broadcast when they fit, AQE shuffles them
+  // when they don't — deliberately unhinted); uniqueness is a keyed
+  // groupBy; range checks are per-row predicates folded into ONE
+  // aggregate per table. Everything reduces to scalar counts before
+  // the UNION, so the report itself is bytes regardless of fact-table
+  // scale.
+  def integrityAudit: Q = Q(
+    "q159_integrity_audit",
+    """WITH ln AS (SELECT count(*) AS n FROM lineitem),
+      |onn AS (SELECT count(*) AS n FROM orders),
+      |cn AS (SELECT count(*) AS n FROM customer),
+      |checks AS (
+      |  SELECT 'lineitem_orphan_order' AS check_name,
+      |    CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)
+      |      AS n_violations,
+      |    (SELECT n FROM ln) AS n_checked
+      |  UNION ALL SELECT 'lineitem_orphan_part',
+      |    CAST((SELECT count(*) FROM lineitem l LEFT JOIN part p
+      |      ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS BIGINT),
+      |    (SELECT n FROM ln)
+      |  UNION ALL SELECT 'lineitem_orphan_supplier',
+      |    CAST((SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+      |      ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL) AS BIGINT),
+      |    (SELECT n FROM ln)
+      |  UNION ALL SELECT 'orders_orphan_customer',
+      |    CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+      |      ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+      |    (SELECT n FROM onn)
+      |  UNION ALL SELECT 'customer_dup_key',
+      |    CAST((SELECT coalesce(sum(cnt - 1), 0) FROM
+      |      (SELECT count(*) AS cnt FROM customer GROUP BY c_custkey) g
+      |      WHERE cnt > 1) AS BIGINT), (SELECT n FROM cn)
+      |  UNION ALL SELECT 'lineitem_bad_quantity',
+      |    CAST((SELECT count(*) FROM lineitem
+      |      WHERE l_quantity IS NULL OR l_quantity <= 0) AS BIGINT), (SELECT n FROM ln)
+      |  UNION ALL SELECT 'lineitem_bad_discount',
+      |    CAST((SELECT count(*) FROM lineitem
+      |      WHERE l_discount < 0 OR l_discount > 1) AS BIGINT), (SELECT n FROM ln)
+      |  UNION ALL SELECT 'orders_nonpositive_total',
+      |    CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+      |    (SELECT n FROM onn)
+      |  UNION ALL SELECT 'orders_after_2000',
+      |    CAST((SELECT count(*) FROM orders
+      |      WHERE o_orderdate > TIMESTAMP '2000-12-31') AS BIGINT), (SELECT n FROM onn))
+      |SELECT check_name, n_violations, n_checked,
+      |  round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+      |FROM checks ORDER BY check_name""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    def one(name: String, violations: DataFrame, population: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(population.agg(count(lit(1)).as("n_checked"))) // 1×1 scalar
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+    def orphan(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      one(name, fact.join(dim, fact(fk) === dim(pk), "left_anti"), fact)
+    // key-uniqueness: one violation per surplus row beyond the first
+    val dupKey = cust.groupBy("c_custkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
+      .crossJoin(cust.agg(count(lit(1)).as("n_checked")))
+      .select(lit("customer_dup_key").as("check_name"),
+        col("n_violations"), col("n_checked"))
+    Seq(
+      orphan("lineitem_orphan_order", li, "l_orderkey", ord, "o_orderkey"),
+      orphan("lineitem_orphan_part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+      orphan("lineitem_orphan_supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      orphan("orders_orphan_customer", ord, "o_custkey", cust, "c_custkey"),
+      dupKey,
+      one("lineitem_bad_quantity",
+        li.filter(col("l_quantity").isNull || col("l_quantity") <= 0), li),
+      one("lineitem_bad_discount",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 1), li),
+      one("orders_nonpositive_total", ord.filter(col("o_totalprice") <= 0), ord),
+      one("orders_after_2000",
+        ord.filter(col("o_orderdate") > lit("2000-12-31").cast("timestamp")), ord),
+    ).reduce(_ unionByName _)
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double") / col("n_checked"), 6))
+      .orderBy("check_name")
+  }
 
   // --- q135: incremental quantile maintenance (mergeable histogram) --------
   // q126's refresh contract extended to order statistics: percentiles

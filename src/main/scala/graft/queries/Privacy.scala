@@ -14,7 +14,61 @@ object Privacy {
   private val QI1 = Seq("c_nationkey")
 
   val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize,
-    generalizeOrSuppress, lDiversity, tCloseness, auditScore)
+    generalizeOrSuppress, lDiversity, tCloseness, auditScore, gdprErasure)
+
+  // --- q160: right-to-erasure cascade accounting ---------------------------
+  // The dry-run a GDPR deletion job emits before touching storage:
+  // given a deletion list (here the deterministic c_custkey % 100 = 0
+  // cohort), how many rows does the cascade remove from each table of
+  // the star — customers directly, their orders via the FK, the
+  // orders' lineitems transitively. Every cascade level is a keyed
+  // LEFT SEMI join (the deletion list and the doomed-order keys stay
+  // keyed joins, never collected or broadcast by hand — at 100 TB the
+  // deletion list itself can be millions of subjects), reduced to
+  // per-table scalar counts before the 3-row UNION.
+  def gdprErasure: Q = Q(
+    "q160_gdpr_erasure",
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+      |doomed AS (SELECT o_orderkey FROM orders JOIN del ON o_custkey = c_custkey),
+      |cc AS (SELECT count(*) AS total FROM customer),
+      |oc AS (SELECT count(*) AS total FROM orders),
+      |lc AS (SELECT count(*) AS total FROM lineitem),
+      |rows AS (
+      |  SELECT 'customer' AS table_name,
+      |    CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted,
+      |    (SELECT total FROM cc) AS n_before
+      |  UNION ALL SELECT 'orders',
+      |    CAST((SELECT count(*) FROM doomed) AS BIGINT), (SELECT total FROM oc)
+      |  UNION ALL SELECT 'lineitem',
+      |    CAST((SELECT count(*) FROM lineitem JOIN doomed
+      |      ON l_orderkey = o_orderkey) AS BIGINT), (SELECT total FROM lc))
+      |SELECT table_name, n_before, n_deleted,
+      |  CAST(n_before - n_deleted AS BIGINT) AS n_after,
+      |  round(CAST(n_deleted AS DOUBLE) / n_before, 6) AS pct_deleted
+      |FROM rows ORDER BY table_name""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val del = cust.filter(col("c_custkey") % 100 === 0).select("c_custkey")
+    val doomed = ord.join(del, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    def one(name: String, deleted: DataFrame, population: DataFrame): DataFrame =
+      deleted.agg(count(lit(1)).as("n_deleted"))
+        .crossJoin(population.agg(count(lit(1)).as("n_before"))) // 1×1 scalar
+        .select(lit(name).as("table_name"), col("n_deleted"), col("n_before"))
+    Seq(
+      one("customer", del, cust),
+      one("orders", doomed, ord),
+      one("lineitem",
+        li.join(doomed, col("l_orderkey") === col("o_orderkey"), "left_semi"), li),
+    ).reduce(_ unionByName _)
+      .select(col("table_name"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"),
+        round(col("n_deleted").cast("double") / col("n_before"), 6).as("pct_deleted"))
+      .orderBy("table_name")
+  }
 
   // --- K1: k-anonymity report --------------------------------------------
   def kAnonymity: Q = Q(

@@ -69,6 +69,26 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Cross-set variant of [[blockedPairs]]: every (cand, ref) pair
+    * within equal `blockCol` values whose cosine ≥ threshold — the
+    * semantic-decontamination primitive (cand = training corpus,
+    * ref = eval/benchmark set). Same norm-precompute and keyed-join
+    * shape; no `id_a < id_b` dedup because the two sides are disjoint
+    * sets, and every qualifying cross pair is evidence.
+    */
+  def blockedCrossPairs(cand: DataFrame, ref: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, threshold: Double): DataFrame = {
+    def withNorm(df: DataFrame, id: String) =
+      df.select(col(blockCol).as("blk"), col(idCol).as(id),
+        asDouble(col(vecCol)).as(s"v_$id"), norm(asDouble(col(vecCol))).as(s"n_$id"))
+    withNorm(cand, "id_cand").join(withNorm(ref, "id_ref"), Seq("blk"))
+      .withColumn("cos_sim",
+        dot(col("v_id_cand"), col("v_id_ref")) / (col("n_id_cand") * col("n_id_ref")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("blk").as(blockCol), col("id_cand"), col("id_ref"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   // ---- Random-hyperplane LSH ---------------------------------------------
 
   /** Default hyperplane dimensionality (the test corpus's embedding

@@ -344,6 +344,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("integrity audit probes FKs with anti joins, reduces to scalars before the union") {
+    val p = plan("q159_integrity_audit")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gdpr cascade levels are left-semi joins, never collected deletion lists") {
+    val p = plan("q160_gdpr_erasure")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semantic decontamination joins on the block key, no all-pairs cross") {
+    val p = plan("q161_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
