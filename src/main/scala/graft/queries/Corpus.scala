@@ -16,7 +16,55 @@ import graft.{Q, Tables}
 object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
-    sourceOverlap, bigramLogprob, pmiCooccur, sequencePack)
+    sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope)
+
+  // --- q162: Zipf rank-frequency slope -------------------------------------
+  // The corpus-health power-law audit: natural text shows ln(tf) ≈
+  // intercept + slope·ln(rank) with slope ≈ −1; template-heavy or
+  // synthetic corpora bend the curve. One keyed term-frequency
+  // aggregate, a bounded top-100 TakeOrderedAndProject (the window
+  // that assigns ranks runs over those 100 rows, never the
+  // vocabulary), then the q117/q133 least-squares idiom: ln terms
+  // rounded to 9dp and moment sums DECIMAL-cast so the regression
+  // inputs are associative-exact; the closed-form slope/intercept is
+  // straight-line arithmetic on bit-identical doubles.
+  def zipfSlope: Q = Q(
+    "q162_zipf_slope",
+    """WITH tf AS (SELECT tok, count(*) AS tf FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 100),
+      |rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank FROM top),
+      |pts AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+      |               round(ln(CAST(tf AS DOUBLE)), 9) AS y FROM rk),
+      |m AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |FROM m""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("tok")).limit(100)
+    val pts = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("tf").desc, col("tok"))))
+      .select(round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("tf").cast("double")), 9).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"), dsum(col("x"), 9).as("sx"),
+      dsum(col("y"), 9).as("sy"), dsum(round(col("x") * col("y"), 9), 9).as("sxy"),
+      dsum(round(col("x") * col("x"), 9), 9).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n").as("n_points"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
 
   // --- q153: concat-and-chunk sequence packing -----------------------------
   // The packing LLM pretraining actually uses: per source stream, all

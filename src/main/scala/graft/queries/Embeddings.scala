@@ -9,7 +9,53 @@ object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
-    semDedup, incrementalEmbeddingDedup, semanticDecontaminate)
+    semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling)
+
+  // --- q164: deterministic negative sampling (contrastive training prep) ---
+  // Contrastive embedding training needs k negatives per anchor —
+  // sampled reproducibly (a re-run must ship the same pairs) and
+  // WITHOUT an anchors×corpus cross join. Candidates meet anchors
+  // only inside a shared md5-derived bucket (a keyed equi-join whose
+  // per-anchor pool is corpus/|buckets| — scale the bucket count with
+  // the corpus and the pool stays constant), negatives must carry a
+  // different label, and the pick is the 3 smallest md5(anchor, cand)
+  // values — a per-anchor window over the bounded pool, no RNG state
+  // anywhere (the q72 hash-sampling stance applied to pairs).
+  def negativeSampling: Q = Q(
+    "q164_negative_sampling",
+    """WITH a AS (SELECT vec_id, label,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS b
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |t AS (SELECT vec_id, label,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS b
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |p AS (SELECT a.vec_id AS anchor_id, t.vec_id AS neg_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY md5(CAST(a.vec_id AS VARCHAR) || '_' || CAST(t.vec_id AS VARCHAR)),
+      |        t.vec_id) AS neg_rank
+      |  FROM a JOIN t ON a.b = t.b AND a.label <> t.label)
+      |SELECT anchor_id, neg_id, CAST(neg_rank AS BIGINT) AS neg_rank
+      |FROM p WHERE neg_rank <= 3
+      |ORDER BY anchor_id, neg_rank""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"), col("label"),
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 8).as("b"))
+    val anchors = bucketed(e.filter(col("vec_id") % 10 === 0))
+      .toDF("anchor_id", "a_label", "b")
+    val cands = bucketed(e.filter(col("vec_id") % 10 =!= 0))
+      .toDF("neg_id", "t_label", "b")
+    anchors.join(cands, Seq("b"))
+      .filter(col("a_label") =!= col("t_label"))
+      .withColumn("neg_rank",
+        row_number().over(Window.partitionBy("anchor_id")
+          .orderBy(md5(concat_ws("_", col("anchor_id"), col("neg_id"))), col("neg_id"))))
+      .filter(col("neg_rank") <= 3)
+      .select(col("anchor_id"), col("neg_id"), col("neg_rank").cast("long").as("neg_rank"))
+      .orderBy("anchor_id", "neg_rank")
+  }
 
   // --- q161: semantic decontamination (train vs eval, embedding space) -----
   // q81/q92 catch VERBATIM eval contamination by shingle; this is the

@@ -13,7 +13,45 @@ object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
-    streamingHistState, integrityAudit)
+    streamingHistState, integrityAudit, ivmJoinDelta)
+
+  // --- q163: incremental maintenance of a join view (two-sided delta) ------
+  // q126/q135 maintain AGGREGATES incrementally; this maintains a
+  // JOIN view: revenue-per-nation over orders⋈customer where BOTH
+  // sides received a batch (orders o_orderkey%10=0, customers
+  // c_custkey%7=0). The delta rule ΔV = ΔA⋈B_new ∪ A_old⋈ΔB means a
+  // refresh only ever joins a delta against the other side — the full
+  // fact table is never re-joined, which is the entire point at
+  // 100 TB. The query computes the view as old-partials ∪ both delta
+  // terms re-aggregated; the oracle computes the full join directly —
+  // the hash-match IS the proof of the IVM identity, exact because
+  // partial revenue stays DECIMAL until the output boundary.
+  def ivmJoinDelta: Q = Q(
+    "q163_ivm_join_delta",
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val oldOrders = ord.filter(col("o_orderkey") % 10 =!= 0)
+    val deltaOrders = ord.filter(col("o_orderkey") % 10 === 0)
+    val oldCust = cust.filter(col("c_custkey") % 7 =!= 0)
+    val deltaCust = cust.filter(col("c_custkey") % 7 === 0)
+    def partial(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("pr"))
+    partial(oldOrders, oldCust)     // the stored view, pre-batch
+      .unionByName(partial(deltaOrders, cust))    // ΔA ⋈ B_new
+      .unionByName(partial(oldOrders, deltaCust)) // A_old ⋈ ΔB
+      .groupBy("c_nationkey")
+      .agg(sum("pn").as("n_orders"), sum("pr").cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
 
   // --- q159: star-schema integrity audit -----------------------------------
   // The dbt-style constraint suite run after every load: referential

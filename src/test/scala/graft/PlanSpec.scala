@@ -362,6 +362,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("zipf slope bounds the regression input with a top-k, not a vocab sort") {
+    val p = plan("q162_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ivm delta terms re-aggregate partials — keyed joins only") {
+    val p = plan("q163_ivm_join_delta")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
+  }
+
+  test("negative sampling meets candidates in md5 buckets; window partitions by anchor") {
+    val p = plan("q164_negative_sampling")
+    assert(p.contains("hashpartitioning(anchor_id"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
