@@ -9,7 +9,78 @@ object Embeddings {
 
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
-    semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling)
+    semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
+    labelNoise)
+
+  // --- q167: label-noise detection via kNN label agreement -----------------
+  // Confident-learning-lite for labeled embedding corpora: a vector
+  // whose nearest neighbors mostly carry a DIFFERENT label is a
+  // mislabel suspect. Neighbors come from the LSH bucket collisions
+  // (the q47/q124 candidate law — a keyed self-join on (table,
+  // bucket), never all-pairs), ranked per vector by rounded cosine
+  // with id tie-break, top-5 kept by a window over the bounded
+  // candidate pool. Fully oracle-checked because the hyperplanes are
+  // (seed, dim) constants the SQL re-embeds as literals — the
+  // approximation's candidate set itself is verified, not just row
+  // counts.
+  def labelNoise: Q = Q(
+    "q167_label_noise",
+    s"""WITH b AS (${sqlBucketCte("embeddings")}),
+       |sk AS (${(0 until Similarity.Tables)
+        .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM b")
+        .mkString("\n       UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM sk a JOIN sk c ON a.t = c.t AND a.bucket = c.bucket
+       |           AND a.vec_id <> c.vec_id),
+       |scored AS (SELECT cand.id_a, cand.id_b,
+       |    round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cs
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |            JOIN embeddings eb ON eb.vec_id = cand.id_b),
+       |top AS (SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      row_number() OVER (PARTITION BY id_a ORDER BY cs DESC, id_b) AS rk
+       |    FROM scored) WHERE rk <= 5),
+       |agg AS (SELECT t.id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+       |    CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM top t JOIN embeddings la ON la.vec_id = t.id_a
+       |             JOIN embeddings lb ON lb.vec_id = t.id_b
+       |  GROUP BY 1)
+       |SELECT a.vec_id, e.label, n_neighbors, n_agree,
+       |  round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) AS agreement,
+       |  CAST(n_agree AS DOUBLE) / n_neighbors < 0.4 AS flagged
+       |FROM agg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val sk = Similarity.sketches(e, "vec_id", "embedding")
+    val cand = sk.toDF("id_a", "t", "bucket")
+      .join(sk.toDF("id_b", "t", "bucket"), Seq("t", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    def withNorm(id: String) = e.select(col("vec_id").as(id),
+      Similarity.asDouble(col("embedding")).as(s"v_$id"),
+      Similarity.norm(Similarity.asDouble(col("embedding"))).as(s"n_$id"))
+    val scored = cand.join(withNorm("id_a"), "id_a").join(withNorm("id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_id_a"), col("v_id_b"))
+          / (col("n_id_a") * col("n_id_b")), 6).as("cs"))
+    val top = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("cs").desc, col("id_b"))))
+      .filter(col("rk") <= 5)
+    val labels = e.select("vec_id", "label")
+    top.join(labels.toDF("id_a", "la"), "id_a")
+      .join(labels.toDF("id_b", "lb"), "id_b")
+      .groupBy(col("id_a").as("vec_id"), col("la").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("la") === col("lb"), 1).otherwise(0)).as("n_agree"))
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_neighbors"), 6).as("agreement"),
+        (col("n_agree").cast("double") / col("n_neighbors") < 0.4).as("flagged"))
+      .orderBy("vec_id")
+  }
 
   // --- q164: deterministic negative sampling (contrastive training prep) ---
   // Contrastive embedding training needs k negatives per anchor —

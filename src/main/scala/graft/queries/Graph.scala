@@ -14,7 +14,56 @@ import graft.{Q, Tables}
   */
 object Graph {
 
-  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits)
+  val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
+    frequentPairs)
+
+  // --- q166: frequent item pairs with lift (association rules) ------------
+  // Market-basket mining, the a-priori way: items below min-support 10
+  // are pruned BEFORE any pair is generated (the monotonicity
+  // guarantee — an infrequent item can't be in a frequent pair), so
+  // the self-join on the basket key fans out only over frequent items
+  // per basket, never the raw catalog² (the q127 inverted-index
+  // stance on transactions). Lift is integer-ratio arithmetic:
+  // support·n_tx / (sup_a·sup_b) on exact counts, rounded for
+  // presentation. q132's cosine similarity answers "which items sit
+  // in similar baskets"; this answers the rules question "which
+  // co-occurrences beat independence, with what confidence floor".
+  def frequentPairs: Q = Q(
+    "q166_frequent_pairs",
+    """WITH tx AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+      |n AS (SELECT count(DISTINCT oid) AS n_tx FROM tx),
+      |freq AS (SELECT item, count(*) AS sup FROM tx GROUP BY item
+      |         HAVING count(*) >= 10),
+      |ft AS (SELECT tx.oid, tx.item, f.sup FROM tx JOIN freq f USING (item)),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS sup_ab,
+      |        max(a.sup) AS sup_a, max(b.sup) AS sup_b
+      |      FROM ft a JOIN ft b ON a.oid = b.oid AND a.item < b.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, CAST(sup_ab AS BIGINT) AS support,
+      |  round(CAST(sup_ab * (SELECT n_tx FROM n) AS DOUBLE)
+      |    / (sup_a * sup_b), 6) AS lift
+      |FROM p ORDER BY support DESC, item_a, item_b LIMIT 30""".stripMargin,
+  ) { (s, dir) =>
+    val tx = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct()
+    val n = tx.agg(countDistinct("oid").as("n_tx"))
+    val freq = tx.groupBy("item").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 10)
+    val ft = tx.join(freq, "item") // catalog-sized: deliberately unhinted
+    val pairs = ft.select(col("oid"), col("item").as("item_a"), col("sup").as("sup_a"))
+      .join(ft.select(col("oid"), col("item").as("item_b"), col("sup").as("sup_b")),
+        Seq("oid"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("sup_ab"), max("sup_a").as("sup_a"),
+        max("sup_b").as("sup_b"))
+      .filter(col("sup_ab") >= 2)
+    pairs.crossJoin(broadcast(n)) // 1-row scalar
+      .select(col("item_a"), col("item_b"), col("sup_ab").as("support"),
+        round((col("sup_ab") * col("n_tx")).cast("double")
+          / (col("sup_a") * col("sup_b")), 6).as("lift"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b")).limit(30)
+  }
 
   // --- q157: HITS hubs & authorities ---------------------------------------
   // The directional complement to q125's PageRank: on the

@@ -16,7 +16,37 @@ object Text {
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
-    ngramJaccardPrefix, perplexityFilter)
+    ngramJaccardPrefix, perplexityFilter, contextLengthPlanner)
+
+  // --- q165: context-length planning profile -------------------------------
+  // The query behind every max_seq_len decision: per source, how long
+  // are the documents in tokens — min/p50/p90/p99/max — so truncation
+  // loss vs padding waste can be budgeted before packing (q153/q73).
+  // One keyed aggregate per source; the exact interpolated percentiles
+  // are the q11 idiom applied per group (at 100 TB swap in q57's
+  // approx_percentile — same API shape, sketch-mergeable).
+  def contextLengthPlanner: Q = Q(
+    "q165_context_length",
+    """WITH d AS (SELECT source, len(string_split(text, ' ')) AS ntok FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(ntok) AS BIGINT) AS min_tokens,
+      |  round(quantile_cont(CAST(ntok AS DOUBLE), 0.5), 4) AS p50,
+      |  round(quantile_cont(CAST(ntok AS DOUBLE), 0.9), 4) AS p90,
+      |  round(quantile_cont(CAST(ntok AS DOUBLE), 0.99), 4) AS p99,
+      |  CAST(max(ntok) AS BIGINT) AS max_tokens
+      |FROM d GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ntok").cast("long").as("min_tokens"),
+        round(expr("percentile(CAST(ntok AS DOUBLE), 0.5)"), 4).as("p50"),
+        round(expr("percentile(CAST(ntok AS DOUBLE), 0.9)"), 4).as("p90"),
+        round(expr("percentile(CAST(ntok AS DOUBLE), 0.99)"), 4).as("p99"),
+        max("ntok").cast("long").as("max_tokens"))
+      .orderBy("source")
+  }
 
   // --- q148: perplexity filter (cross-entropy vs reference LM) -------------
   // The CCNet move q118 builds toward: score EVERY doc's cross-entropy

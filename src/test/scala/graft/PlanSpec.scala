@@ -381,6 +381,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("context-length profile is one keyed aggregate per source") {
+    val p = plan("q165_context_length")
+    assert(p.contains("hashpartitioning(source"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("frequent pairs joins on the basket key after support pruning, top-k bounded") {
+    val p = plan("q166_frequent_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("label noise candidates are (table,bucket) joins; ranking windows by vector") {
+    val p = plan("q167_label_noise")
+    assert(p.contains("hashpartitioning(id_a"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
