@@ -26,16 +26,21 @@ object Embeddings {
   def labelNoise: Q = Q(
     "q167_label_noise",
     s"""WITH b AS (${sqlBucketCte("embeddings")}),
-       |sk AS (${(0 until Similarity.Tables)
+       |sk0 AS (${(0 until Similarity.Tables)
         .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM b")
         .mkString("\n       UNION ALL ")}),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-       |         FROM sk a JOIN sk c ON a.t = c.t AND a.bucket = c.bucket
-       |           AND a.vec_id <> c.vec_id),
-       |scored AS (SELECT cand.id_a, cand.id_b,
+       |hot AS (SELECT t, bucket FROM sk0 GROUP BY t, bucket HAVING count(*) > 2000),
+       |sk AS (SELECT * FROM sk0 WHERE NOT EXISTS
+       |       (SELECT 1 FROM hot h WHERE h.t = sk0.t AND h.bucket = sk0.bucket)),
+       |candh AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |          FROM sk a JOIN sk c ON a.t = c.t AND a.bucket = c.bucket
+       |            AND a.vec_id < c.vec_id),
+       |scoredh AS (SELECT candh.id_a, candh.id_b,
        |    round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cs
-       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
-       |            JOIN embeddings eb ON eb.vec_id = cand.id_b),
+       |  FROM candh JOIN embeddings ea ON ea.vec_id = candh.id_a
+       |             JOIN embeddings eb ON eb.vec_id = candh.id_b),
+       |scored AS (SELECT id_a, id_b, cs FROM scoredh
+       |  UNION ALL SELECT id_b AS id_a, id_a AS id_b, cs FROM scoredh),
        |top AS (SELECT id_a, id_b FROM (
        |    SELECT id_a, id_b,
        |      row_number() OVER (PARTITION BY id_a ORDER BY cs DESC, id_b) AS rk
@@ -54,18 +59,35 @@ object Embeddings {
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    val sk = Similarity.sketches(e, "vec_id", "embedding")
-    val cand = sk.toDF("id_a", "t", "bucket")
-      .join(sk.toDF("id_b", "t", "bucket"), Seq("t", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
+    // sketches feed the hot-bucket aggregate and BOTH sides of the
+    // candidate self-join; norms feed both probe joins — persist, the
+    // lshNearDupPairs stance. The cap bounds per-bucket fan-out (and
+    // at real scale BitsPerTable grows with log|corpus| so occupancy
+    // stays bounded before the cap even triggers).
+    val sk0 = graft.dedup.Dedup.persistTracked(
+      Similarity.sketches(e, "vec_id", "embedding"))
+    val hot = sk0.groupBy("table_id", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 2000)
+    val sk = sk0.join(hot.select("table_id", "bucket"),
+      Seq("table_id", "bucket"), "left_anti")
+    // candidates deduped as ORDERED pairs (half the distinct shuffle),
+    // each cosine computed once, then symmetrized — cos is symmetric
+    val candHalf = sk.select(col("vec_id").as("id_a"), col("table_id"), col("bucket"))
+      .join(sk.select(col("vec_id").as("id_b"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    def withNorm(id: String) = e.select(col("vec_id").as(id),
-      Similarity.asDouble(col("embedding")).as(s"v_$id"),
-      Similarity.norm(Similarity.asDouble(col("embedding"))).as(s"n_$id"))
-    val scored = cand.join(withNorm("id_a"), "id_a").join(withNorm("id_b"), "id_b")
+    val norms = graft.dedup.Dedup.persistTracked(e.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"),
+      Similarity.norm(Similarity.asDouble(col("embedding"))).as("nr")))
+    def withNorm(id: String) = norms.toDF(id, s"v_$id", s"n_$id")
+    val scoredHalf = graft.dedup.Dedup.persistTracked(candHalf
+      .join(withNorm("id_a"), "id_a").join(withNorm("id_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(Similarity.dot(col("v_id_a"), col("v_id_b"))
-          / (col("n_id_a") * col("n_id_b")), 6).as("cs"))
+          / (col("n_id_a") * col("n_id_b")), 6).as("cs")))
+    val scored = scoredHalf.unionByName(
+      scoredHalf.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cs")))
     val top = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("id_a").orderBy(col("cs").desc, col("id_b"))))

@@ -44,12 +44,15 @@ object Graph {
       |    / (sup_a * sup_b), 6) AS lift
       |FROM p ORDER BY support DESC, item_a, item_b LIMIT 30""".stripMargin,
   ) { (s, dir) =>
-    val tx = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct()
+    // tx feeds three consumers (n_tx, item supports, the pair join);
+    // ft feeds both sides of the basket self-join — persist both
+    val tx = graft.dedup.Dedup.persistTracked(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct())
     val n = tx.agg(countDistinct("oid").as("n_tx"))
     val freq = tx.groupBy("item").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 10)
-    val ft = tx.join(freq, "item") // catalog-sized: deliberately unhinted
+    val ft = graft.dedup.Dedup.persistTracked(
+      tx.join(freq, "item")) // catalog-sized: deliberately unhinted
     val pairs = ft.select(col("oid"), col("item").as("item_a"), col("sup").as("sup_a"))
       .join(ft.select(col("oid"), col("item").as("item_b"), col("sup").as("sup_b")),
         Seq("oid"))
@@ -100,7 +103,12 @@ object Graph {
     val edges = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    val (hubs, auths) = graft.operators.Hits.run(edges, iters = 2)
+    val (hubs0, auths0) = graft.operators.Hits.run(edges, iters = 2)
+    // each side has two consumers (the max-scalar aggregate and the
+    // scored output) — persist, or the whole iteration DAG re-runs
+    // per consumer per side
+    val hubs = graft.dedup.Dedup.persistTracked(hubs0)
+    val auths = graft.dedup.Dedup.persistTracked(auths0)
     def scored(df: DataFrame, c: String, role: String) = {
       val mx = df.agg(max(col(c)).cast("double").as("m"))
       df.crossJoin(broadcast(mx)) // 1-row scalar
