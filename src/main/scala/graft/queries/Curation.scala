@@ -15,7 +15,65 @@ object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
-    quantileNormalize, curationFunnel)
+    quantileNormalize, curationFunnel, mixtureAllocation)
+
+  // --- q169: token-budget mixture allocation (waterfilling) ----------------
+  // q83/q87 choose WHICH docs enter a mixture; this sizes the mixture
+  // first: given a token budget (half the corpus) and an equal
+  // per-language target, scarce languages contribute everything they
+  // have and the leftover redistributes to abundant ones pro rata to
+  // their remaining headroom — one waterfilling round, the closed
+  // form mixing pipelines actually run before sampling. ALL integer
+  // arithmetic (floor-div allocations, cross-multiplied shares) over
+  // a languages-sized aggregate; the corpus is touched by exactly one
+  // keyed token-count aggregate.
+  def mixtureAllocation: Q = Q(
+    "q169_mixture_allocation",
+    """WITH avail AS (SELECT lang,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+      |          count(*) AS n_langs FROM avail),
+      |t AS (SELECT (total // 2) AS budget,
+      |        (total // 2) // n_langs AS target FROM tot),
+      |a1 AS (SELECT lang, avail, least(avail, target) AS alloc1 FROM avail, t),
+      |lo AS (SELECT CAST((SELECT budget FROM t) - sum(alloc1) AS BIGINT) AS leftover,
+      |         CAST(sum(avail - alloc1) AS BIGINT) AS headroom FROM a1)
+      |SELECT lang, avail, (SELECT target FROM t) AS target,
+      |  CAST(alloc1 + CASE WHEN headroom > 0
+      |    THEN leftover * (avail - alloc1) // headroom ELSE 0 END AS BIGINT) AS alloc,
+      |  round(CAST(alloc1 + CASE WHEN headroom > 0
+      |      THEN leftover * (avail - alloc1) // headroom ELSE 0 END AS DOUBLE)
+      |    / avail, 6) AS fill_rate
+      |FROM a1, lo
+      |ORDER BY lang""".stripMargin,
+  ) { (s, dir) =>
+    // the corpus-touching aggregate has four downstream consumers
+    // (t, a1, and through a1 the leftover scalars) — persist the
+    // languages-sized result so the corpus is scanned exactly once
+    val avail = Dedup.persistTracked(Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail")))
+    val t = avail.agg(sum("avail").as("total"), count(lit(1)).as("n_langs"))
+      .select(expr("total div 2").as("budget"),
+        expr("(total div 2) div n_langs").as("target"))
+    val a1 = avail.crossJoin(broadcast(t)) // languages × 1-row scalar
+      .select(col("lang"), col("avail"), col("target"),
+        least(col("avail"), col("target")).as("alloc1"))
+    val lo = a1.agg(sum("alloc1").as("allocated"),
+      sum(col("avail") - col("alloc1")).as("headroom"))
+    val lo2 = lo.crossJoin(broadcast(t))
+      .select((col("budget") - col("allocated")).as("leftover"), col("headroom"))
+    a1.crossJoin(broadcast(lo2)) // 1-row scalar
+      .select(col("lang"), col("avail"), col("target"),
+        (col("alloc1") + when(col("headroom") > 0,
+          expr("leftover * (avail - alloc1) div headroom")).otherwise(lit(0L)))
+          .as("alloc"),
+        round((col("alloc1") + when(col("headroom") > 0,
+          expr("leftover * (avail - alloc1) div headroom")).otherwise(lit(0L)))
+          .cast("double") / col("avail"), 6).as("fill_rate"))
+      .orderBy("lang")
+  }
 
   // --- q158: curation-funnel waterfall -------------------------------------
   // The audit every data team runs before a training launch: how many

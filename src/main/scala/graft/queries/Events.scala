@@ -13,7 +13,48 @@ object Events {
   val all: Seq[Q] = Seq(hourlyWindows, sessionize, jsonExtract, mlFeatures, streamingHourly,
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
-    kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin)
+    kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
+    seasonalSpike)
+
+  // --- q168: seasonal-adjusted spike detection ------------------------------
+  // q113 flags hours above a trailing baseline; this flags DAYS whose
+  // count beats 2× the leave-one-out mean of the SAME weekday — so a
+  // busy-Monday pattern doesn't alarm every Monday. Leave-one-out
+  // makes the spike unable to dilute its own baseline, and the
+  // predicate is pure INTEGER cross-multiplication
+  // (5·x·(cnt−1) > 6·(sum−x), i.e. ratio > 1.2) — no division near the decision,
+  // divisions are presentation-only. Windows run over per-(type, dow)
+  // daily aggregates — calendar-sized, aggregate-first.
+  def seasonalSpike: Q = Q(
+    "q168_seasonal_spike",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, day, n, isodow(day) - 1 AS dow FROM daily),
+      |base AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS s,
+      |           count(*) AS c FROM d2 GROUP BY 1, 2)
+      |SELECT d2.event_type, strftime(d2.day, '%Y-%m-%d') AS day,
+      |  CAST(n AS BIGINT) AS n,
+      |  round(CAST(s - n AS DOUBLE) / (c - 1), 4) AS loo_baseline,
+      |  round(CAST(n * (c - 1) AS DOUBLE) / (s - n), 4) AS ratio
+      |FROM d2 JOIN base ON d2.event_type = base.event_type AND d2.dow = base.dow
+      |WHERE c > 1 AND 5 * n * (c - 1) > 6 * (s - n)
+      |ORDER BY d2.event_type, day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", weekday(col("day")))
+    val base = daily.groupBy("event_type", "dow")
+      .agg(sum("n").as("s"), count(lit(1)).as("c"))
+    daily.join(base, Seq("event_type", "dow"))
+      .filter(col("c") > 1 && lit(5) * col("n") * (col("c") - 1) > lit(6) * (col("s") - col("n")))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        round((col("s") - col("n")).cast("double") / (col("c") - 1), 4).as("loo_baseline"),
+        round((col("n") * (col("c") - 1)).cast("double") / (col("s") - col("n")), 4)
+          .as("ratio"))
+      .orderBy("event_type", "day")
+  }
 
   // --- q151: stream-stream LEFT OUTER join (abandonment) --------------------
   // The outer variant of q122 — the shape that answers "which views

@@ -399,6 +399,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("seasonal spike joins calendar-sized aggregates, no corpus-wide window") {
+    val p = plan("q168_seasonal_spike")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), p.take(1200)) // aggregate-join only
+  }
+
+  test("mixture allocation touches the corpus in exactly one keyed aggregate") {
+    val p = plan("q169_mixture_allocation")
+    assert(!p.contains("CartesianProduct"))
+    // every consumer past the first reads the persisted languages-sized
+    // aggregate, not the corpus (the cached-relation description still
+    // embeds the scan text, so count cache reads, not scan strings)
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
