@@ -155,15 +155,18 @@ object Dedup {
       // explode runs single-threaded
       .repartition(col(idCol))
 
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, dfCap: Int = DefaultHotKeyCap,
-      preDedup: Boolean = true): DataFrame = {
+  /** Shared pair-generation core for the set-overlap family: shingle,
+    * df-cap, hash, inverted-index self-join — returns
+    * (id_a, id_b, inter, n_a, n_b) for every co-shingling pair.
+    */
+  private def overlapCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int, dfCap: Int, preDedup: Boolean, opName: String): DataFrame = {
     val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
     val sh0 = shingleTable(base, idCol, textCol, n)
     val sh = if (dfCap > 0) {
       val hot = observeDrops(
         sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > dfCap),
-        "jaccardPairs", dfCap)
+        opName, dfCap)
       sh0.join(hot, Seq("shingle"), "left_anti")
     } else sh0
     // Join on the 8-byte shingle hash, not the string: cheaper shuffle
@@ -179,11 +182,37 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("id_a", "n_a"), "id_a")
       .join(sizes.toDF("id_b", "n_b"), "id_b")
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, dfCap: Int = DefaultHotKeyCap,
+      preDedup: Boolean = true): DataFrame =
+    overlapCounts(df, idCol, textCol, n, dfCap, preDedup, "jaccardPairs")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+
+  /** Asymmetric-overlap (containment) pairs: containment(A→B) =
+    * |A∩B| / |A| — flags a short document embedded in a longer one
+    * (quotes, boilerplate-wrapped reposts), where symmetric Jaccard
+    * stays far below any dedup threshold because the union is
+    * dominated by the longer side. Keeps pairs whose LARGER direction
+    * reaches the threshold; emits both directions plus Jaccard so the
+    * caller can see which regime caught the pair. Same inverted-index
+    * machinery (and scale story) as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, dfCap: Int = DefaultHotKeyCap,
+      preDedup: Boolean = true): DataFrame =
+    overlapCounts(df, idCol, textCol, n, dfCap, preDedup, "containmentPairs")
+      .withColumn("cont_a", col("inter").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 4).as("cont_a"), round(col("cont_b"), 4).as("cont_b"),
+        round(col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
 
   /** [[jaccardPairs]] with PPJoin-style prefix filtering (Chaudhuri et
     * al. 2006; Xiao et al. 2008) — the same EXACT result, with

@@ -14,7 +14,49 @@ object Events {
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
-    seasonalSpike)
+    seasonalSpike, stickiness)
+
+  // --- q170: DAU / WAU stickiness ------------------------------------------
+  // Rolling 7-day DISTINCT actives — the metric a sum of dailies gets
+  // wrong (a user active 5× in a week counts once). The rolling
+  // distinct is NOT a window function: each (user, day) activity row
+  // fans out to the 7 window-end days it supports (a bounded ×7
+  // explode), and WAU is then one exact count-distinct per day — so
+  // the plan is explode + keyed aggregate, no per-day re-scan, no
+  // corpus-sized window state. Days without a full 7-day lookback are
+  // excluded (their WAU would undercount by construction).
+  def stickiness: Q = Q(
+    "q170_stickiness",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |sp AS (SELECT user_id, day + CAST(x AS INTEGER) AS day
+      |       FROM ud, UNNEST(range(0, 7)) AS u(x)),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM sp GROUP BY day),
+      |lo AS (SELECT min(day) AS d0 FROM ud)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+      |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day, lo
+      |WHERE d.day >= d0 + 6
+      |ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    // two consumers (dau + the window-support explode): persist the
+    // per-(user, day) activity table
+    val ud = graft.dedup.Dedup.persistTracked(Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("x"), col("day"))
+      .select(col("user_id"), expr("date_add(day, x)").as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    val lo = ud.agg(min("day").as("d0"))
+    dau.join(wau, "day").crossJoin(broadcast(lo)) // 1-row scalar
+      .filter(col("day") >= date_add(col("d0"), 6))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
 
   // --- q168: seasonal-adjusted spike detection ------------------------------
   // q113 flags hours above a trailing baseline; this flags DAYS whose

@@ -16,7 +16,42 @@ object Text {
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
-    ngramJaccardPrefix, perplexityFilter, contextLengthPlanner)
+    ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs)
+
+  // --- q171: containment (asymmetric-overlap) pairs ------------------------
+  // The dedup-family member Jaccard can't see: a short document
+  // embedded verbatim in a longer one scores |A∩B|/|A∪B| ≈ |A|/|B|
+  // (arbitrarily low) but containment |A∩B|/|A| = 1. Same df-capped
+  // inverted-index join as q40 via the shared Dedup.overlapCounts
+  // core; the gate is on the LARGER direction, and both directions +
+  // Jaccard are emitted so the report shows which pairs only
+  // containment caught.
+  def containmentPairs: Q = Q(
+    "q171_containment_pairs",
+    """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(inter AS DOUBLE) / sa.n, 4) AS cont_a,
+      |  round(CAST(inter AS DOUBLE) / sb.n, 4) AS cont_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE greatest(CAST(inter AS DOUBLE) / sa.n, CAST(inter AS DOUBLE) / sb.n) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin,
+  ) { (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
 
   // --- q165: context-length planning profile -------------------------------
   // The query behind every max_seq_len decision: per source, how long

@@ -414,6 +414,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(1500))
   }
 
+  test("stickiness is a bounded explode + keyed count-distinct, no per-day rescan") {
+    val p = plan("q170_stickiness")
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("containment pairs join on the 8-byte shingle hash, no cartesian") {
+    val p = plan("q171_containment_pairs")
+    // keyed on the hashed shingle (broadcast at toy scale, shuffled at size)
+    assert(p.contains("sh_h"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
