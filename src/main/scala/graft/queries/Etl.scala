@@ -13,7 +13,112 @@ object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
-    streamingHistState, integrityAudit, ivmJoinDelta)
+    streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats)
+
+  // --- q173: snapshot table diff (data-diff) --------------------------------
+  // The audit-before-swap every blue/green table publish runs: given
+  // the current snapshot and a candidate batch (here derived
+  // deterministically — %93 keys deleted, %97 prices bumped, %89 keys
+  // re-inserted under new ids), classify every key as
+  // added/removed/changed/unchanged and report counts + key ranges.
+  // One FULL OUTER keyed join (the q154 shape applied to row
+  // versions), reduced to a 4-row report — no row-hash round trip
+  // through strings (cross-engine float formatting is not stable;
+  // column comparison is).
+  def tableDiff: Q = Q(
+    "q173_table_diff",
+    """WITH orig AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+      |newt AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS v
+      |  FROM orders WHERE o_orderkey % 93 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_totalprice FROM orders
+      |  WHERE o_orderkey % 89 = 0),
+      |d AS (SELECT coalesce(o.k, n.k) AS k,
+      |        CASE WHEN o.k IS NULL THEN 'added'
+      |             WHEN n.k IS NULL THEN 'removed'
+      |             WHEN o.v <> n.v THEN 'changed'
+      |             ELSE 'unchanged' END AS status
+      |      FROM orig o FULL OUTER JOIN newt n ON o.k = n.k)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM d GROUP BY status ORDER BY status""".stripMargin,
+  ) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+    val orig = ord.select(col("o_orderkey").as("ko"), col("o_totalprice").as("vo"))
+    val newt = ord.filter(col("o_orderkey") % 93 =!= 0)
+      .select(col("o_orderkey").as("kn"),
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("vn"))
+      .unionByName(ord.filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + 100000000L).as("kn"),
+          col("o_totalprice").as("vn")))
+    orig.join(newt, col("ko") === col("kn"), "full_outer")
+      .select(coalesce(col("ko"), col("kn")).as("k"),
+        when(col("ko").isNull, "added")
+          .when(col("kn").isNull, "removed")
+          .when(col("vo") =!= col("vn"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("status")
+  }
+
+  // --- q174: optimizer-grade column statistics (NDV + equi-depth) ----------
+  // The ANALYZE TABLE output a cost-based optimizer consumes: per
+  // column, exact distinct count, min/max, and equi-depth quartile
+  // boundaries. Boundaries use the tie-safe integer rule
+  // b_k = min{v : 4·cum(v) ≥ k·N} over the VALUE histogram (the q155
+  // cumulative trick) — windows run over distinct values, never rows,
+  // and values stay DECIMAL(18,2) so both engines bucket identically.
+  def columnStats: Q = {
+    val cols = Seq("l_quantity", "l_discount", "l_extendedprice")
+    def sqlOne(c: String): String =
+      s"""SELECT '$c' AS col_name, n, ndv,
+         |  CAST(vmin AS DOUBLE) AS vmin, CAST(vmax AS DOUBLE) AS vmax,
+         |  ${(1 to 3).map(k =>
+            s"(SELECT CAST(min(v) AS DOUBLE) FROM cum_$c WHERE cum * 4 >= n_$c.n * $k) AS q$k")
+            .mkString(",\n  ")}
+         |FROM n_$c""".stripMargin
+    def sqlCtes(c: String): String =
+      s"""h_$c AS (SELECT CAST($c AS DECIMAL(18,2)) AS v, count(*) AS c
+         |  FROM lineitem GROUP BY 1),
+         |cum_$c AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h_$c),
+         |n_$c AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS ndv,
+         |  min(v) AS vmin, max(v) AS vmax FROM h_$c)""".stripMargin
+    Q(
+      "q174_column_stats",
+      s"""WITH ${cols.map(sqlCtes).mkString(",\n")}
+         |${cols.map(sqlOne).mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      def one(c: String): DataFrame = {
+        // histogram feeds the cumulative AND the scalar stats — persist
+        val h = graft.dedup.Dedup.persistTracked(
+          li.select(col(c).cast("decimal(18,2)").as("v"))
+            .groupBy("v").agg(count(lit(1)).as("c")))
+        val cum = h.withColumn("cum", sum("c").over(Window.orderBy("v")))
+        val n = h.agg(sum("c").as("n"), count(lit(1)).as("ndv"),
+          min("v").as("vmin"), max("v").as("vmax"))
+        val qs = (1 to 3).map { k =>
+          cum.crossJoin(broadcast(n.select("n"))) // 1-row scalar
+            .filter(col("cum") * 4 >= col("n") * k)
+            .agg(min("v").cast("double").as(s"q$k"))
+        }
+        qs.foldLeft(
+            n.select(lit(c).as("col_name"), col("n"), col("ndv"),
+              col("vmin").cast("double").as("vmin"),
+              col("vmax").cast("double").as("vmax")))(
+            (acc, q) => acc.crossJoin(broadcast(q))) // 1×1 scalars
+      }
+      cols.map(one).reduce(_ unionByName _).orderBy("col_name")
+    }
+  }
 
   // --- q163: incremental maintenance of a join view (two-sided delta) ------
   // q126/q135 maintain AGGREGATES incrementally; this maintains a

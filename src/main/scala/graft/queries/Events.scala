@@ -14,7 +14,85 @@ object Events {
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
-    seasonalSpike, stickiness)
+    seasonalSpike, stickiness, peakConcurrency)
+
+  // --- q172: peak concurrent sessions (interval sweep) ---------------------
+  // Capacity planning's question — "how many sessions were open AT
+  // ONCE, at the worst moment of each day" — is interval-overlap
+  // counting, not an aggregate of any single row. The classic sweep:
+  // q49's sessionization yields [start, end] intervals, each clipped
+  // interval emits a +1/−1 boundary pair, and concurrency is the
+  // running sum over boundaries ordered (ts, +1 before −1) — so
+  // touching sessions at the same instant count as overlapping, and
+  // equal-delta ties permute prefix sums without changing the max.
+  // Scale shape: sessionize windows are keyed by user, the sweep
+  // window is keyed by DAY (intervals are clipped at midnight, a
+  // bounded ≤2-day explode), so no window ever sees more than one
+  // day of boundaries.
+  def peakConcurrency: Q = Q(
+    "q172_peak_concurrency",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM e),
+      |iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en FROM s GROUP BY 1, 2),
+      |dd AS (SELECT st, en, CAST(st AS DATE) + CAST(k AS INTEGER) AS day
+      |       FROM iv, UNNEST(range(0,
+      |         datediff('day', CAST(st AS DATE), CAST(en AS DATE)) + 1)) AS u(k)),
+      |cl AS (SELECT day,
+      |        greatest(st, CAST(day AS TIMESTAMP)) AS cs,
+      |        least(en, CAST(day + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND) AS ce
+      |      FROM dd),
+      |b AS (SELECT day, cs AS ts, 1 AS delta FROM cl
+      |      UNION ALL SELECT day, ce, -1 FROM cl),
+      |r AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM b)
+      |SELECT strftime(r.day, '%Y-%m-%d') AS day,
+      |  CAST((SELECT count(*) FROM cl WHERE cl.day = r.day) AS BIGINT) AS n_sessions,
+      |  CAST(max(conc) AS BIGINT) AS peak
+      |FROM r GROUP BY r.day ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = Tables.events(s, dir)
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("st"), max("ts").as("en"))
+    // clipped (day, start, end) triples: two consumers (boundary rows
+    // + the per-day session count) — persist the bounded explode
+    val cl = graft.dedup.Dedup.persistTracked(iv
+      .select(col("st"), col("en"),
+        explode(sequence(lit(0),
+          datediff(to_date(col("en")), to_date(col("st"))))).as("k"))
+      .select(expr("date_add(to_date(st), k)").as("day"), col("st"), col("en"))
+      .select(col("day"),
+        greatest(col("st"), col("day").cast("timestamp")).as("cs"),
+        least(col("en"), expr("date_add(day, 1)").cast("timestamp")
+          - expr("interval 1 microsecond")).as("ce")))
+    val b = cl.select(col("day"), col("cs").as("ts"), lit(1).as("delta"))
+      .unionByName(cl.select(col("day"), col("ce").as("ts"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy("day").orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = b.withColumn("conc", sum("delta").over(sweep))
+      .groupBy("day").agg(max("conc").cast("long").as("peak"))
+    val counts = cl.groupBy("day").agg(count(lit(1)).as("n_sessions"))
+    peaks.join(counts, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("peak"))
+      .orderBy("day")
+  }
 
   // --- q170: DAU / WAU stickiness ------------------------------------------
   // Rolling 7-day DISTINCT actives — the metric a sum of dailies gets

@@ -427,6 +427,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("peak concurrency sweeps boundaries in day-keyed windows") {
+    val p = plan("q172_peak_concurrency")
+    assert(p.contains("hashpartitioning(day"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("table diff is one full-outer keyed join reduced to a 4-row report") {
+    val p = plan("q173_table_diff")
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("column stats windows run over value histograms, scalars broadcast") {
+    val p = plan("q174_column_stats")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"), p.take(1200)) // persisted histograms
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
