@@ -10,7 +10,58 @@ object Embeddings {
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
-    labelNoise)
+    labelNoise, dimCorrelation)
+
+  // --- q175: embedding-dimension correlation matrix ------------------------
+  // Feature health for the vector column: strongly correlated
+  // dimensions mean wasted capacity (and tell you whitening/PCA would
+  // pay). Pearson over the first 8 dims from moment sums — the
+  // q133/q162 idiom: 9-dp rounded terms, DECIMAL-exact sums, the
+  // closed form on bit-identical doubles. The pair fan-out is a keyed
+  // self-join on vec_id over the 8-dim slice (≤ C(8,2) rows per
+  // vector), never a d²-wide aggregate row.
+  def dimCorrelation: Q = Q(
+    "q175_dim_correlation",
+    """WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, 9)) AS u(i)),
+      |m1 AS (SELECT i,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+      |    count(*) AS n FROM dims GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |    CAST(sum(CAST(round(a.x * b.x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy
+      |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i < b.i
+      |  GROUP BY 1, 2)
+      |SELECT p.i, p.j,
+      |  round((ma.n * sxy - ma.sx * mb.sx)
+      |    / sqrt((ma.n * ma.sxx - ma.sx * ma.sx) * (ma.n * mb.sxx - mb.sx * mb.sx)), 6)
+      |    AS corr
+      |FROM p JOIN m1 ma ON ma.i = p.i JOIN m1 mb ON mb.i = p.j
+      |ORDER BY p.i, p.j""".stripMargin,
+  ) { (s, dir) =>
+    // three consumers (per-dim moments + both pair-join sides)
+    val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .filter(col("pos") < 8)
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x")))
+    val m1 = dims.groupBy("i").agg(
+      dsum(round(col("x"), 9), 9).as("sx"),
+      dsum(round(col("x") * col("x"), 9), 9).as("sxx"),
+      count(lit(1)).as("n"))
+    val p = dims.toDF("vec_id", "i", "xi")
+      .join(dims.toDF("vec_id", "j", "xj"), "vec_id")
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(dsum(round(col("xi") * col("xj"), 9), 9).as("sxy"))
+    p.join(m1.select(col("i"), col("sx").as("sx_i"), col("sxx").as("sxx_i"), col("n")), "i")
+      .join(m1.select(col("i").as("j"), col("sx").as("sx_j"), col("sxx").as("sxx_j")), "j")
+      .select(col("i"), col("j"),
+        round((col("n") * col("sxy") - col("sx_i") * col("sx_j"))
+          / sqrt((col("n") * col("sxx_i") - col("sx_i") * col("sx_i"))
+            * (col("n") * col("sxx_j") - col("sx_j") * col("sx_j"))), 6).as("corr"))
+      .orderBy("i", "j")
+  }
 
   // --- q167: label-noise detection via kNN label agreement -----------------
   // Confident-learning-lite for labeled embedding corpora: a vector

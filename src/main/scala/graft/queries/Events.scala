@@ -14,7 +14,70 @@ object Events {
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
-    seasonalSpike, stickiness, peakConcurrency)
+    seasonalSpike, stickiness, peakConcurrency, funnelLatency)
+
+  // --- q176: funnel stage-transition latency --------------------------------
+  // q99 counts WHO converts; this measures HOW LONG conversion takes:
+  // per q99-qualified user, first-view → first-subsequent-click and
+  // click → purchase gaps, reduced to per-transition n/p50/p90
+  // minutes. Gaps are exact integer microseconds (epoch diffs); only
+  // the final interpolated percentiles are doubles (the q11 idiom,
+  // rounded). Per-stage tables are keyed min-aggregates — the same
+  // scale shape as q99.
+  def funnelLatency: Q = Q(
+    "q176_funnel_latency",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+      |g1 AS (SELECT epoch_us(c.t2) - epoch_us(v.t1) AS gap_us
+      |       FROM c JOIN v ON c.user_id = v.user_id),
+      |g2 AS (SELECT epoch_us(p.t3) - epoch_us(c.t2) AS gap_us
+      |       FROM p JOIN c ON p.user_id = c.user_id)
+      |SELECT 'view_to_click' AS transition, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 60000000, 4) AS p50_min,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 60000000, 4) AS p90_min
+      |FROM g1
+      |UNION ALL
+      |SELECT 'click_to_purchase', CAST(count(*) AS BIGINT),
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 60000000, 4),
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 60000000, 4)
+      |FROM g2
+      |ORDER BY transition""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val e = Tables.events(s, dir)
+    def first(tpe: String, after: Option[DataFrame], tcol: String): DataFrame = {
+      val base = e.filter(col("event_type") === tpe)
+      val gated = after match {
+        case Some(prev) => base.join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prev.columns.last))
+        case None => base
+      }
+      gated.groupBy("user_id").agg(min("ts").as(tcol))
+    }
+    val v = first("view", None, "t1")
+    val c = first("click", Some(v), "t2")
+    val p = first("purchase", Some(c), "t3")
+    def lat(name: String, cur: DataFrame, prev: DataFrame,
+        tc: String, tp: String): DataFrame =
+      cur.join(prev, "user_id")
+        .select((unix_micros(col(tc)) - unix_micros(col(tp))).as("gap_us"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(CAST(gap_us AS DOUBLE), 0.5)") / 60000000L, 4)
+            .as("p50_min"),
+          round(expr("percentile(CAST(gap_us AS DOUBLE), 0.9)") / 60000000L, 4)
+            .as("p90_min"))
+        .select(lit(name).as("transition"), col("n_users"), col("p50_min"),
+          col("p90_min"))
+    lat("view_to_click", c, v, "t2", "t1")
+      .unionByName(lat("click_to_purchase", p, c, "t3", "t2"))
+      .orderBy("transition")
+  }
 
   // --- q172: peak concurrent sessions (interval sweep) ---------------------
   // Capacity planning's question — "how many sessions were open AT

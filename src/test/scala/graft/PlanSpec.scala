@@ -446,6 +446,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(1200)) // persisted histograms
   }
 
+  test("dim correlation pairs join keyed on vec_id over the persisted slice") {
+    val p = plan("q175_dim_correlation")
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel latency stages are keyed min-aggregates, percentiles at the end") {
+    val p = plan("q176_funnel_latency")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("hashpartitioning(user_id"), p.take(1500))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
