@@ -14,7 +14,60 @@ object Events {
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
-    seasonalSpike, stickiness, peakConcurrency, funnelLatency)
+    seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution)
+
+  // --- q177: linear multi-touch attribution ---------------------------------
+  // The multi-touch counterpart to q139: every click/view in the
+  // 7-day pre-purchase window shares the purchase value equally
+  // (value/n_touches), touchless purchases stay 'direct'. The
+  // touch-match is a keyed user join bounded by the attribution
+  // window; per-purchase touch counts are one keyed aggregate; the
+  // fractional credits round to 9 dp BEFORE the DECIMAL channel sums,
+  // so the split is associative-exact cross-engine even though 1/3 has
+  // no finite decimal.
+  def linearAttribution: Q = Q(
+    "q177_linear_attribution",
+    """WITH pu AS (SELECT event_id AS pid, user_id, ts AS pts,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |tc AS (SELECT user_id, event_type AS channel, ts FROM events
+      |       WHERE event_type IN ('click', 'view')),
+      |m AS (SELECT pu.pid, pu.v, tc.channel
+      |      FROM pu JOIN tc ON pu.user_id = tc.user_id
+      |      WHERE tc.ts < pu.pts AND tc.ts >= pu.pts - INTERVAL 7 DAY),
+      |nc AS (SELECT pid, count(*) AS n FROM m GROUP BY pid),
+      |credit AS (
+      |  SELECT m.channel, m.pid, round(CAST(m.v AS DOUBLE) / nc.n, 9) AS cr
+      |  FROM m JOIN nc ON m.pid = nc.pid
+      |  UNION ALL
+      |  SELECT 'direct', pid, CAST(v AS DOUBLE) FROM pu
+      |  WHERE pid NOT IN (SELECT pid FROM nc))
+      |SELECT channel, CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+      |  round(CAST(sum(CAST(cr AS DECIMAL(18,9))) AS DOUBLE), 4) AS credited_value
+      |FROM credit GROUP BY channel ORDER BY channel""".stripMargin,
+  ) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val tc = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"), col("ts"))
+    // matched touches feed the per-purchase count AND the credit rows
+    val m = graft.dedup.Dedup.persistTracked(pu.join(tc, "user_id")
+      .filter(col("ts") < col("pts") && col("ts") >= col("pts") - expr("INTERVAL 7 DAY"))
+      .select(col("pid"), col("v"), col("channel")))
+    val nc = m.groupBy("pid").agg(count(lit(1)).as("n"))
+    val credit = m.join(nc, "pid")
+      .select(col("channel"), col("pid"),
+        round(col("v").cast("double") / col("n"), 9).as("cr"))
+      .unionByName(pu.join(nc, Seq("pid"), "left_anti")
+        .select(lit("direct").as("channel"), col("pid"),
+          col("v").cast("double").as("cr")))
+    credit.groupBy("channel")
+      .agg(countDistinct("pid").as("n_purchases"),
+        round(dsum(col("cr"), 9), 4).as("credited_value"))
+      .orderBy("channel")
+  }
 
   // --- q176: funnel stage-transition latency --------------------------------
   // q99 counts WHO converts; this measures HOW LONG conversion takes:

@@ -62,7 +62,49 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, paretoShare,
-    fullOuterRecon)
+    fullOuterRecon, pctOfParent)
+
+  // --- q178: percent-of-parent drill-down (region → nation) ---------------
+  // The hierarchical share readout every drill-down report needs: each
+  // nation's share of its region AND the region's share of the total,
+  // in one result. q12 is percent-of-grand-total; this adds the
+  // intermediate level. Revenue stays DECIMAL through both rollup
+  // levels (leaf sums re-aggregate exactly); the region and total
+  // tables are dimension-sized and broadcast.
+  def pctOfParent: Q = Q(
+    "q178_pct_of_parent",
+    """WITH leaf AS (SELECT r_name AS region, n_name AS nation,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |rg AS (SELECT region, sum(rev) AS rrev FROM leaf GROUP BY 1),
+      |t AS (SELECT sum(rev) AS trev FROM leaf)
+      |SELECT leaf.region, nation, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(rrev AS DOUBLE), 6) AS pct_of_region,
+      |  round(CAST(rrev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS region_pct_of_total
+      |FROM leaf JOIN rg ON leaf.region = rg.region, t
+      |ORDER BY leaf.region, nation""".stripMargin,
+  ) { (s, dir) =>
+    val leaf = graft.dedup.Dedup.persistTracked(Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))
+    val rg = leaf.groupBy("region").agg(sum("rev").as("rrev"))
+    val t = leaf.agg(sum("rev").as("trev"))
+    leaf.join(broadcast(rg), "region")
+      .crossJoin(broadcast(t)) // 1-row scalar
+      .select(col("region"), col("nation"), col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("rrev").cast("double"), 6)
+          .as("pct_of_region"),
+        round(col("rrev").cast("double") / col("trev").cast("double"), 6)
+          .as("region_pct_of_total"))
+      .orderBy("region", "nation")
+  }
 
   // --- q154: period-over-period reconciliation (FULL OUTER join) ----------
   // Year-over-year revenue per customer with churn labeling — the one

@@ -458,6 +458,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), p.take(1500))
   }
 
+  test("linear attribution matches touches on the user key, credits re-aggregate") {
+    val p = plan("q177_linear_attribution")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"), p.take(1200)) // persisted touch matches
+  }
+
+  test("percent-of-parent broadcasts dims and parent rollups over the persisted leaf") {
+    val p = plan("q178_pct_of_parent")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
