@@ -13,7 +13,91 @@ object Etl {
 
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
-    streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats)
+    streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
+    keySkewGini, logCompaction)
+
+  // --- q179: join-key skew diagnosis (Gini concentration) ------------------
+  // The number that answers "does this join need salting": Gini of the
+  // per-key row counts for the three hottest join keys. Computed the
+  // scale-safe way — per-key counts reduce to a COUNT histogram
+  // (distinct frequency values), and the rank-weighted sum uses the
+  // closed form over each frequency block (c·start + c(c+1)/2), so
+  // the only window runs over distinct frequencies. Integer-exact
+  // until the single final division. Pairs with q68's salted join and
+  // `warehouse.Skew`: this measures, that mitigates.
+  def keySkewGini: Q = {
+    val keys = Seq(("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+      ("orders", "o_custkey"))
+    def ctes(t: String, k: String) =
+      s"""kc_$k AS (SELECT $k AS key, count(*) AS x FROM $t GROUP BY 1),
+         |hx_$k AS (SELECT x, count(*) AS c FROM kc_$k GROUP BY x),
+         |cx_$k AS (SELECT x, c, CAST(sum(c) OVER (ORDER BY x) - c AS BIGINT) AS start
+         |          FROM hx_$k),
+         |g_$k AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(x * c) AS BIGINT) AS sx,
+         |    CAST(sum(x * (c * start + (c * (c + 1)) // 2)) AS BIGINT) AS six
+         |  FROM cx_$k)""".stripMargin
+    def sel(t: String, k: String) =
+      s"""SELECT '$t.$k' AS key_name, n AS n_keys, sx AS n_rows,
+         |  round(CAST(2 * six AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
+         |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+         |FROM g_$k""".stripMargin
+    Q(
+      "q179_key_skew_gini",
+      s"""WITH ${keys.map { case (t, k) => ctes(t, k) }.mkString(",\n")}
+         |${keys.map { case (t, k) => sel(t, k) }.mkString("\nUNION ALL\n")}
+         |ORDER BY key_name""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      def one(table: DataFrame, t: String, k: String): DataFrame = {
+        val kc = table.groupBy(col(k).as("key")).agg(count(lit(1)).as("x"))
+        val hx = kc.groupBy("x").agg(count(lit(1)).as("c"))
+        val cx = hx.withColumn("start", sum("c").over(Window.orderBy("x")) - col("c"))
+        cx.agg(sum("c").as("n"), sum(col("x") * col("c")).as("sx"),
+            sum(col("x") * (col("c") * col("start")
+              + expr("(c * (c + 1)) div 2"))).as("six"))
+          .select(lit(s"$t.$k").as("key_name"), col("n").as("n_keys"),
+            col("sx").as("n_rows"),
+            round(lit(2) * col("six").cast("double")
+              / (col("n").cast("double") * col("sx"))
+              - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+      }
+      Seq(one(Tables.lineitem(s, dir), "lineitem", "l_partkey"),
+        one(Tables.lineitem(s, dir), "lineitem", "l_suppkey"),
+        one(Tables.orders(s, dir), "orders", "o_custkey"))
+        .reduce(_ unionByName _).orderBy("key_name")
+    }
+  }
+
+  // --- q180: change-log compaction (keep latest per key) -------------------
+  // Log-structured ingestion's read-side repair: collapse the event
+  // stream to the most recent row per (user, event_type) — the
+  // compaction a CDC pipeline runs before serving point lookups.
+  // One keyed window (rank over the composite key, newest first,
+  // event_id tie-break) — the F-family top-1-per-group shape, never a
+  // global sort.
+  def logCompaction: Q = Q(
+    "q180_log_compaction",
+    """WITH r AS (SELECT user_id, event_type, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+      |  round(CAST(value AS DOUBLE), 2) AS last_value
+      |FROM r WHERE rk = 1
+      |ORDER BY user_id, event_type""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        round(col("value").cast("double"), 2).as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
 
   // --- q173: snapshot table diff (data-diff) --------------------------------
   // The audit-before-swap every blue/green table publish runs: given

@@ -470,6 +470,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("key-skew gini windows run over frequency histograms, never per-key rows") {
+    val p = plan("q179_key_skew_gini")
+    assert(p.contains("hashpartitioning(x"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("log compaction is a composite-key window, no global sort before rank") {
+    val p = plan("q180_log_compaction")
+    assert(p.contains("hashpartitioning(user_id"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
