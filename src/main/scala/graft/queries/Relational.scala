@@ -62,7 +62,146 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, paretoShare,
-    fullOuterRecon, pctOfParent)
+    fullOuterRecon, pctOfParent, benford, rfmSegmentation, slaCompliance)
+
+  // --- q181: Benford first-digit audit -------------------------------------
+  // The forensic-accounting screen: naturally occurring amounts follow
+  // P(d) = log10(1 + 1/d); fabricated or capped data bends the curve.
+  // First digits come from exact integer floor + string head
+  // (identical cross-engine — no float log in the digit extraction);
+  // expected shares are compile-time literals; per-digit chi-square
+  // terms are straight arithmetic on exact counts. One aggregate over
+  // the fact table, 9-row output.
+  def benford: Q = {
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val expSql = expected.map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+    Q(
+      "q181_benford",
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM orders WHERE o_totalprice >= 1),
+         |n AS (SELECT count(*) AS nn FROM d),
+         |o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit)
+         |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+         |  round(CAST(n_obs AS DOUBLE) / nn, 6) AS pct_obs,
+         |  round(CASE digit $expSql END, 6) AS pct_expected,
+         |  round((CAST(n_obs AS DOUBLE) - nn * (CASE digit $expSql END))
+         |    * (CAST(n_obs AS DOUBLE) - nn * (CASE digit $expSql END))
+         |    / (nn * (CASE digit $expSql END)), 6) AS chi2_term
+         |FROM o, n ORDER BY digit""".stripMargin,
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir).filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val n = d.agg(count(lit(1)).as("nn"))
+      val expCol = expected.foldLeft(lit(null).cast("double")) { case (acc, (dig, e)) =>
+        when(col("digit") === dig, lit(e)).otherwise(acc)
+      }
+      d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(n)) // 1-row scalar
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("nn"), 6).as("pct_obs"),
+          round(expCol, 6).as("pct_expected"),
+          round((col("n_obs").cast("double") - col("nn") * expCol)
+            * (col("n_obs").cast("double") - col("nn") * expCol)
+            / (col("nn") * expCol), 6).as("chi2_term"))
+        .orderBy("digit")
+    }
+  }
+
+  // --- q182: RFM customer segmentation -------------------------------------
+  // The lifecycle-marketing workhorse: score every customer 1–5 on
+  // Recency / Frequency / Monetary and report the segment grid. Per-
+  // customer metrics are ONE keyed aggregate (recency anchored to the
+  // corpus max date — a broadcast scalar, never current_date); the
+  // quintile cuts are exact interpolated percentiles of each metric
+  // riding the same 1-row broadcast (the q152 idiom ×3), and scores
+  // count strict threshold crossings — so the segment of every
+  // customer is a pure function of the data.
+  def rfmSegmentation: Q = {
+    def cutsSql(m: String) = (1 to 4)
+      .map(k => s"quantile_cont(CAST($m AS DOUBLE), ${k * 0.2}) AS ${m}_c$k")
+      .mkString(",\n      ")
+    def scoreSql(m: String) = (1 to 4)
+      .map(k => s"(CASE WHEN CAST($m AS DOUBLE) > ${m}_c$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    Q(
+      "q182_rfm_segmentation",
+      s"""WITH mx AS (SELECT max(o_orderdate) AS ref FROM orders),
+         |c AS (SELECT o_custkey,
+         |    datediff('day', max(o_orderdate), (SELECT ref FROM mx)) AS recency,
+         |    count(*) AS frequency,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+         |  FROM orders GROUP BY 1),
+         |cut AS (SELECT
+         |      ${cutsSql("recency")},
+         |      ${cutsSql("frequency")},
+         |      ${cutsSql("monetary")}
+         |  FROM c),
+         |sc AS (SELECT o_custkey, monetary,
+         |    5 - (${scoreSql("recency")}) AS r_score,
+         |    1 + (${scoreSql("frequency")}) AS f_score,
+         |    1 + (${scoreSql("monetary")}) AS m_score
+         |  FROM c, cut)
+         |SELECT r_score, f_score, m_score,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(monetary) AS DOUBLE) AS total_monetary
+         |FROM sc GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin,
+    ) { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+      val mx = ord.agg(max("o_orderdate").as("ref"))
+      val c = graft.dedup.Dedup.persistTracked(ord.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_o"), count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        .crossJoin(broadcast(mx)) // 1-row scalar
+        .select(col("o_custkey"),
+          datediff(to_date(col("ref")), to_date(col("last_o"))).as("recency"),
+          col("frequency"), col("monetary")))
+      val cutCols = for {
+        m <- Seq("recency", "frequency", "monetary")
+        k <- 1 to 4
+      } yield expr(s"percentile(CAST($m AS DOUBLE), ${k * 0.2})").as(s"${m}_c$k")
+      val cut = c.agg(cutCols.head, cutCols.tail: _*)
+      def score(m: String) = (1 to 4)
+        .map(k => when(col(m).cast("double") > col(s"${m}_c$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      c.crossJoin(broadcast(cut)) // 1-row scalar
+        .select(col("monetary"),
+          (lit(5) - score("recency")).as("r_score"),
+          (lit(1) + score("frequency")).as("f_score"),
+          (lit(1) + score("monetary")).as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("monetary").cast("double").as("total_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    }
+  }
+
+  // --- q183: fulfillment SLA compliance ------------------------------------
+  // "Are urgent orders actually shipped faster?" — on-time share
+  // (ship ≤ 30 days after order) per priority. Integer day-diffs and
+  // counts; one fact-dim keyed join + one aggregate.
+  def slaCompliance: Q = Q(
+    "q183_sla_compliance",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_lineitems,
+      |  CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+      |  round(CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS on_time_rate
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (s, dir) =>
+    val onTime = when(
+      datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) <= 30, 1)
+      .otherwise(0)
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lineitems"), sum(onTime).as("n_on_time"),
+        round(sum(onTime).cast("double") / count(lit(1)), 6).as("on_time_rate"))
+      .orderBy("o_orderpriority")
+  }
 
   // --- q178: percent-of-parent drill-down (region → nation) ---------------
   // The hierarchical share readout every drill-down report needs: each

@@ -482,6 +482,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("benford audit is one aggregate + scalar broadcast, digits are integer math") {
+    val p = plan("q181_benford")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("rfm scores ride one persisted customer aggregate + a 1-row cut broadcast") {
+    val p = plan("q182_rfm_segmentation")
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sla compliance is a keyed fact join + one aggregate") {
+    val p = plan("q183_sla_compliance")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
