@@ -14,7 +14,40 @@ object Etl {
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
-    keySkewGini, logCompaction)
+    keySkewGini, logCompaction, orderReconciliation)
+
+  // --- q184: fact-vs-detail reconciliation ----------------------------------
+  // The "does the header match its lines" audit q159 can't do with
+  // counts alone: recompute each order's total from its lineitems
+  // (extprice·(1+tax)·(1−discount), the TPC-H identity), compare to
+  // o_totalprice, and report the 20 worst absolute discrepancies.
+  // Per-line terms round to 4 dp before DECIMAL sums (products of
+  // 2-dp factors are doubles; the rounding makes the per-order sum
+  // associative-exact), and the diff is decimal subtraction. One
+  // keyed aggregate + one keyed join; top-k is TakeOrderedAndProject.
+  def orderReconciliation: Q = Q(
+    "q184_order_reconciliation",
+    """WITH l AS (SELECT l_orderkey,
+      |    sum(CAST(round(l_extendedprice * (1 + l_tax) * (1 - l_discount), 4)
+      |      AS DECIMAL(18,4))) AS computed
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS header_total,
+      |  CAST(computed AS DOUBLE) AS line_total,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) - computed AS DOUBLE) AS diff
+      |FROM orders JOIN l ON o_orderkey = l_orderkey
+      |ORDER BY abs(CAST(CAST(o_totalprice AS DECIMAL(18,4)) - computed AS DOUBLE))
+      |  DESC, o_orderkey LIMIT 20""".stripMargin,
+  ) { (s, dir) =>
+    val l = Tables.lineitem(s, dir).groupBy("l_orderkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) + col("l_tax"))
+        * (lit(1) - col("l_discount")), 4).cast("decimal(18,4)")).as("computed"))
+    Tables.orders(s, dir).join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("header_total"),
+        col("computed").cast("double").as("line_total"),
+        (col("o_totalprice").cast("decimal(18,4)") - col("computed"))
+          .cast("double").as("diff"))
+      .orderBy(abs(col("diff")).desc, col("o_orderkey")).limit(20)
+  }
 
   // --- q179: join-key skew diagnosis (Gini concentration) ------------------
   // The number that answers "does this join need salting": Gini of the

@@ -14,7 +14,56 @@ object Events {
     streamingSessionize, streamingIntervalJoin, rangeJoinClicks, funnel, retention,
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
-    seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution)
+    seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
+    bounceRate)
+
+  // --- q185: daily bounce rate ----------------------------------------------
+  // Share of q49 sessions that never saw a second event, by the day
+  // the session started — the engagement-health headline. Reuses the
+  // exact q49 session assignment (user-keyed windows, (ts, event_id)
+  // tie-break), reduces sessions to (start day, n_events ≥ 2), and
+  // the rate is integer counts divided once.
+  def bounceRate: Q = Q(
+    "q185_bounce_rate",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM e),
+      |iv AS (SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+      |         count(*) AS n_events FROM s GROUP BY 1, 2)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+      |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS bounce_rate
+      |FROM iv GROUP BY day ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = Tables.events(s, dir)
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(to_date(min("ts")).as("day"), count(lit(1)).as("n_events"))
+    val bounced = when(col("n_events") === 1, 1).otherwise(0)
+    iv.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"), sum(bounced).as("n_bounced"),
+        round(sum(bounced).cast("double") / count(lit(1)), 6).as("bounce_rate"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("n_bounced"), col("bounce_rate"))
+      .orderBy("day")
+  }
 
   // --- q177: linear multi-touch attribution ---------------------------------
   // The multi-touch counterpart to q139: every click/view in the

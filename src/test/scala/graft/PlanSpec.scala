@@ -500,6 +500,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("order reconciliation tops-k worst diffs without a global sort") {
+    val p = plan("q184_order_reconciliation")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bounce rate reuses user-keyed session windows then day-keyed aggregates") {
+    val p = plan("q185_bounce_rate")
+    assert(p.contains("hashpartitioning(user_id"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
