@@ -12,7 +12,61 @@ import graft.{Q, Tables}
 object Extras {
 
   val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
-    ewmaSmoothing)
+    ewmaSmoothing, revenueForecast)
+
+  // --- q186: linear-trend revenue forecast ---------------------------------
+  // The q117 regression put to work: fit daily revenue (as exact
+  // integer CENTS over integer day indexes — every moment sum is
+  // BIGINT, no decimal drift) and extrapolate the next 7 days. The
+  // corpus reduces to one calendar-sized daily aggregate; the fit is
+  // a 1-row scalar; the forecast explodes 7 rows from it. Doubles
+  // appear only in the closed-form slope/intercept and the final
+  // rounding — identical in both engines.
+  def revenueForecast: Q = Q(
+    "q186_revenue_forecast",
+    """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |lo AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |m AS (SELECT count(*) AS n,
+      |    CAST(sum(datediff('day', d0, day)) AS BIGINT) AS sx,
+      |    CAST(sum(cents) AS BIGINT) AS sy,
+      |    CAST(sum(datediff('day', d0, day) * cents) AS BIGINT) AS sxy,
+      |    CAST(sum(datediff('day', d0, day) * datediff('day', d0, day)) AS BIGINT) AS sxx
+      |  FROM daily, lo),
+      |fit AS (SELECT n, sx, sy,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+      |  FROM m),
+      |f2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM fit)
+      |SELECT strftime(d1 + CAST(k AS INTEGER), '%Y-%m-%d') AS day,
+      |  round((intercept + slope * (datediff('day', d0, d1) + k)) / 100, 2)
+      |    AS forecast
+      |FROM f2, lo, UNNEST(range(1, 8)) AS u(k)
+      |ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+    val lo = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val m = daily.crossJoin(broadcast(lo)) // 1-row scalar
+      .select(datediff(col("day"), col("d0")).cast("long").as("x"), col("cents"),
+        col("d0"), col("d1"))
+      .groupBy("d0", "d1")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("cents").as("sy"),
+        sum(col("x") * col("cents")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("d0"), col("d1"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+      .select(col("d0"), col("d1"), col("slope"), col("intercept"),
+        explode(sequence(lit(1), lit(7))).as("k"))
+      .select(date_format(expr("date_add(d1, k)"), "yyyy-MM-dd").as("day"),
+        round((col("intercept")
+          + col("slope") * (datediff(col("d1"), col("d0")) + col("k"))) / 100, 2)
+          .as("forecast"))
+      .orderBy("day")
+  }
 
   // --- q156: EWMA smoothing over the daily revenue series -----------------
   // Exponentially weighted trailing average (α = 1/2, 4 lags) — the

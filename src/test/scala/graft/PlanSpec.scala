@@ -512,6 +512,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("revenue forecast fits on a calendar-sized aggregate, forecast is a 7-row explode") {
+    val p = plan("q186_revenue_forecast")
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
