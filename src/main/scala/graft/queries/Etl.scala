@@ -14,7 +14,87 @@ object Etl {
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
-    keySkewGini, logCompaction, orderReconciliation)
+    keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery)
+
+  // --- q187: monthly fulfillment lead-time trend ----------------------------
+  // "Is shipping getting slower?" answered at the percentile level:
+  // per order month, p50/p90 of order→ship day gaps. Gaps are exact
+  // integer days from one fact join; percentiles are per-group exact
+  // interpolation (q11/q165 idiom) over month groups — at 100 TB swap
+  // q57's mergeable sketch, same API shape.
+  def leadtimeTrend: Q = Q(
+    "q187_leadtime_trend",
+    """WITH g AS (SELECT date_trunc('month', o_orderdate) AS month,
+      |    datediff('day', o_orderdate, l_shipdate) AS lead_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT month, CAST(count(*) AS BIGINT) AS n_lineitems,
+      |  round(quantile_cont(CAST(lead_days AS DOUBLE), 0.5), 4) AS p50_days,
+      |  round(quantile_cont(CAST(lead_days AS DOUBLE), 0.9), 4) AS p90_days
+      |FROM g GROUP BY month ORDER BY month""".stripMargin,
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("lead_days"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lineitems"),
+        round(expr("percentile(CAST(lead_days AS DOUBLE), 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(CAST(lead_days AS DOUBLE), 0.9)"), 4).as("p90_days"))
+      .orderBy("month")
+  }
+
+  // --- q188: FK discovery by value-overlap profiling ------------------------
+  // The metadata tool that finds join keys nobody documented: for
+  // candidate (child.col → parent.col) pairs, the inclusion
+  // coefficient |child_values ⊆ parent_values| — 1.0 means a clean
+  // FK. Distinct value sets are keyed aggregates; the overlap count
+  // is a LEFT SEMI join of the child's distinct values against the
+  // parent's — never a row-level join, so the probe cost scales with
+  // key cardinality, not table size.
+  def fkDiscovery: Q = {
+    val pairs = Seq(
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("customer", "c_custkey", "orders", "o_custkey"))
+    def sqlOne(ct: String, cc: String, pt: String, pc: String) =
+      s"""SELECT '$ct.$cc -> $pt.$pc' AS candidate,
+         |  (SELECT count(DISTINCT $cc) FROM $ct) AS n_child_values,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $cc FROM $ct) c
+         |    WHERE $cc IN (SELECT $pc FROM $pt)) AS BIGINT) AS n_contained,
+         |  round(CAST((SELECT count(*) FROM (SELECT DISTINCT $cc FROM $ct) c
+         |      WHERE $cc IN (SELECT $pc FROM $pt)) AS DOUBLE)
+         |    / (SELECT count(DISTINCT $cc) FROM $ct), 6) AS inclusion""".stripMargin
+    Q(
+      "q188_fk_discovery",
+      s"""${pairs.map { case (ct, cc, pt, pc) => sqlOne(ct, cc, pt, pc) }
+        .mkString("\nUNION ALL\n")}
+         |ORDER BY candidate""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      def table(t: String): DataFrame = t match {
+        case "orders" => Tables.orders(s, dir)
+        case "customer" => Tables.customer(s, dir)
+        case "lineitem" => Tables.lineitem(s, dir)
+        case "part" => Tables.part(s, dir)
+        case "supplier" => Tables.supplier(s, dir)
+      }
+      def one(ct: String, cc: String, pt: String, pc: String): DataFrame = {
+        val childVals = table(ct).select(col(cc)).distinct()
+        val contained = childVals
+          .join(table(pt).select(col(pc)), col(cc) === col(pc), "left_semi")
+        childVals.agg(count(lit(1)).as("n_child_values"))
+          .crossJoin(contained.agg(count(lit(1)).as("n_contained"))) // 1×1 scalar
+          .select(lit(s"$ct.$cc -> $pt.$pc").as("candidate"),
+            col("n_child_values"), col("n_contained"),
+            round(col("n_contained").cast("double") / col("n_child_values"), 6)
+              .as("inclusion"))
+      }
+      pairs.map { case (ct, cc, pt, pc) => one(ct, cc, pt, pc) }
+        .reduce(_ unionByName _).orderBy("candidate")
+    }
+  }
 
   // --- q184: fact-vs-detail reconciliation ----------------------------------
   // The "does the header match its lines" audit q159 can't do with

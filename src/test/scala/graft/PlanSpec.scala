@@ -518,6 +518,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("lead-time trend is one fact join + keyed month aggregate") {
+    val p = plan("q187_leadtime_trend")
+    assert(p.contains("hashpartitioning(month"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fk discovery probes distinct value sets with semi joins, never row joins") {
+    val p = plan("q188_fk_discovery")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
