@@ -15,7 +15,60 @@ object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
-    quantileNormalize, curationFunnel, mixtureAllocation)
+    quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes)
+
+  // --- q190: duplicate-cluster size distribution ----------------------------
+  // The dedup-mass audit over q71's components: how many clusters of
+  // each size, and how many documents they hold — the number that
+  // says whether duplication is a long tail of pairs or a few huge
+  // boilerplate families (which decides cap/rep-pick strategy). Two
+  // keyed aggregates on top of the same edges→components pipeline;
+  // the oracle extends q71's recursive-CTE closure with the size
+  // histogram.
+  def dupClusterSizes: Q = Q(
+    "q190_dup_cluster_sizes",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      |cs AS (SELECT cluster_id, count(*) AS csz FROM cl GROUP BY 1)
+      |SELECT csz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(csz * count(*) AS BIGINT) AS n_docs
+      |FROM cs GROUP BY csz ORDER BY cluster_size""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
+    Clusters.connectedComponents(docs.select("doc_id"), "doc_id", edges, "src", "dst")
+      .groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      .groupBy("csz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csz").as("cluster_size"), col("n_clusters"),
+        (col("csz") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
 
   // --- q169: token-budget mixture allocation (waterfilling) ----------------
   // q83/q87 choose WHICH docs enter a mixture; this sizes the mixture

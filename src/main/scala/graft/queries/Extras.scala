@@ -12,7 +12,36 @@ import graft.{Q, Tables}
 object Extras {
 
   val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
-    ewmaSmoothing, revenueForecast)
+    ewmaSmoothing, revenueForecast, wowGrowth)
+
+  // --- q189: week-over-week growth ------------------------------------------
+  // The simplest trend readout dashboards lead with: weekly revenue,
+  // absolute delta, and growth rate vs the prior week. Revenue stays
+  // DECIMAL through the lag and subtraction (delta exact); the only
+  // float op is the final ratio. Window over the calendar-sized
+  // weekly aggregate (both engines truncate weeks to ISO Monday).
+  def wowGrowth: Q = Q(
+    "q189_wow_growth",
+    """WITH w AS (SELECT date_trunc('week', o_orderdate) AS week,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT week, rev, lag(rev) OVER (ORDER BY week) AS prev FROM w)
+      |SELECT week, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev - prev AS DOUBLE) AS delta,
+      |  round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS wow_growth
+      |FROM l WHERE prev IS NOT NULL ORDER BY week""".stripMargin,
+  ) { (s, dir) =>
+    val w = Tables.orders(s, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    w.withColumn("prev", lag("rev", 1).over(Window.orderBy("week")))
+      .filter(col("prev").isNotNull)
+      .select(col("week"), col("rev").cast("double").as("revenue"),
+        (col("rev") - col("prev")).cast("double").as("delta"),
+        round((col("rev") - col("prev")).cast("double")
+          / col("prev").cast("double"), 6).as("wow_growth"))
+      .orderBy("week")
+  }
 
   // --- q186: linear-trend revenue forecast ---------------------------------
   // The q117 regression put to work: fit daily revenue (as exact

@@ -530,6 +530,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("wow growth windows over the weekly aggregate only") {
+    val p = plan("q189_wow_growth")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dup-cluster sizes reduce components with keyed aggregates") {
+    val p = plan("q190_dup_cluster_sizes")
+    assert(p.contains("hashpartitioning(cluster_id"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
