@@ -71,6 +71,23 @@ object Dedup {
       count(lit(1)).as("n_hot"))
   }
 
+  /** Drops every row whose `keyCol` value occurs more than `cap` times
+    * — the generic hot-key bound behind the shingle df cap, applied
+    * before any self-join pair generation: a key with k rows yields
+    * O(k²) pairs, so an uncapped hub (a customer in every supplier's
+    * ledger, a boilerplate shingle) turns a keyed join quadratic. The
+    * dropped-key count surfaces as an observed metric (no job at plan
+    * time); pass the result straight into the self-join.
+    */
+  private[graft] def capHotKeys(df: DataFrame, keyCol: String, what: String,
+      cap: Int = DefaultHotKeyCap): DataFrame = {
+    val hot = observeDrops(
+      df.groupBy(keyCol).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap).select(keyCol),
+      what, cap)
+    df.join(hot, Seq(keyCol), "left_anti")
+  }
+
   /** MEMORY_AND_DISK persist registered for [[clearCaches]] release —
     * the repo-wide convention for multi-consumer intermediates
     * (graft-visible so the similarity/query layers share the same

@@ -154,18 +154,33 @@ object Graph {
   }
 
   /** Distinct (customer, supplier) purchase pairs — the bipartite
-    * incidence both co-purchase queries project through.
+    * incidence both co-purchase queries project through — with the
+    * hot-customer cap applied: both consumers self-join this table on
+    * the customer key, so a hub customer linked to k suppliers emits
+    * O(k²) pairs. [[graft.dedup.Dedup.capHotKeys]] drops customers
+    * over [[graft.dedup.Dedup.DefaultHotKeyCap]] from pair generation
+    * (observed-metric drop logging, same stance as the shingle df
+    * cap); at TPC-H shape no customer approaches the cap (~30 distinct
+    * suppliers each), so sf-scale results are unchanged, while an
+    * adversarial hub corpus stays bounded (ScaleToolsSpec pins the
+    * drop).
     */
   private def custSupp(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    graft.dedup.Dedup.capHotKeys(
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct(),
+      "c", "custSuppPairs")
 
   // def, not val: `val all` above runs at object init, before vals
   // declared below it (the Embeddings.EmbDim rule)
   private def CustSuppSql =
-    """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+    s"""cs0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |hotc AS (SELECT c FROM cs0 GROUP BY c
+      |         HAVING count(*) > ${graft.dedup.Dedup.DefaultHotKeyCap}),
+      |cs AS (SELECT cs0.c, cs0.sp FROM cs0 WHERE NOT EXISTS (
+      |         SELECT 1 FROM hotc WHERE hotc.c = cs0.c))""".stripMargin
 
   // --- q131: triangle counting, degree-ordered orientation ---------------
   // Triangles in the supplier co-purchase graph (suppliers linked when

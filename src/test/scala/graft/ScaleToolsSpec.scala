@@ -103,4 +103,26 @@ class ScaleToolsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(topk.collect().map(_.getAs[Long]("vec_id")).toSeq === inMem)
   }
+
+  test("capHotKeys bounds self-join fan-out on a hub key, keeps cold keys intact") {
+    import graft.dedup.Dedup
+    // one hub customer linked to 50 suppliers, 10 cold customers with 3 each
+    val hub = (1 to 50).map(sp => ("hub", sp.toLong))
+    val cold = for (c <- 1 to 10; sp <- 1 to 3) yield (s"c$c", sp.toLong)
+    val cs = (hub ++ cold).toDF("c", "sp")
+    val capped = Dedup.capHotKeys(cs, "c", "specHubCap", cap = 10)
+    // the hub is gone, every cold row survives
+    assert(capped.filter(col("c") === "hub").count() === 0L)
+    assert(capped.count() === 30L)
+    // pair generation over the capped table is bounded by cap² per key:
+    // uncapped the hub alone yields 50*49/2 = 1225 pairs; capped, only
+    // the cold keys' 10 * 3 pairs remain
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as("a").join(df.as("b"),
+          col("a.c") === col("b.c") && col("a.sp") < col("b.sp")).count()
+    assert(pairs(cs) === 1225L + 30L)
+    assert(pairs(capped) === 30L)
+    // cap = 0 would drop everything via the filter; the default keeps all
+    assert(Dedup.capHotKeys(cs, "c", "specHubCap").count() === cs.count())
+  }
 }
