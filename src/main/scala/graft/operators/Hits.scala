@@ -34,6 +34,14 @@ object Hits {
     */
   def run(edges0: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters=$iters must be >= 1")
+    // Scores grow like σ₁^(2k) (scaladoc capacity argument): past k=4
+    // even DECIMAL(38,0) can overflow on a large graph, and Spark's
+    // non-ANSI decimal sum returns NULL *silently* where DuckDB errors
+    // — fail loudly here instead of emitting absent/NULL fixpoints.
+    require(iters <= 4,
+      s"iters=$iters: unnormalized HITS scores grow like sigma1^(2k); " +
+        "DECIMAL(38,0) capacity is only argued to k=4 — normalize per " +
+        "iteration (see scaladoc) for deeper fixpoints")
     val e = graft.dedup.Dedup.persistTracked(
       edges0.select(col("src").cast("long"), col("dst").cast("long")).distinct())
     // auth₀ = 1 for every dst ⇒ hub₁ = outdeg, computed directly.

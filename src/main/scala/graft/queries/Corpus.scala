@@ -90,7 +90,8 @@ object Corpus {
          |      FROM d),
          |s AS (SELECT source, doc_id, cum - ntok AS st, cum AS en FROM c),
          |x AS (SELECT source, doc_id, st, en,
-         |        unnest(range(st // $L, (en - 1) // $L + 1)) AS seq_id FROM s)
+         |        unnest(range(st // $L, (en - 1) // $L + 1)) AS seq_id FROM s
+         |      WHERE en > st)
          |SELECT source, seq_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(least(en, (seq_id + 1) * $L) - greatest(st, seq_id * $L)) AS BIGINT) AS n_tokens,
@@ -106,6 +107,11 @@ object Corpus {
         .select(col("source"), col("doc_id"),
           (col("cum") - col("ntok")).as("st"), col("cum").as("en"))
       offsets
+        // en == st (an empty doc landing exactly on a block boundary)
+        // would make sequence() emit a DESCENDING 2-element range where
+        // DuckDB's range() returns empty — guard so both engines agree
+        // if tokenization ever yields zero tokens
+        .filter(col("en") > col("st"))
         .select(col("source"), col("doc_id"), col("st"), col("en"),
           explode(sequence(expr(s"st div $L"), expr(s"(en - 1) div $L"))).as("seq_id"))
         .groupBy("source", "seq_id")

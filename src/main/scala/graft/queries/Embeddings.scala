@@ -24,7 +24,8 @@ object Embeddings {
     "q175_dim_correlation",
     """WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
       |    CAST(embedding[i] AS DOUBLE) AS x
-      |  FROM embeddings, UNNEST(range(1, 9)) AS u(i)),
+      |  FROM embeddings, UNNEST(range(1, 9)) AS u(i)
+      |  WHERE embedding[i] IS NOT NULL),
       |m1 AS (SELECT i,
       |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
       |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
