@@ -22,7 +22,11 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Includes run-time-authored oracles (trained-artifact literals)
+    * registered by queries that executed in this JVM — Verify runs
+    * every query before dumping this map.
+    */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap ++ Q.registeredDynamic
 }

@@ -405,14 +405,18 @@ object Embeddings {
        |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
        |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
 
-  // --- q103: IVF × PQ serving (rows-only) -----------------------------------
+  // --- q103: IVF × PQ serving ----------------------------------------------
   // The extreme-scale composition (the FAISS layout): IVF cuts how
   // many vectors a query READS (nProbe cell dirs via partition
   // pruning), PQ cuts how many bytes each read vector IS (m code
   // lookups per row), and the exact re-rank touches only refine·k
   // survivors inside the same pruned dirs. Build at most once per
-  // (session, corpus); every later call is probe-only.
-  def annIvfPq: Q = Q.rowsOnly("q103_ann_ivf_pq") { (s, dir) =>
+  // (session, corpus); every later call is probe-only. Oracle-checked
+  // by composing the q61 + q94 trained-literal replays: DuckDB
+  // assigns cells, prunes to the probed ones, re-derives PQ codes and
+  // ADC ranks inside them, and re-ranks exactly — the full serving
+  // stack against this run's centroid/codebook literals.
+  def annIvfPq: Q = Q.dynamicOracle("q103_ann_ivf_pq") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val idx = ivfPath(s, dir) + "_pq"
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -421,7 +425,15 @@ object Embeddings {
       Pq.writeIvfPqIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
     val qv = embs.filter(col("vec_id") === 1L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
-    Pq.ivfPqTopK(s, idx, "vec_id", "embedding", qv, 10, nProbe = 4, excludeId = Some(1L))
+    val df = Pq.ivfPqTopK(s, idx, "vec_id", "embedding", qv, 10, nProbe = 4,
+      excludeId = Some(1L))
+    val cb = Pq.readCodebook(s, idx)
+    val sql =
+      s"""WITH ${sqlCentsCte(readCents(s, idx))},
+         |${sqlCbCte(cb)},
+         |${sqlIvfCtes(qid = 1L, nProbe = 4)},
+         |${pqServingSql("probed", k = 10, refine = 8, subDim = cb.subDim)}""".stripMargin
+    (df, sql)
   }
 
   // --- q101: batched exact top-k (one scan, many queries) ------------------
@@ -470,6 +482,115 @@ object Embeddings {
 
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  // ---- run-time-authored serving oracles (trained literals) ---------------
+  // The IVF/PQ artifacts are TRAINED from the data (seeded Lloyd's), so
+  // a static oracle for them would be circular. Instead each serving
+  // query registers its SQL at run time (Q.dynamicOracle) with THIS
+  // run's trained centroids / codebook embedded as literals —
+  // Double.toString round-trips exactly, the sqlDotPlane argument —
+  // and DuckDB independently replays the entire serving path:
+  // nearest-cell assignment of every vector, probe ranking, PQ code
+  // assignment + LUT scoring, and the exact cosine re-rank. Training
+  // itself stays spec-gated (KMeansSpec / PqSpec / SimilaritySpec
+  // recall pins); the hash check covers everything downstream of the
+  // trained constants.
+
+  /** DuckDB DOUBLE[] literal — explicit cast so plain-decimal tokens
+    * can't unify the VALUES column to DECIMAL. */
+  private def sqlList(xs: Seq[Double]): String =
+    xs.map(java.lang.Double.toString)
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** VALUES CTE of the IVF cell centroids this run trained (read back
+    * from the index sidecar). */
+  private def sqlCentsCte(cents: Seq[(Int, Seq[Double])]): String =
+    cents.sortBy(_._1).map { case (i, c) => s"($i, ${sqlList(c)})" }
+      .mkString("cents(cell, cv) AS (VALUES ", ", ", ")")
+
+  private def readCents(s: org.apache.spark.sql.SparkSession,
+      idx: String): Seq[(Int, Seq[Double])] =
+    s.read.parquet(idx + "/centroids").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+
+  /** IVF serving CTEs: `probe` = the nProbe cells Euclidean-nearest
+    * the query vector, `asn` = every vector's nearest-cell assignment
+    * (ties to the lowest cell — KMeansLite.assign's first-min rule),
+    * `probed` = the non-query vectors landing in probed cells. The
+    * sqdist folds are the same left folds the codegen SqDist runs, so
+    * cell ranks are bit-identical across engines.
+    */
+  private def sqlIvfCtes(qid: Long, nProbe: Int): String =
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |probe AS (SELECT cell FROM cents, q
+       |          ORDER BY ${sqlSqDist("cv", "qv")}, cell LIMIT $nProbe),
+       |asn AS (SELECT vec_id, embedding, cell FROM (
+       |          SELECT e.vec_id, e.embedding, c.cell,
+       |            row_number() OVER (PARTITION BY e.vec_id
+       |              ORDER BY ${sqlSqDist("e.embedding", "c.cv")}, c.cell) AS rk
+       |          FROM embeddings e, cents c) WHERE rk = 1),
+       |probed AS (SELECT a.vec_id, a.embedding FROM asn a
+       |           JOIN probe USING (cell) WHERE a.vec_id <> $qid)""".stripMargin
+
+  /** Full IVF serving oracle: probe-pruned exact cosine top-k. */
+  private def ivfServingSql(cents: Seq[(Int, Seq[Double])], qid: Long,
+      k: Int, nProbe: Int): String =
+    s"""WITH ${sqlCentsCte(cents)},
+       |${sqlIvfCtes(qid, nProbe)}
+       |SELECT e.vec_id, round(${sqlCos("e.embedding", "qv")}, 6) AS cos_sim
+       |FROM probed e, q
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** VALUES CTE of the PQ codebook: (subspace j, code c, subDim-dim
+    * center). */
+  private def sqlCbCte(cb: Pq.Codebook): String =
+    (0 until cb.m).flatMap(j => (0 until cb.k).map(c =>
+      s"($j, $c, ${sqlList(cb.centroids(j)(c).toSeq)})"))
+      .mkString("cb(j, c, cv) AS (VALUES ", ", ", ")")
+
+  /** ADC + exact-re-rank CTE chain over `src` (a CTE of (vec_id,
+    * embedding) with the query row already excluded): per-(vector,
+    * subspace) codes re-derived by argmin against the codebook (ties
+    * to the lowest code — array_position's first match), LUT dots
+    * computed from the query vector, approx_dot assembled as the
+    * j-ordered left fold (the Spark reduce chain's association order),
+    * top-(k·refine) candidates by approximate cosine, exact cosines
+    * for the survivors only.
+    */
+  private def pqServingSql(src: String, k: Int, refine: Int,
+      subDim: Int): String =
+    s"""sub AS (SELECT p.vec_id, cb.j, cb.c,
+       |    list_reduce(list_transform(range(1, ${subDim + 1}),
+       |      i -> (CAST(p.embedding[cb.j * $subDim + i] AS DOUBLE) - cb.cv[i])
+       |         * (CAST(p.embedding[cb.j * $subDim + i] AS DOUBLE) - cb.cv[i])),
+       |      (x, y) -> x + y) AS d
+       |  FROM $src p, cb),
+       |codes AS (SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+       |    FROM sub) WHERE rk = 1),
+       |lut AS (SELECT cb.j, cb.c,
+       |    list_reduce(list_transform(range(1, ${subDim + 1}),
+       |      i -> CAST(qv[cb.j * $subDim + i] AS DOUBLE) * cb.cv[i]),
+       |      (x, y) -> x + y) AS lv
+       |  FROM cb, q),
+       |adc AS (SELECT codes.vec_id,
+       |    list_reduce(list(lut.lv ORDER BY lut.j), (x, y) -> x + y) AS approx_dot
+       |  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+       |  GROUP BY codes.vec_id),
+       |qnorm AS (SELECT sqrt(${sqlDot("qv", "qv")}) AS qnv FROM q),
+       |nrm AS (SELECT p.vec_id, sqrt(${sqlDot("p.embedding", "p.embedding")}) AS nv
+       |        FROM $src p),
+       |cand AS (SELECT adc.vec_id
+       |  FROM adc JOIN nrm ON adc.vec_id = nrm.vec_id, qnorm
+       |  ORDER BY approx_dot / (nv * qnv) DESC, adc.vec_id
+       |  LIMIT ${k * refine})
+       |SELECT p.vec_id, round(${sqlCos("p.embedding", "qv")}, 6) AS cos_sim
+       |FROM $src p JOIN cand ON cand.vec_id = p.vec_id, q
+       |ORDER BY cos_sim DESC, p.vec_id
+       |LIMIT $k""".stripMargin
 
   /** DuckDB fragment: dot of `a` against a LITERAL hyperplane — the
     * planes depend only on (seed, dim), never on data, so embedding
@@ -556,24 +677,26 @@ object Embeddings {
     Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
   }
 
-  // --- IVF (k-means-cell) approximate top-k (rows-only) --------------------
+  // --- IVF (k-means-cell) approximate top-k --------------------------------
   // Build-once/probe-many: the index is written partitioned by cell and
   // the probe scans only the nProbe winning cell directories (partition
   // pruning) — the layout a warehouse-scale ANN store would use.
-  // Rows-only BY NECESSITY, unlike the LSH family: the cell centroids
-  // are TRAINED from the data (KMeansLite Lloyd's), so embedding them
-  // in oracle SQL would verify Spark's own output against itself.
-  // The training math is oracle-checked where it can be done
-  // non-circularly (q120's seeded assignment step), and recall@10 vs
-  // brute force is spec-pinned.
-  def annIvf: Q = Q.rowsOnly("q61_ann_ivf") { (s, dir) =>
+  // Oracle-checked via the trained-literal pattern: the centroids are
+  // TRAINED (so training stays spec-gated — embedding ITS math would be
+  // circular), but given this run's centroids as literals, DuckDB
+  // independently replays the whole serving path — every vector's
+  // nearest-cell assignment, the query's probe ranking, and the exact
+  // cosine top-k over the probed cells. Recall@10 vs brute force stays
+  // spec-pinned (SimilaritySpec).
+  def annIvf: Q = Q.dynamicOracle("q61_ann_ivf") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val idx = ivfPath(s, dir)
     Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
     val qv = embs.filter(col("vec_id") === 0L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
-    Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
+    val df = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 4, excludeId = Some(0L))
+    (df, ivfServingSql(readCents(s, idx), qid = 0L, k = 10, nProbe = 4))
   }
 
   // --- q78: embedding-space near-dup pairs ---------------------------------
@@ -618,14 +741,15 @@ object Embeddings {
     }
   }
 
-  // --- IVF probe-only serving path (rows-only) -----------------------------
+  // --- IVF probe-only serving path -----------------------------------------
   // The build-once/probe-many shape: the KMeans fit + partitioned write
   // happen at most once per (session, corpus); every invocation after
   // that is ONLY the probe — read the nCells-row centroid sidecar, rank
   // cells, scan the nProbe winning cell directories via partition
   // pruning. SimilaritySpec pins that the probe scan's PartitionFilters
-  // lists exactly nProbe cells.
-  def annIvfProbe: Q = Q.rowsOnly("q70_ann_ivf_probe") { (s, dir) =>
+  // lists exactly nProbe cells; the q61 trained-literal oracle replays
+  // the same serving math for this query's vector in DuckDB.
+  def annIvfProbe: Q = Q.dynamicOracle("q70_ann_ivf_probe") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val idx = ivfPath(s, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -634,8 +758,9 @@ object Embeddings {
       Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
     val qv = embs.filter(col("vec_id") === 1L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
-    Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
+    val df = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 4, excludeId = Some(1L))
+    (df, ivfServingSql(readCents(s, idx), qid = 1L, k = 10, nProbe = 4))
   }
 
   // --- q94: product-quantization ANN (rows-only) ---------------------------
@@ -645,16 +770,26 @@ object Embeddings {
   // ~1.6 TB and ADC scores each row with 16 table lookups instead of
   // 64 multiplies. Candidates re-rank exactly against the raw vectors
   // (broadcast id join), so the output sims are exact cosines; recall
-  // vs brute force is pinned in SimilaritySpec. Rows-only BY
-  // NECESSITY: the codebook is TRAINED from a data sample (embedding
-  // it in the oracle would be circular, the q61 argument).
-  def annPq: Q = Q.rowsOnly("q94_ann_pq") { (s, dir) =>
+  // vs brute force is pinned in SimilaritySpec. Oracle-checked via the
+  // q61 trained-literal pattern: this run's codebook is embedded as
+  // literals and DuckDB re-derives every vector's m codes (argmin per
+  // subspace), the query's LUT, the ADC candidate ranking, and the
+  // exact re-rank — the serving computation end to end, with only the
+  // codebook taken as given.
+  def annPq: Q = Q.dynamicOracle("q94_ann_pq") { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
     val cb = Pq.train(embs, "embedding")
     val encoded = Pq.encode(embs, "vec_id", "embedding", cb)
     val qv = embs.filter(col("vec_id") === 0L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
-    Pq.topK(embs, encoded, cb, "vec_id", "embedding", qv, 10, excludeId = Some(0L))
+    val df = Pq.topK(embs, encoded, cb, "vec_id", "embedding", qv, 10,
+      excludeId = Some(0L))
+    val sql =
+      s"""WITH ${sqlCbCte(cb)},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |alle AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         |${pqServingSql("alle", k = 10, refine = 8, subDim = cb.subDim)}""".stripMargin
+    (df, sql)
   }
 
   // --- q80: LSH probe-only serving path ------------------------------------
