@@ -115,13 +115,47 @@ object Dedup {
   private[graft] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
 
   /** Release cached dedup intermediates — only the handles this object
-    * persisted, leaving unrelated session cache entries alone.
+    * persisted, leaving unrelated session cache entries alone. Also
+    * invalidates the [[componentsOf]] memo: its handles are backed by
+    * checkpoint blocks released here, which cannot recompute.
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     var d = tracked.poll()
     while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
     var r = trackedRdds.poll()
     while (r != null) { r.unpersist(blocking = false); r = trackedRdds.poll() }
+    componentsMemo.clear()
+  }
+
+  // One label-propagation run per (session, corpus plan, threshold):
+  // q71/q75/q190 all need the same exact ∪ near-dup components, and
+  // while CacheManager's identical-plan dedupe shares the persisted
+  // shingle/pair tables among them, the ITERATIVE closure loop
+  // (checkpoint-backed, outside the plan cache) would re-run per
+  // query. Keyed by the analyzed plan's semanticHash — deterministic,
+  // computed without launching a job — so a corpus re-read from the
+  // same source hits; NOT by DataFrame identity.
+  private val componentsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, String, String, Double), DataFrame]()
+
+  /** Connected components of the exact-duplicate ∪ near-dup-Jaccard
+    * edge graph over `df`: one (idCol, cluster_id = min id in the
+    * component) row per document. Memoized — repeated calls on an
+    * equivalent corpus plan return the SAME converged handle, so a
+    * sweep running q71 then q75 then q190 pays for one closure loop
+    * (DedupSpec pins this). [[clearCaches]] invalidates between
+    * corpora.
+    */
+  def componentsOf(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
+      idCol, textCol, threshold)
+    componentsMemo.computeIfAbsent(key, _ => {
+      val near = jaccardPairs(df, idCol, textCol, threshold)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val edges = near.unionByName(Clusters.exactEdges(df, idCol, textCol))
+      Clusters.connectedComponents(df.select(idCol), idCol, edges, "src", "dst")
+    })
   }
 
   /** Exact dedup: hash-groupBy on the content columns, keeping the
@@ -492,12 +526,16 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5,
       pairs: Option[DataFrame] = None): DataFrame = {
-    val near = pairs.getOrElse(jaccardPairs(df, idCol, textCol, threshold))
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = near.unionByName(Clusters.exactEdges(df, idCol, textCol))
-    val reps = Clusters.connectedComponents(df.select(idCol), idCol, edges, "src", "dst")
-      .filter(col(idCol) === col("cluster_id"))
-      .select(idCol)
+    val comp = pairs match {
+      // default pair law → the memoized components handle (shared with
+      // q71/q190 and any other caller on the same corpus)
+      case None => componentsOf(df, idCol, textCol, threshold)
+      case Some(p) =>
+        val near = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val edges = near.unionByName(Clusters.exactEdges(df, idCol, textCol))
+        Clusters.connectedComponents(df.select(idCol), idCol, edges, "src", "dst")
+    }
+    val reps = comp.filter(col(idCol) === col("cluster_id")).select(idCol)
     df.join(reps, Seq(idCol), "left_semi")
   }
 }

@@ -58,11 +58,7 @@ object Curation {
       |  CAST(csz * count(*) AS BIGINT) AS n_docs
       |FROM cs GROUP BY csz ORDER BY cluster_size""".stripMargin,
   ) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
-    Clusters.connectedComponents(docs.select("doc_id"), "doc_id", edges, "src", "dst")
+    Dedup.componentsOf(Tables.documents(s, dir), "doc_id", "text", 0.5)
       .groupBy("cluster_id").agg(count(lit(1)).as("csz"))
       .groupBy("csz").agg(count(lit(1)).as("n_clusters"))
       .select(col("csz").as("cluster_size"), col("n_clusters"),
@@ -416,11 +412,7 @@ object Curation {
       |SELECT id AS doc_id, min(lab) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val near = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = near.unionByName(Clusters.exactEdges(docs, "doc_id", "text"))
-    Clusters.connectedComponents(docs.select("doc_id"), "doc_id", edges, "src", "dst")
+    Dedup.componentsOf(Tables.documents(s, dir), "doc_id", "text", 0.5)
       .orderBy("doc_id")
   }
 

@@ -198,6 +198,28 @@ class DedupSpec extends SparkSpec {
     Dedup.clearCaches(spark)
   }
 
+  test("componentsOf memoizes one closure run per (corpus plan, threshold)") {
+    Dedup.clearCaches(spark)
+    val a = Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+    // the labels are right (0,1 exact copies; 2 a near-dup of both; 3 alone)
+    val labs = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // an EQUIVALENT but distinct plan hits the memo: same handle, so the
+    // q71/q75/q190 trio pays for one label-propagation loop per sweep
+    val b = Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+    assert(a eq b)
+    // a different threshold is a different pair graph: miss
+    val c = Dedup.componentsOf(docs, "doc_id", "text", 0.9)
+    assert(!(a eq c))
+    // clearCaches releases the backing checkpoint blocks, so it must
+    // also invalidate the memo — a fresh call recomputes
+    Dedup.clearCaches(spark)
+    val d = Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+    assert(!(a eq d))
+    assert(d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === labs)
+    Dedup.clearCaches(spark)
+  }
+
   test("rolling hash: deterministic, content-sensitive, codegen == eval") {
     val out = docs.select(col("doc_id"), RollingHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
