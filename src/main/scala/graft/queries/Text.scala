@@ -238,19 +238,53 @@ object Text {
 
   // --- q123: BPE merge training (tokenizer learning) -----------------------
   // The tokenizer-TRAINING operator (Sennrich et al. 2016): learn the
-  // top-8 merge rules over the corpus word-frequency table. Rows-only
-  // BY NECESSITY: merge r's selection depends on merges 1..r-1 having
-  // been applied — an inherently iterative data-dependent argmax that
-  // one SQL query cannot express (recursive CTEs forbid aggregation in
-  // the recursive member). BpeSpec gates it instead: hand-computed
-  // merges on the paper's own fixture style, bit-determinism across
-  // partitionings, and prefix stability (an M-merge run extends an
-  // (M-1)-merge run).
-  def bpeMergeTraining: Q = Q.rowsOnly("q123_bpe_merge_training") { (s, dir) =>
-    import s.implicits._
-    graft.text.BpeTrainer
-      .train(graft.text.BpeTrainer.wordVocab(Tables.documents(s, dir), "text"), 8)
-      .toDF().orderBy("rank")
+  // top-8 merge rules over the corpus word-frequency table.
+  // Oracle-checked by UNROLLING the training loop — the q125/q133/q157
+  // fixed-iteration pattern: each round is a (pair-count, argmax,
+  // merge-apply) CTE triple, so DuckDB independently replays the full
+  // data-dependent iteration chain (round 6 already selects a pair
+  // containing round 1's merged symbol, so the chain is genuinely
+  // exercised). The merge application — a list fold whose accumulator
+  // is a symbol LIST — can't use DuckDB 1.0's list_reduce directly
+  // (accumulator must share the element type), so the symbol list is
+  // encoded as a '|'-delimited VARCHAR: string_split's leading ''
+  // self-primes the fold, "last symbol == a" is ends_with(acc, '|'+a)
+  // (the '|' boundary makes it exact), and merging appends b — the
+  // same left-to-right non-overlapping rule as BpeTrainer.mergeOnce
+  // ('|' never occurs inside a symbol: the alphabet is [a-z0-9']).
+  // BpeSpec still gates the algorithm (hand-computed fixture merges,
+  // partitioning bit-determinism, prefix stability).
+  def bpeMergeTraining: Q = {
+    val nMerges = 8
+    val roundCtes = (1 to nMerges).map { r =>
+      s"""p$r AS (SELECT s[i] AS a, s[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, string_split(enc, '|') AS s FROM v${r - 1}),
+         |       UNNEST(range(2, len(s))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (SELECT n, list_reduce(string_split(enc, '|'),
+         |    (acc, x) -> CASE WHEN x = m.b AND ends_with(acc, '|' || m.a)
+         |      THEN acc || m.b ELSE acc || '|' || x END) AS enc
+         |  FROM v${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to nMerges)
+      .map(r => s"SELECT $r AS r, a, b, cnt FROM m$r").mkString("\nUNION ALL ")
+    Q(
+      "q123_bpe_merge_training",
+      s"""WITH v0 AS (SELECT '|' || array_to_string(string_split(word, ''), '|') AS enc, n FROM
+         |  (SELECT word, CAST(count(*) AS BIGINT) AS n FROM
+         |    (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS word FROM documents)
+         |   WHERE len(word) > 0 GROUP BY word)),
+         |$roundCtes
+         |SELECT r AS rank, a AS "left", b AS "right", cnt AS weighted_count FROM (
+         |$unionAll
+         |) ORDER BY rank""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      graft.text.BpeTrainer
+        .train(graft.text.BpeTrainer.wordVocab(Tables.documents(s, dir), "text"), nMerges)
+        .toDF().orderBy("rank")
+    }
   }
 
   private def stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
