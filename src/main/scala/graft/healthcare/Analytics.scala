@@ -135,6 +135,95 @@ class Analytics(wh: Warehouse) {
     p.crossJoin(d).crossJoin(f)
   }
 
+  /** `query_builder.py:31-42` "Patient Summary": age×gender census over
+    * the patient dim alone — no fact scan.
+    */
+  def patientSummary: DataFrame =
+    patients.groupBy("age_group", "gender")
+      .agg(count(lit(1)).as("patient_count"))
+      .orderBy("age_group", "gender")
+
+  /** `query_builder.py:88-106` "High Cost Visits": the parameterized
+    * threshold variant of [[highCostVisits]] (that one derives its cut
+    * from the global p90). visit_id rides along only to make the
+    * cost-tie ordering total, then drops.
+    */
+  def visitsAboveCost(costThreshold: Double, limit: Int = 100): DataFrame =
+    fact.drop("provider_id")
+      .join(broadcast(patients.select("patient_key", "age_group")), Seq("patient_key"))
+      .filter(col("cost") > costThreshold)
+      .select("patient_id", "age_group", "visit_date", "diagnosis", "cost", "visit_id")
+      .orderBy(col("cost").desc, col("visit_id"))
+      .limit(limit)
+      .drop("visit_id")
+
+  /** `dashboard.py:172-184` visit-type distribution. */
+  def visitTypeDistribution: DataFrame =
+    fact.groupBy("visit_type")
+      .agg(count(lit(1)).as("visit_cnt"))
+      .orderBy(col("visit_cnt").desc, col("visit_type"))
+
+  /** `dashboard.py:91-106` age-group analysis — the dashboard variant
+    * of [[avgVisitsPerAgeGroup]] that also reports the DP-noised cost
+    * average side by side with the raw one.
+    */
+  def ageGroupDetail: DataFrame =
+    fact.drop("provider_id")
+      .join(broadcast(patients.select("patient_key", "age_group")), Seq("patient_key"))
+      .groupBy("age_group")
+      .agg(count(lit(1)).as("visit_count"),
+        countDistinct(col("patient_id")).as("unique_patients"),
+        round(avg(col("cost")).cast("double"), 2).as("avg_cost"),
+        round(avg(col("cost_with_privacy")).cast("double"), 2).as("avg_cost_privacy"))
+      .orderBy(col("visit_count").desc, col("age_group"))
+
+  /** `dashboard.py:79-88` summary stats — [[kpiBlock]] plus the noised
+    * cost average (three 1-row aggregates cross-joined; D8).
+    */
+  def summaryStats: DataFrame = {
+    val p = patients.agg(countDistinct(col("patient_id")).as("total_patients"))
+    val d = providers.agg(countDistinct(col("provider_id")).as("total_providers"))
+    val f = fact.agg(count(lit(1)).as("total_visits"),
+      round(avg(col("cost")).cast("double"), 2).as("avg_cost"),
+      round(avg(col("cost_with_privacy")).cast("double"), 2).as("avg_cost_privacy"))
+    p.crossJoin(d).crossJoin(f)
+  }
+
+  /** `api.py:382-401` / `query_builder.py:120-133` "Anomalies
+    * Detected": serving scan over the predictions table
+    * ([[graft.healthcare.Schemas.mlPredictions]]) — most anomalous
+    * first (iForest scores are more negative the more isolated).
+    */
+  def anomalies(predictions: DataFrame, limit: Int = 50): DataFrame =
+    predictions.filter(col("is_anomaly") === 1)
+      .orderBy(col("anomaly_score"), col("event_id"))
+      .limit(limit)
+
+  /** `api.py:333-380` per-entity prediction lookup: the api keys by
+    * patient; our predictions key by event_id, so resolve the entity's
+    * event ids first (broadcast semi-join — the per-user set is tiny)
+    * and return newest-first.
+    */
+  def predictionsForUser(predictions: DataFrame, events: DataFrame, userId: Long): DataFrame =
+    predictions.join(
+        broadcast(events.filter(col("user_id") === userId).select("event_id")),
+        Seq("event_id"), "left_semi")
+      .orderBy(col("prediction_date").desc, col("event_id"))
+
+  /** `privacy_dashboard.py:44-61` raw-pull sample feeding the privacy
+    * dashboard's pandas-side checks. The reference's bare LIMIT is
+    * row-order-nondeterministic; a total visit_id order makes the
+    * sample reproducible without changing its shape.
+    */
+  def privacySample(limit: Int = 1000): DataFrame =
+    fact.drop("provider_id")
+      .join(broadcast(patients.select("patient_key", "age_group", "gender", "state")),
+        Seq("patient_key"))
+      .select("age_group", "gender", "state", "diagnosis", "visit_type", "cost", "visit_id")
+      .orderBy("visit_id")
+      .limit(limit)
+      .drop("visit_id")
+
   /** `api.py:316-318`: point lookup, 3-way join (B6, C2). */
   def patientVisits(patientId: Long): DataFrame =
     fact.join(broadcast(patients.filter(col("patient_id") === patientId)), Seq("patient_key"))

@@ -22,7 +22,14 @@ import graft.healthcare.{Analytics, DataGenerator, Warehouse}
   * `:92-102` (high-cost visits), `:104-130` (frequency cohorts),
   * `:167-199` (data quality), `dashboard_kpis.sql:7-19` (KPI block),
   * `dashboard.py:155-166` (specialty stats), `api.py:316-318`
-  * (patient visit lookup).
+  * (patient visit lookup) — plus, closing the §2.M surface:
+  * `query_builder.py:31-42` (patient summary), `:88-106`
+  * (threshold-parameterized high-cost scan), `:120-133` +
+  * `api.py:382-401` (anomaly serving), `api.py:333-380` (per-entity
+  * predictions), `dashboard.py:79-88` (summary stats incl. DP-noised
+  * avg — the noise independently re-derived here from plain Scala
+  * math), `:91-106` (age-group detail), `:172-184` (visit types), and
+  * `privacy_dashboard.py:44-61` (raw sample pull).
   */
 class GoldenAnalyticsSpec extends SparkSpec {
 
@@ -41,13 +48,14 @@ class GoldenAnalyticsSpec extends SparkSpec {
   private lazy val an = new Analytics(wh)
 
   // ---- independent driver-side model of the same generated data ----------
-  private case class P(id: Long, dob: LocalDate, state: String)
+  private case class P(id: Long, dob: LocalDate, state: String, gender: String)
   private case class V(id: Long, patientId: Long, providerId: Long, date: LocalDate,
       visitType: String, diagnosis: String, cost: JBD)
 
   private lazy val patients: Seq[P] = DataGenerator.patients(spark, 1000).collect().toSeq
     .map(r => P(r.getAs[Long]("patient_id"),
-      r.getAs[java.sql.Date]("date_of_birth").toLocalDate, r.getAs[String]("state")))
+      r.getAs[java.sql.Date]("date_of_birth").toLocalDate, r.getAs[String]("state"),
+      r.getAs[String]("gender")))
   private lazy val providerSpecialty: Map[Long, String] =
     DataGenerator.providers(spark, 20).collect()
       .map(r => r.getAs[Long]("provider_id") -> r.getAs[String]("specialty")).toMap
@@ -222,6 +230,134 @@ class GoldenAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_cost") ===
       r2(sumCost(visits).divide(JBD.valueOf(visits.size.toLong), 6, RoundingMode.HALF_UP)
         .doubleValue))
+  }
+
+  /** Independent re-derivation of the keyed Laplace mechanism the
+    * warehouse applies to cost (`Warehouse.build` default salt 42):
+    * plain Scala math, no Transforms code. Result is what
+    * DECIMAL(10,2) stores.
+    */
+  private def noisedCost(visitId: Long, cost: JBD): JBD = {
+    val p = 1000003L
+    val h = (((visitId % p) * 2654435761L + 42L) % p + p) % p
+    val u = (h.toDouble + 0.5) / 1000003.0 - 0.5
+    val noised = math.max(0.0,
+      cost.doubleValue + (-1.0 / 0.1) * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u)))
+    JBD.valueOf(r2(noised)).setScale(2, RoundingMode.HALF_UP)
+  }
+
+  /** Spark AVG over DECIMAL(10,2): decimal sum ÷ count at scale 6
+    * HALF_UP → double → round 2.
+    */
+  private def avg2(sum: JBD, n: Long): Double =
+    r2(sum.divide(JBD.valueOf(n), 6, RoundingMode.HALF_UP).doubleValue)
+
+  test("golden: patientSummary census (query_builder.py:31-42)") {
+    val expected = patients.groupBy(p => (ageGroupOf(p.dob), p.gender)).toSeq
+      .map { case ((g, sex), ps) => (g, sex, ps.size.toLong) }
+      .sortBy { case (g, sex, _) => (g, sex) }
+    val got = an.patientSummary.collect().toSeq.map(r =>
+      (r.getAs[String]("age_group"), r.getAs[String]("gender"), r.getAs[Long]("patient_count")))
+    assert(got === expected)
+    assert(got.map(_._3).sum === 1000L)
+  }
+
+  test("golden: visitsAboveCost threshold scan (query_builder.py:88-106)") {
+    val threshold = 2000.0
+    val expected = visits.filter(_.cost.doubleValue > threshold)
+      .sortBy(v => (v.cost.negate, v.id))
+      .take(100)
+      .map(v => (v.patientId, groupOfPatient(v.patientId), v.date, v.diagnosis,
+        v.cost.stripTrailingZeros))
+    val got = an.visitsAboveCost(threshold, 100).collect().toSeq.map(r =>
+      (r.getAs[Long]("patient_id"), r.getAs[String]("age_group"),
+        r.getAs[java.sql.Date]("visit_date").toLocalDate, r.getAs[String]("diagnosis"),
+        r.getAs[java.math.BigDecimal]("cost").stripTrailingZeros))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("golden: visitTypeDistribution (dashboard.py:172-184)") {
+    val expected = visits.groupBy(_.visitType).toSeq
+      .map { case (t, vs) => (t, vs.size.toLong) }
+      .sortBy { case (t, n) => (-n, t) }
+    val got = an.visitTypeDistribution.collect().toSeq.map(r =>
+      (r.getAs[String]("visit_type"), r.getAs[Long]("visit_cnt")))
+    assert(got === expected)
+  }
+
+  test("golden: ageGroupDetail with DP-noised averages (dashboard.py:91-106)") {
+    val byGroup = visits.groupBy(v => groupOfPatient(v.patientId))
+    val expected = byGroup.toSeq.map { case (g, vs) =>
+      val noisedSum = vs.foldLeft(JBD.ZERO)((a, v) => a.add(noisedCost(v.id, v.cost)))
+      (g, vs.size.toLong, vs.map(_.patientId).distinct.size.toLong,
+        avg2(sumCost(vs), vs.size), avg2(noisedSum, vs.size))
+    }.sortBy { case (g, n, _, _, _) => (-n, g) }
+    val got = an.ageGroupDetail.collect().toSeq.map(r =>
+      (r.getAs[String]("age_group"), r.getAs[Long]("visit_count"),
+        r.getAs[Long]("unique_patients"), r.getAs[Double]("avg_cost"),
+        r.getAs[Double]("avg_cost_privacy")))
+    assert(got === expected)
+  }
+
+  test("golden: summaryStats KPI row (dashboard.py:79-88)") {
+    val r: Row = an.summaryStats.head()
+    val noisedSum = visits.foldLeft(JBD.ZERO)((a, v) => a.add(noisedCost(v.id, v.cost)))
+    assert(r.getAs[Long]("total_patients") === 1000L)
+    assert(r.getAs[Long]("total_providers") === 20L)
+    assert(r.getAs[Long]("total_visits") === visits.size.toLong)
+    assert(r.getAs[Double]("avg_cost") === avg2(sumCost(visits), visits.size))
+    assert(r.getAs[Double]("avg_cost_privacy") === avg2(noisedSum, visits.size))
+  }
+
+  test("golden: anomalies serving scan (api.py:382-401, query_builder.py:120-133)") {
+    // The serving query is deterministic given the predictions table
+    // (api.py reads whatever ml_pipeline wrote); pin it on a
+    // hand-written table rather than retraining a forest here.
+    import spark.implicits._
+    val preds = Seq(
+      (1L, 0.2, 100.0, 1, -0.61), (2L, 0.9, 250.0, 0, 0.12),
+      (3L, 0.4, 900.0, 1, -0.80), (4L, 0.1, 120.0, 1, -0.61),
+      (5L, 0.5, 300.0, 0, -0.95))
+      .toDF("event_id", "readmission_risk", "predicted_cost", "is_anomaly", "anomaly_score")
+      .withColumn("prediction_date", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("2026-01-0"),
+          org.apache.spark.sql.functions.col("event_id").cast("string"))))
+    val got = an.anomalies(preds, 2).collect().toSeq.map(_.getAs[Long]("event_id"))
+    // anomalies only (2,5 excluded despite 5's lower score), most
+    // negative first, event_id breaks the 1-vs-4 tie
+    assert(got === Seq(3L, 1L))
+    val all = an.anomalies(preds, 50).collect().toSeq.map(_.getAs[Long]("event_id"))
+    assert(all === Seq(3L, 1L, 4L))
+  }
+
+  test("golden: predictionsForUser lookup (api.py:333-380)") {
+    import spark.implicits._
+    val events = Seq((10L, 7L), (11L, 7L), (12L, 8L))
+      .toDF("event_id", "user_id")
+    val preds = Seq((10L, "2026-01-01 00:00:00"), (11L, "2026-01-03 00:00:00"),
+      (12L, "2026-01-02 00:00:00"))
+      .toDF("event_id", "ts")
+      .withColumn("prediction_date",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.col("ts"))).drop("ts")
+    val got = an.predictionsForUser(preds, events, 7L).collect().toSeq
+      .map(_.getAs[Long]("event_id"))
+    assert(got === Seq(11L, 10L)) // user 7 only, newest first
+  }
+
+  test("golden: privacySample raw pull (privacy_dashboard.py:44-61)") {
+    val byId = visits.sortBy(_.id).take(50)
+    val genderOf = patients.map(p => p.id -> p.gender).toMap
+    val stateOf = patients.map(p => p.id -> p.state).toMap
+    val expected = byId.map(v => (groupOfPatient(v.patientId), genderOf(v.patientId),
+      stateOf(v.patientId), v.diagnosis, v.visitType, v.cost.stripTrailingZeros))
+    val got = an.privacySample(50).collect().toSeq.map(r =>
+      (r.getAs[String]("age_group"), r.getAs[String]("gender"), r.getAs[String]("state"),
+        r.getAs[String]("diagnosis"), r.getAs[String]("visit_type"),
+        r.getAs[java.math.BigDecimal]("cost").stripTrailingZeros))
+    assert(got === expected)
   }
 
   test("golden: patientVisits point lookup (api.py:316-318)") {
