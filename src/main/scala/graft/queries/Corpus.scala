@@ -16,7 +16,8 @@ import graft.{Q, Tables}
 object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
-    sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope)
+    sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
+    skipgramPairs)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -244,6 +245,110 @@ object Corpus {
         round(col("n_shared").cast("double")
           / (col("sza") + col("szb") - col("n_shared")), 6).as("jaccard"))
       .orderBy("src_a", "src_b")
+  }
+
+  // --- q192: Heaps-law vocabulary growth ----------------------------------
+  // How fast does the vocabulary grow as the corpus grows? Natural
+  // corpora follow Heaps' law V = K·T^β with β ≈ 0.4–0.6; a flattening
+  // curve (β→0) means new data is rehashing the same vocabulary —
+  // the corpus-acquisition stopping signal. Measured at 7 exponential
+  // doc-id checkpoints, NOT with a corpus-length running window: a
+  // token's contribution to checkpoint v is `first_occurrence ≤
+  // cutoff`, so the whole curve is one first-occurrence aggregate
+  // (min doc_id per token) joined against a 7-row broadcast — no
+  // single-partition prefix scan over the corpus. The β fit is the
+  // q162 ln-ln least-squares idiom (9-dp terms, DECIMAL moments).
+  def heapsGrowth: Q = Q(
+    "q192_heaps_growth",
+    """WITH fracs AS (SELECT unnest([0.015625, 0.03125, 0.0625, 0.125, 0.25, 0.5, 1.0])
+      |    AS frac),
+      |maxd AS (SELECT max(doc_id) AS maxd FROM documents),
+      |cut AS (SELECT frac, CAST(ceil(frac * maxd) AS BIGINT) AS cutoff
+      |        FROM fracs CROSS JOIN maxd),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |fo AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+      |dtok AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+      |vat AS (SELECT frac, cutoff, count(*) AS vocab FROM cut
+      |        JOIN fo ON fo.first_doc <= cut.cutoff GROUP BY frac, cutoff),
+      |tat AS (SELECT frac, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM cut
+      |        JOIN dtok ON dtok.doc_id <= cut.cutoff GROUP BY frac),
+      |pts AS (SELECT frac, cutoff, n_tokens, vocab,
+      |    round(ln(CAST(n_tokens AS DOUBLE)), 9) AS x,
+      |    round(ln(CAST(vocab AS DOUBLE)), 9) AS y
+      |  FROM vat JOIN tat USING (frac)),
+      |m AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      |  FROM pts)
+      |SELECT frac, cutoff AS cutoff_doc, n_tokens, CAST(vocab AS BIGINT) AS vocab,
+      |  round((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) AS beta
+      |FROM pts CROSS JOIN m
+      |ORDER BY frac""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tok = graft.dedup.Dedup.persistTracked(
+      docs.select(col("doc_id"), explode(toks).as("tok")))
+    val maxd = docs.agg(max(col("doc_id")).as("maxd"))
+    val fracs = Seq(0.015625, 0.03125, 0.0625, 0.125, 0.25, 0.5, 1.0)
+    val cut = maxd.select(explode(lit(fracs.toArray)).as("frac"), col("maxd"))
+      .select(col("frac"), ceil(col("frac") * col("maxd")).cast("long").as("cutoff"))
+    val fo = tok.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val dtok = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val vat = fo.join(broadcast(cut), col("first_doc") <= col("cutoff"))
+      .groupBy("frac", "cutoff").agg(count(lit(1)).as("vocab"))
+    val tat = dtok.join(broadcast(cut), col("doc_id") <= col("cutoff"))
+      .groupBy("frac").agg(sum(col("ntok")).as("n_tokens"))
+    val pts = vat.join(tat, "frac")
+      .withColumn("x", round(log(col("n_tokens").cast("double")), 9))
+      .withColumn("y", round(log(col("vocab").cast("double")), 9))
+    val m = pts.agg(count(lit(1)).as("n"), dsum(col("x"), 9).as("sx"),
+      dsum(col("y"), 9).as("sy"), dsum(round(col("x") * col("y"), 9), 9).as("sxy"),
+      dsum(round(col("x") * col("x"), 9), 9).as("sxx"))
+    pts.crossJoin(broadcast(m))
+      .select(col("frac"), col("cutoff").as("cutoff_doc"), col("n_tokens"), col("vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"))
+      .orderBy("frac")
+  }
+
+  // --- q194: skip-gram training-pair counts --------------------------------
+  // The word2vec/GloVe preprocessing step: (center, context) pair
+  // counts within a ±2-token window. NOT a per-doc self-join on
+  // doc_id (quadratic in doc length) — each position pairs with
+  // exactly the positions offset by 1 and 2, so the offsets explode
+  // (×2) and the match is a pure equi-join on (doc_id, target
+  // position): linear in corpus tokens, shuffle keyed on (doc,
+  // position). Distinct from q127's PMI, which counts doc-level
+  // co-presence with no positional window. Top-50 by count via
+  // TakeOrderedAndProject keeps the output report-sized; full pair
+  // table is the unsorted intermediate a trainer would consume.
+  def skipgramPairs: Q = Q(
+    "q194_skipgram_pairs",
+    """WITH pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       UNNEST(range(1, len(t) + 1)) AS u(i)),
+      |pairs AS (
+      |  SELECT a.tok AS center, b.tok AS context, count(*) AS cnt
+      |  FROM pos a JOIN pos b
+      |    ON a.doc_id = b.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2)
+      |  GROUP BY a.tok, b.tok)
+      |SELECT center, context, CAST(cnt AS BIGINT) AS cnt FROM pairs
+      |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin,
+  ) { (s, dir) =>
+    val pos = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("tok")))
+    val offsets = explode(lit(Array(1L, 2L))).as("d")
+    val centers = pos.select(col("doc_id"), col("i"), col("tok").as("center"), offsets)
+      .withColumn("j", col("i") + col("d"))
+    centers.join(pos.select(col("doc_id"), col("i").as("j"), col("tok").as("context")),
+        Seq("doc_id", "j"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center"), col("context"))
+      .limit(50)
   }
 
   /** Whitespace token array — the corpus's tokenization unit (matches

@@ -10,7 +10,7 @@ object Embeddings {
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
-    labelNoise, dimCorrelation)
+    labelNoise, dimCorrelation, sourceCentroidDrift)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -62,6 +62,64 @@ object Embeddings {
           / sqrt((col("n") * col("sxx_i") - col("sx_i") * col("sx_i"))
             * (col("n") * col("sxx_j") - col("sx_j") * col("sx_j"))), 6).as("corr"))
       .orderBy("i", "j")
+  }
+
+  // --- q193: per-source embedding-centroid drift ---------------------------
+  // The embedding-space source audit: a source whose centroid points
+  // away from the corpus centroid is distributionally off (scraper
+  // drift, wrong language, encoding damage) — the vector-space
+  // counterpart of q147's PSI. Everything reduces to per-(source, dim)
+  // moment sums (9-dp rounded, DECIMAL-exact — the q175 idiom): the
+  // corpus-sized work is one posexplode + keyed aggregate; the cosine
+  // runs on the sources×dims mean table, which is report-sized. The
+  // doc join is keyed (vec_id = doc_id), never broadcast — the
+  // documents side is corpus-scale.
+  def sourceCentroidDrift: Q = Q(
+    "q193_source_centroid_drift",
+    """WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |sdims AS (SELECT d.source, m.i, m.x FROM dims m
+      |  JOIN documents d ON d.doc_id = m.vec_id),
+      |sm AS (SELECT source, i,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*) AS m FROM sdims GROUP BY source, i),
+      |gm AS (SELECT i,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*) AS g FROM dims GROUP BY i),
+      |cos AS (SELECT source,
+      |    CAST(sum(CAST(round(m * g, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dot,
+      |    CAST(sum(CAST(round(m * m, 9) AS DECIMAL(18,9))) AS DOUBLE) AS mm,
+      |    CAST(sum(CAST(round(g * g, 9) AS DECIMAL(18,9))) AS DOUBLE) AS gg
+      |  FROM sm JOIN gm USING (i) GROUP BY source),
+      |nv AS (SELECT d.source, count(*) AS n_vecs FROM embeddings e
+      |  JOIN documents d ON d.doc_id = e.vec_id GROUP BY d.source)
+      |SELECT cos.source, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+      |  round(dot / (sqrt(mm) * sqrt(gg)), 6) AS centroid_cos
+      |FROM cos JOIN nv ON nv.source = cos.source
+      |ORDER BY cos.source""".stripMargin,
+  ) { (s, dir) =>
+    val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x")))
+    val srcOf = Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source"))
+    val sm = dims.join(srcOf, "vec_id")
+      .groupBy("source", "i")
+      .agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("m"))
+    val gm = dims.groupBy("i")
+      .agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("g"))
+    val cos = sm.join(broadcast(gm), "i")
+      .groupBy("source").agg(
+        dsum(round(col("m") * col("g"), 9), 9).as("dot"),
+        dsum(round(col("m") * col("m"), 9), 9).as("mm"),
+        dsum(round(col("g") * col("g"), 9), 9).as("gg"))
+    val nv = Tables.embeddings(s, dir).select("vec_id").join(srcOf, "vec_id")
+      .groupBy("source").agg(count(lit(1)).as("n_vecs"))
+    cos.join(nv, "source")
+      .select(col("source"), col("n_vecs"),
+        round(col("dot") / (sqrt(col("mm")) * sqrt(col("gg"))), 6).as("centroid_cos"))
+      .orderBy("source")
   }
 
   // --- q167: label-noise detection via kNN label agreement -----------------

@@ -16,7 +16,8 @@ object Text {
     corpusCuration, streamingDedup, bpeishTokens, decontaminate, repetition,
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
-    ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs)
+    ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
+    charEntropy)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -914,6 +915,58 @@ object Text {
   ) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // --- q191: character-entropy quality proxy -------------------------------
+  // The compression-ratio quality signal (CCNet/RefinedWeb filter
+  // machine-generated or repetitive text by how well it compresses)
+  // without the compressor: Shannon entropy of the per-doc character
+  // distribution — boilerplate and template spam sit far below natural
+  // text. Characters come from a position explode (sequence +
+  // substring — identical semantics in both engines, unlike
+  // split-on-empty whose trailing-element rules differ), the (doc,
+  // char) aggregate collapses map-side, and each −p·ln p term is
+  // 9-dp-rounded before the DECIMAL per-doc sum so the entropy is
+  // associative-exact. One linear explode, one keyed aggregate —
+  // the q35 token-count shape, so it holds at corpus scale.
+  def charEntropy: Q = Q(
+    "q191_char_entropy",
+    """WITH chars AS (
+      |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+      |  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)
+      |  WHERE len(text) >= 1),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+      |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(count(*) AS BIGINT) AS distinct_chars FROM cc GROUP BY doc_id),
+      |h AS (SELECT cc.doc_id,
+      |    CAST(sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS negent
+      |  FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id)
+      |SELECT h.doc_id, n.n AS n_chars_counted, n.distinct_chars,
+      |  round(-negent, 6) AS entropy_nats
+      |FROM h JOIN n USING (doc_id)
+      |ORDER BY h.doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val chars = Tables.documents(s, dir)
+      // empty docs: sequence(1,0) DESCENDS where range() is empty (the
+      // q153 cross-engine trap) — guard before the explode
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    // three consumers (n, h's join side, the final n join) — one explode
+    val cc = Dedup.persistTracked(
+      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
+    val n = cc.groupBy("doc_id").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("distinct_chars"))
+    val p = col("c").cast("double") / col("n")
+    val h = cc.join(n, "doc_id")
+      .groupBy("doc_id").agg(dsum(round(p * log(p), 9), 9).as("negent"))
+    h.join(n.select(col("doc_id"), col("n").as("n_chars_counted"), col("distinct_chars")),
+        "doc_id")
+      .select(col("doc_id"), col("n_chars_counted"), col("distinct_chars"),
+        round(-col("negent"), 6).as("entropy_nats"))
       .orderBy("doc_id")
   }
 }
