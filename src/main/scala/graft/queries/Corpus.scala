@@ -17,7 +17,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
-    skipgramPairs)
+    skipgramPairs, vocabKlDrift)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -349,6 +349,76 @@ object Corpus {
       .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("center"), col("context"))
       .limit(50)
+  }
+
+  // --- q196: per-source vocabulary KL drift --------------------------------
+  // Which source's token distribution diverges from the corpus — the
+  // lexical counterpart of q193's embedding-space drift and q147's
+  // numeric PSI. KL(source ‖ corpus) over the top-500 corpus
+  // vocabulary plus one OTHER bucket holding the tail mass, add-one
+  // smoothed so every term is finite. The bucketing is what makes it
+  // a 100-TB plan: the support is the BOUNDED broadcast vocab (never
+  // the open vocabulary), the per-source grid is |sources|×(V+1) rows
+  // — linear in sources — and all corpus-scale work is the one token
+  // explode feeding keyed counts. Terms 9-dp rounded before DECIMAL
+  // sums (the q162 idiom).
+  def vocabKlDrift: Q = Q(
+    "q196_vocab_kl_drift",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |ctf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+      |vocab AS (SELECT tok, tf FROM ctf ORDER BY tf DESC, tok LIMIT 500),
+      |v AS (SELECT count(*) AS v, CAST(sum(tf) AS BIGINT) AS in_vocab FROM vocab),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |ns AS (SELECT source, count(*) AS ns FROM tok GROUP BY source),
+      |csv AS (SELECT t.source, t.tok, count(*) AS c FROM tok t
+      |        JOIN vocab USING (tok) GROUP BY t.source, t.tok),
+      |grid AS (SELECT s.source, vb.tok,
+      |         coalesce(csv.c, 0) AS c, vb.tf AS cq
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN vocab vb
+      |  LEFT JOIN csv ON csv.source = s.source AND csv.tok = vb.tok),
+      |invs AS (SELECT source, CAST(sum(c) AS BIGINT) AS in_s FROM grid GROUP BY source),
+      |buckets AS (
+      |  SELECT source, tok, c, cq FROM grid
+      |  UNION ALL
+      |  SELECT ns.source, 'OTHER' AS tok, ns.ns - invs.in_s AS c,
+      |         n.n - v.in_vocab AS cq
+      |  FROM ns JOIN invs USING (source) CROSS JOIN n CROSS JOIN v),
+      |terms AS (SELECT b.source,
+      |    round(((b.c + 1.0) / (ns.ns + v.v + 1.0))
+      |      * ln(((b.c + 1.0) / (ns.ns + v.v + 1.0))
+      |          / ((b.cq + 1.0) / (n.n + v.v + 1.0))), 9) AS t
+      |  FROM buckets b JOIN ns ON ns.source = b.source CROSS JOIN n CROSS JOIN v)
+      |SELECT source,
+      |  CAST((SELECT ns FROM ns WHERE ns.source = terms.source) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CAST(t AS DECIMAL(18,9))) AS DOUBLE), 6) AS kl_nats
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val tok = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(500)
+    val v = vocab.agg(count(lit(1)).as("v"), sum(col("tf")).as("in_vocab"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+    val csv = tok.join(broadcast(vocab.select("tok")), "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val grid = Tables.documents(s, dir).select("source").distinct()
+      .crossJoin(broadcast(vocab.select(col("tok"), col("tf").as("cq"))))
+      .join(csv, Seq("source", "tok"), "left_outer")
+      .select(col("source"), col("tok"), coalesce(col("c"), lit(0L)).as("c"), col("cq"))
+    val invs = grid.groupBy("source").agg(sum(col("c")).as("in_s"))
+    val other = ns.join(invs, "source").crossJoin(broadcast(n)).crossJoin(broadcast(v))
+      .select(col("source"), lit("OTHER").as("tok"),
+        (col("ns") - col("in_s")).as("c"), (col("n") - col("in_vocab")).as("cq"))
+    val buckets = grid.unionByName(other)
+    val p = (col("c") + 1.0) / (col("ns") + col("v") + 1.0)
+    val q = (col("cq") + 1.0) / (col("n") + col("v") + 1.0)
+    buckets.join(ns, "source").crossJoin(broadcast(n)).crossJoin(broadcast(v))
+      .select(col("source"), col("ns"), round(p * log(p / q), 9).as("t"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"), round(dsum(col("t"), 9), 6).as("kl_nats"))
+      .orderBy("source")
   }
 
   /** Whitespace token array — the corpus's tokenization unit (matches

@@ -15,7 +15,8 @@ object Curation {
 
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
-    quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes)
+    quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
+    clusterSurvivors, clusterSourceMix)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -64,6 +65,122 @@ object Curation {
       .select(col("csz").as("cluster_size"), col("n_clusters"),
         (col("csz") * col("n_clusters")).as("n_docs"))
       .orderBy("cluster_size")
+  }
+
+  // --- q195: quality-max cluster survivor selection -------------------------
+  // The rep-pick policy on top of q71's components: real pipelines
+  // rarely keep the MIN-ID duplicate — they keep the best one (longest
+  // text here; any deterministic quality score slots in). One keyed
+  // window per cluster over the components table (cluster-sized
+  // partitions, bounded by the q71 cap chain), emitting the keep-list
+  // with member counts. Shares the memoized `Dedup.componentsOf`
+  // handle with q71/q75/q190 — the survivor pass adds one join and
+  // one window to the already-computed components, not a re-cluster.
+  def clusterSurvivors: Q = Q(
+    "q195_cluster_survivors",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      |lw AS (SELECT cl.cluster_id, cl.doc_id, len(d.text) AS l,
+      |    row_number() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY len(d.text) DESC, cl.doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+      |SELECT cluster_id, doc_id AS survivor_doc,
+      |  CAST(n_members AS BIGINT) AS n_members, CAST(l AS BIGINT) AS survivor_len
+      |FROM lw WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val withLen = Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("l")), "doc_id")
+    withLen
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("l").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_doc"),
+        col("n_members"), col("l").as("survivor_len"))
+      .orderBy("cluster_id")
+  }
+
+  // --- q197: duplicate-cluster source-mix audit -----------------------------
+  // Is duplication WITHIN sources (mirrored scrapes, re-crawls) or
+  // ACROSS them (syndication, aggregators)? Decides whether dedup can
+  // shard per-source (cheap) or must run globally (q71's shape). Over
+  // the shared components handle: non-singleton clusters bucketed by
+  // (size, distinct sources), one keyed aggregate each — nothing
+  // rescans text. Complements q190's size histogram with the
+  // source-spread axis.
+  def clusterSourceMix: Q = Q(
+    "q197_cluster_source_mix",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      |per AS (SELECT cl.cluster_id, count(*) AS csz,
+      |               count(DISTINCT d.source) AS nsrc
+      |        FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+      |        GROUP BY cl.cluster_id HAVING count(*) >= 2)
+      |SELECT csz AS cluster_size, CAST(nsrc AS BIGINT) AS n_sources,
+      |  CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM per GROUP BY csz, nsrc ORDER BY cluster_size, n_sources""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("csz"), countDistinct(col("source")).as("nsrc"))
+      .filter(col("csz") >= 2)
+      .groupBy("csz", "nsrc").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csz").as("cluster_size"), col("nsrc").as("n_sources"),
+        col("n_clusters"))
+      .orderBy("cluster_size", "n_sources")
   }
 
   // --- q169: token-budget mixture allocation (waterfilling) ----------------

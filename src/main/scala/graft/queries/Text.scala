@@ -17,7 +17,7 @@ object Text {
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
-    charEntropy)
+    charEntropy, scorerAgreement)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -916,6 +916,90 @@ object Text {
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
+  }
+
+  // --- q198: quality-scorer rank agreement (Spearman) -----------------------
+  // Before swapping one quality filter for another, measure whether
+  // they RANK the corpus the same way: Spearman ρ between the q36
+  // heuristic score and the q191 entropy proxy. Both scores are
+  // 4-dp-quantized first, so ranking never needs a corpus-length
+  // sort: average ranks come from a running sum over the DISTINCT
+  // score values (a bounded table — ≤10⁴/≤10⁵ rows at any corpus
+  // size), joined back to docs; the Pearson-on-ranks moments are
+  // exact (ranks are .5-quantized, products ≤2 fractional digits,
+  // DECIMAL(28,4) sums). At 10¹⁰ docs the Σr² moment outgrows
+  // DECIMAL(28,4) — widen to (38,4) there; the SHAPE (bounded rank
+  // table, keyed joins, one aggregate) is the scale story.
+  def scorerAgreement: Q = Q(
+    "q198_scorer_agreement",
+    s"""WITH chars AS (
+       |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+       |  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)
+       |  WHERE len(text) >= 1),
+       |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+       |cn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+       |ent AS (SELECT cc.doc_id, round(-CAST(sum(CAST(
+       |    round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+       |    AS DECIMAL(18,9))) AS DOUBLE), 4) AS se
+       |  FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id),
+       |qual AS (SELECT doc_id,
+       |    round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.5
+       |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop)))
+       |          AS DOUBLE) / len(string_split(text, ' '))) * 0.5, 4) AS sq
+       |  FROM documents),
+       |sc AS (SELECT q.doc_id, q.sq, e.se FROM qual q JOIN ent e USING (doc_id)),
+       |fq AS (SELECT sq, count(*) AS c FROM sc GROUP BY sq),
+       |rq AS (SELECT sq, sum(c) OVER (ORDER BY sq) - c + (c + 1) / 2.0 AS rq FROM fq),
+       |fe AS (SELECT se, count(*) AS c FROM sc GROUP BY se),
+       |re AS (SELECT se, sum(c) OVER (ORDER BY se) - c + (c + 1) / 2.0 AS re FROM fe),
+       |rk AS (SELECT sc.doc_id, rq.rq AS x, re.re AS y FROM sc
+       |       JOIN rq USING (sq) JOIN re USING (se)),
+       |m AS (SELECT count(*) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+       |  FROM rk)
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  round((n * sxy - sx * sy)
+       |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+       |FROM m""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val chars = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    val cc = Dedup.persistTracked(
+      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
+    val cn = cc.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    val pch = col("c").cast("double") / col("n")
+    val ent = cc.join(cn, "doc_id").groupBy("doc_id")
+      .agg(round(-dsum(round(pch * log(pch), 9), 9), 4).as("se"))
+    val qual = docs.select(col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("sq"))
+    val sc = Dedup.persistTracked(qual.join(ent, "doc_id"))
+    // rank tables run their windows over DISTINCT quantized scores —
+    // bounded rows, so the single-partition window is fine at scale
+    def ranks(scoreCol: String, rankCol: String) =
+      sc.groupBy(scoreCol).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(scoreCol)))
+        .select(col(scoreCol), (col("cum") - col("c") + (col("c") + 1) / 2.0).as(rankCol))
+    val rk = sc
+      .join(broadcast(ranks("sq", "x")), "sq")
+      .join(broadcast(ranks("se", "y")), "se")
+    val m = rk.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,4)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,4)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(28,4)")).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(28,4)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(28,4)")).cast("double").as("syy"))
+    m.select(col("n").as("n_docs"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("spearman_rho"))
   }
 
   // --- q191: character-entropy quality proxy -------------------------------

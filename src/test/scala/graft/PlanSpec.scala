@@ -542,6 +542,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("char entropy is one generator explode + map-side-combined keyed aggregate") {
+    val p = plan("q191_char_entropy")
+    // the (doc, char) aggregate must partial-combine before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    // the three consumers read the persisted cc, not three explodes
+    assert(p.contains("InMemoryTableScan"))
+  }
+
+  test("skip-gram pairs join on (doc, position) equi-keys, never a theta join") {
+    val p = plan("q194_skipgram_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+    // bounded output: top-50 via TakeOrderedAndProject, no global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("heaps growth joins the 7-row checkpoint broadcast, no cartesian product") {
+    val p = plan("q192_heaps_growth")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the <= theta-joins must put the 7 checkpoints on the broadcast side
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("vocab KL drift keeps the vocab broadcast and the token aggregate partial") {
+    val p = plan("q196_vocab_kl_drift")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("scorer agreement ranks via bounded distinct-score tables joined back broadcast") {
+    val p = plan("q198_scorer_agreement")
+    // rank tables (bounded by 4-dp quantization) broadcast back to docs
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
