@@ -14,7 +14,65 @@ object Etl {
   val all: Seq[Q] = Seq(sha2Anonymize, ageBucket, validity, mergeUpsert, surrogateKeys, dpLaplace,
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
-    keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery)
+    keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
+    fdDiscovery)
+
+  // --- q199: approximate functional-dependency discovery --------------------
+  // Schema profiling's other half next to q188's FK inclusion: for
+  // candidate column pairs X→Y, the g3 error — the minimum fraction
+  // of rows to delete before X determines Y (0 = exact FD). One scan:
+  // each row explodes into the BOUNDED pair list (|pairs| = 6 here —
+  // never columns², the caller curates candidates), then two keyed
+  // aggregates: (pair, x, y) counts → per-(pair, x) keep max → per
+  // pair violations / N. Derived columns (year, price band) slot in
+  // as just more candidates.
+  def fdDiscovery: Q = Q(
+    "q199_fd_discovery",
+    """WITH base AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+      |    CAST(year(o_orderdate) AS VARCHAR) AS yr,
+      |    CASE WHEN o_totalprice > 1000 THEN 'hi' ELSE 'lo' END AS band
+      |  FROM orders),
+      |pairs AS (SELECT t.u.pid AS pid, t.u.x AS x, t.u.y AS y FROM base, UNNEST([
+      |    {'pid': 'status->priority', 'x': st, 'y': pr},
+      |    {'pid': 'priority->status', 'x': pr, 'y': st},
+      |    {'pid': 'year->status',     'x': yr, 'y': st},
+      |    {'pid': 'status->band',     'x': st, 'y': band},
+      |    {'pid': 'band->status',     'x': band, 'y': st},
+      |    {'pid': 'year->band',       'x': yr, 'y': band}]) AS t(u)),
+      |cxy AS (SELECT pid, x, y, count(*) AS c FROM pairs GROUP BY pid, x, y),
+      |cx AS (SELECT pid, x, sum(c) AS tot, max(c) AS keep FROM cxy GROUP BY pid, x),
+      |g AS (SELECT pid, CAST(sum(tot) AS BIGINT) AS n,
+      |             CAST(sum(tot - keep) AS BIGINT) AS violations,
+      |             CAST(count(*) AS BIGINT) AS n_lhs_values
+      |      FROM cx GROUP BY pid)
+      |SELECT pid, n, n_lhs_values, violations,
+      |  round(CAST(violations AS DOUBLE) / n, 6) AS g3_error
+      |FROM g ORDER BY pid""".stripMargin,
+  ) { (s, dir) =>
+    val base = Tables.orders(s, dir).select(
+      col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+      year(col("o_orderdate")).cast("string").as("yr"),
+      when(col("o_totalprice") > 1000, "hi").otherwise("lo").as("band"))
+    def cand(pid: String, x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(lit(pid).as("pid"), x.as("x"), y.as("y"))
+    val pairs = base.select(explode(array(
+        cand("status->priority", col("st"), col("pr")),
+        cand("priority->status", col("pr"), col("st")),
+        cand("year->status", col("yr"), col("st")),
+        cand("status->band", col("st"), col("band")),
+        cand("band->status", col("band"), col("st")),
+        cand("year->band", col("yr"), col("band")))).as("u"))
+      .select(col("u.pid").as("pid"), col("u.x").as("x"), col("u.y").as("y"))
+    val cxy = pairs.groupBy("pid", "x", "y").agg(count(lit(1)).as("c"))
+    val cx = cxy.groupBy("pid", "x")
+      .agg(sum(col("c")).as("tot"), max(col("c")).as("keep"))
+    cx.groupBy("pid").agg(sum(col("tot")).as("n"),
+        sum(col("tot") - col("keep")).as("violations"),
+        count(lit(1)).as("n_lhs_values"))
+      .select(col("pid"), col("n"), col("n_lhs_values"), col("violations"),
+        round(col("violations").cast("double") / col("n"), 6).as("g3_error"))
+      .orderBy("pid")
+  }
 
   // --- q187: monthly fulfillment lead-time trend ----------------------------
   // "Is shipping getting slower?" answered at the percentile level:

@@ -12,7 +12,64 @@ object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
-    bootstrapCi, psiDrift, classifierMetrics, trimmedMean)
+    bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain)
+
+  // --- q200: per-dimension information gain vs label ------------------------
+  // Feature selection's first question: which embedding dimensions
+  // carry label information? IG_i = H(label) − H(label | sign(x_i)) —
+  // the decision-stump split criterion, computed relationally: one
+  // posexplode feeds (dim, bucket, label) counts (map-side combined),
+  // every entropy is a sum of −p·ln p terms over count ratios, 9-dp
+  // rounded before DECIMAL sums (the q162 idiom). Corpus-scale work is
+  // the one explode; everything after runs on dims×2×|labels| rows.
+  def infoGain: Q = Q(
+    "q200_info_gain",
+    """WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |    CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 THEN 'p' ELSE 'n' END AS b,
+      |    label
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |hl AS (SELECT CAST(sum(CAST(round(
+      |      (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS negh
+      |  FROM (SELECT label, count(*) AS c FROM embeddings GROUP BY label)
+      |  CROSS JOIN n),
+      |nbl AS (SELECT i, b, label, count(*) AS c FROM dims GROUP BY i, b, label),
+      |nb AS (SELECT i, b, CAST(sum(c) AS BIGINT) AS nb FROM nbl GROUP BY i, b),
+      |hcond AS (SELECT nbl.i,
+      |    CAST(sum(CAST(round(
+      |      (CAST(nbl.c AS DOUBLE) / n.n)
+      |        * ln(CAST(nbl.c AS DOUBLE) / nb.nb), 9)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS negc
+      |  FROM nbl JOIN nb ON nb.i = nbl.i AND nb.b = nbl.b CROSS JOIN n
+      |  GROUP BY nbl.i)
+      |SELECT hcond.i AS dim, round(-hl.negh, 6) AS h_label,
+      |  round(-hl.negh - (-hcond.negc), 6) AS info_gain
+      |FROM hcond CROSS JOIN hl ORDER BY dim""".stripMargin,
+  ) { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val dims = embs
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+        when(col("xf").cast("double") >= 0, "p").otherwise("n").as("b"), col("label"))
+    val n = embs.agg(count(lit(1)).as("n"))
+    val pl = col("c").cast("double") / col("n")
+    val hl = embs.groupBy("label").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .agg(dsum(round(pl * log(pl), 9), 9).as("negh"))
+    val nbl = graft.dedup.Dedup.persistTracked(
+      dims.groupBy("i", "b", "label").agg(count(lit(1)).as("c")))
+    val nb = nbl.groupBy("i", "b").agg(sum(col("c")).as("nb"))
+    val hcond = nbl.join(nb, Seq("i", "b")).crossJoin(broadcast(n))
+      .groupBy("i")
+      .agg(dsum(round((col("c").cast("double") / col("n"))
+        * log(col("c").cast("double") / col("nb")), 9), 9).as("negc"))
+    hcond.crossJoin(broadcast(hl))
+      .select(col("i").as("dim"), round(-col("negh"), 6).as("h_label"),
+        round(-col("negh") + col("negc"), 6).as("info_gain"))
+      .orderBy("dim")
+  }
 
   // --- q150: trimmed and winsorized means ----------------------------------
   // The robust-location pair next to q128's MAD: drop (trimmed) or
