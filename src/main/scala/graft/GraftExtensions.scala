@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, RollingHash, SqDist}
+import graft.functions.{CharEntropy, DotProduct, RollingHash, SqDist}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * codegen expressions with the SQL function registry, so
@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SqDist(children(0), children(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharEntropy(children.head),
     ))
   }
 }

@@ -968,19 +968,12 @@ object Text {
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val chars = docs.filter(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-    val cc = Dedup.persistTracked(
-      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
-    val cn = cc.groupBy("doc_id").agg(sum(col("c")).as("n"))
-    val pch = col("c").cast("double") / col("n")
-    val ent = cc.join(cn, "doc_id").groupBy("doc_id")
-      .agg(round(-dsum(round(pch * log(pch), 9), 9), 4).as("se"))
-    val qual = docs.select(col("doc_id"),
-      round(TextAnalysis.qualityScore(col("text")), 4).as("sq"))
-    val sc = Dedup.persistTracked(qual.join(ent, "doc_id"))
+    // both scores are per-row expressions (the entropy via the codegen
+    // CharEntropy pass) — no explode, no join between them
+    val sc = Dedup.persistTracked(docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+        round(-graft.functions.CharEntropy(col("text")).getField("negent"), 4).as("se")))
     // rank tables run their windows over DISTINCT quantized scores —
     // bounded rows, so the single-partition window is fine at scale
     def ranks(scoreCol: String, rankCol: String) =
@@ -1007,13 +1000,13 @@ object Text {
   // machine-generated or repetitive text by how well it compresses)
   // without the compressor: Shannon entropy of the per-doc character
   // distribution — boilerplate and template spam sit far below natural
-  // text. Characters come from a position explode (sequence +
-  // substring — identical semantics in both engines, unlike
-  // split-on-empty whose trailing-element rules differ), the (doc,
-  // char) aggregate collapses map-side, and each −p·ln p term is
-  // 9-dp-rounded before the DECIMAL per-doc sum so the entropy is
-  // associative-exact. One linear explode, one keyed aggregate —
-  // the q35 token-count shape, so it holds at corpus scale.
+  // text. A document's characters all live in its own row, so this is
+  // a PURE PER-ROW map: the native codegen
+  // [[graft.functions.CharEntropy]] expression computes counts and
+  // the 9-dp-rounded −p·ln p term sum in one local pass (scaled-long
+  // decimal arithmetic, bit-identical to the oracle's explode +
+  // DECIMAL-sum formulation) — zero exchanges before the final sort,
+  // where the first implementation shuffled one row per character.
   def charEntropy: Q = Q(
     "q191_char_entropy",
     """WITH chars AS (
@@ -1032,25 +1025,13 @@ object Text {
       |FROM h JOIN n USING (doc_id)
       |ORDER BY h.doc_id""".stripMargin,
   ) { (s, dir) =>
-    val chars = Tables.documents(s, dir)
-      // empty docs: sequence(1,0) DESCENDS where range() is empty (the
-      // q153 cross-engine trap) — guard before the explode
+    Tables.documents(s, dir)
+      // the oracle's WHERE len >= 1 emits no row for empty docs
       .filter(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-    // three consumers (n, h's join side, the final n join) — one explode
-    val cc = Dedup.persistTracked(
-      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
-    val n = cc.groupBy("doc_id").agg(sum(col("c")).as("n"),
-      count(lit(1)).as("distinct_chars"))
-    val p = col("c").cast("double") / col("n")
-    val h = cc.join(n, "doc_id")
-      .groupBy("doc_id").agg(dsum(round(p * log(p), 9), 9).as("negent"))
-    h.join(n.select(col("doc_id"), col("n").as("n_chars_counted"), col("distinct_chars")),
-        "doc_id")
-      .select(col("doc_id"), col("n_chars_counted"), col("distinct_chars"),
-        round(-col("negent"), 6).as("entropy_nats"))
+      .select(col("doc_id"), graft.functions.CharEntropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_chars").as("n_chars_counted"),
+        col("e.distinct_chars").as("distinct_chars"),
+        round(-col("e.negent"), 6).as("entropy_nats"))
       .orderBy("doc_id")
   }
 }

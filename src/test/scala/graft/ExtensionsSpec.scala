@@ -26,6 +26,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaColumn === viaSql)
   }
 
+  test("char_entropy evaluates identically through SQL and the Column API") {
+    val sess = spark.newSession()
+    sess.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => functions.CharEntropy(exprs.head), "built-in")
+    val viaSql = sess.sql("SELECT char_entropy('aab').n_chars AS n").head().getLong(0)
+    assert(viaSql === 3L)
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumn = Seq("aab").toDF("t")
+      .select(functions.CharEntropy(col("t")).getField("n_chars")).head().getLong(0)
+    assert(viaColumn === viaSql)
+  }
+
   test("rolling_hash evaluates identically through SQL and the Column API") {
     val sess = spark.newSession()
     sess.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -542,13 +542,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("char entropy is one generator explode + map-side-combined keyed aggregate") {
+  test("char entropy is a pure per-row codegen pass — no explode, no aggregate") {
     val p = plan("q191_char_entropy")
-    // the (doc, char) aggregate must partial-combine before the exchange
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
-    assert(!p.contains("CartesianProduct"))
-    // the three consumers read the persisted cc, not three explodes
-    assert(p.contains("InMemoryTableScan"))
+    // the CharEntropy expression keeps the per-character work inside
+    // the row: nothing may shuffle except the final total-order sort
+    assert(p.contains("char_entropy"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(!p.contains("HashAggregate"), p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500)) // the sort's range exchange
   }
 
   test("skip-gram pairs join on (doc, position) equi-keys, never a theta join") {

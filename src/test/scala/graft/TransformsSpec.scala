@@ -77,4 +77,45 @@ class TransformsSpec extends SparkSpec {
       .withColumn("valid", Transforms.validRecord(Seq(col("k"), col("v"))))
     assert(df.filter(col("valid") =!= col("expected")).count() === 0)
   }
+
+  test("CharEntropy matches hand-computed fixtures, code points, and the aggregate form") {
+    import graft.functions.CharEntropy
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r9(d: Double): Double = JBD.valueOf(d).setScale(9, RoundingMode.HALF_UP).doubleValue
+
+    // "aab": p(a)=2/3, p(b)=1/3; terms rounded at 9 dp then summed AS
+    // DECIMALS (double addition of the rounded terms is 1 ulp off —
+    // exactly the error the decimal discipline exists to kill)
+    val negAab = JBD.valueOf(r9(2.0 / 3 * math.log(2.0 / 3)))
+      .add(JBD.valueOf(r9(1.0 / 3 * math.log(1.0 / 3)))).doubleValue
+    val rows = Seq("aab", "aaaa", "", "𝄞a").toDF("text")
+      .select(col("text"), CharEntropy(col("text")).as("e"))
+      .select(col("text"), col("e.n_chars"), col("e.distinct_chars"), col("e.negent"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("aab") === ((3L, 2L, negAab)))
+    assert(rows("aaaa") === ((4L, 1L, 0.0))) // single symbol: p=1, ln 1 = 0
+    assert(rows("") === ((0L, 0L, 0.0)))
+    // the clef is one supplementary code point (a surrogate PAIR in
+    // UTF-16) — counted once, like DuckDB's len()
+    assert(rows("𝄞a")._1 === 2L)
+    assert(rows("𝄞a")._2 === 2L)
+
+    // bit-equality with the explode + DECIMAL-sum formulation the
+    // oracle uses, over real corpus docs
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val viaExpr = docs.select(col("doc_id"), CharEntropy(col("text")).getField("negent").as("x"))
+    val viaAgg = docs
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(graft.queries.dsum(
+        round((col("c") / col("n")) * log(col("c") / col("n")), 9), 9).as("x"))
+    val joined = viaExpr.as("a").join(viaAgg.as("b"), "doc_id")
+      .filter(col("a.x") =!= col("b.x"))
+    assert(joined.count() === 0)
+  }
 }
