@@ -125,30 +125,46 @@ object Embeddings {
   // --- q167: label-noise detection via kNN label agreement -----------------
   // Confident-learning-lite for labeled embedding corpora: a vector
   // whose nearest neighbors mostly carry a DIFFERENT label is a
-  // mislabel suspect. Neighbors come from the LSH bucket collisions
-  // (the q47/q124 candidate law — a keyed self-join on (table,
-  // bucket), never all-pairs), ranked per vector by rounded cosine
-  // with id tie-break, top-5 kept by a window over the bounded
-  // candidate pool. Fully oracle-checked because the hyperplanes are
-  // (seed, dim) constants the SQL re-embeds as literals — the
-  // approximation's candidate set itself is verified, not just row
-  // counts.
+  // mislabel suspect. Runs over DISTINCT vectors: exact copies
+  // collapse to a min-id representative BEFORE bucketing (the
+  // lshNearDupPairs preDedup stance — k copies otherwise yield k²
+  // candidate pairs inside every table, and no amount of hash bits
+  // splits identical vectors: the hot-key corpus measured the
+  // ungrouped form at 51× on 8× duplicates). Duplicate groups whose
+  // members carry CONFLICTING labels are themselves label noise and
+  // are flagged directly (`intra_conflict`); neighbor agreement then
+  // runs on representatives via the LSH bucket collisions (q47/q124
+  // candidate law), a deterministic 250-candidate budget per vector
+  // (trimmed counts surface as an observed metric), rounded-cosine
+  // ranking with id tie-break, top-5 by a window over the bounded
+  // pool. Fully oracle-checked — the hyperplanes are (seed, dim)
+  // constants the SQL re-embeds as literals, so the approximation's
+  // candidate set itself is verified.
   def labelNoise: Q = Q(
     "q167_label_noise",
-    s"""WITH b AS (${sqlBucketCte("embeddings")}),
+    s"""WITH grp AS (SELECT embedding, min(vec_id) AS vec_id, min(label) AS label,
+       |    count(*) AS n_members, count(DISTINCT label) AS n_labels
+       |  FROM embeddings GROUP BY embedding),
+       |b AS (${sqlBucketCte("grp")}),
        |sk0 AS (${(0 until Similarity.Tables)
         .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM b")
         .mkString("\n       UNION ALL ")}),
        |hot AS (SELECT t, bucket FROM sk0 GROUP BY t, bucket HAVING count(*) > 2000),
        |sk AS (SELECT * FROM sk0 WHERE NOT EXISTS
        |       (SELECT 1 FROM hot h WHERE h.t = sk0.t AND h.bucket = sk0.bucket)),
-       |candh AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |candh0 AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
        |          FROM sk a JOIN sk c ON a.t = c.t AND a.bucket = c.bucket
        |            AND a.vec_id < c.vec_id),
+       |candra AS (SELECT id_a, id_b,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS ra FROM candh0),
+       |canda AS (SELECT id_a, id_b FROM candra WHERE ra <= 250),
+       |candrb AS (SELECT id_a, id_b,
+       |    row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rb FROM canda),
+       |candh AS (SELECT id_a, id_b FROM candrb WHERE rb <= 250),
        |scoredh AS (SELECT candh.id_a, candh.id_b,
        |    round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cs
-       |  FROM candh JOIN embeddings ea ON ea.vec_id = candh.id_a
-       |             JOIN embeddings eb ON eb.vec_id = candh.id_b),
+       |  FROM candh JOIN grp ea ON ea.vec_id = candh.id_a
+       |             JOIN grp eb ON eb.vec_id = candh.id_b),
        |scored AS (SELECT id_a, id_b, cs FROM scoredh
        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b, cs FROM scoredh),
        |top AS (SELECT id_a, id_b FROM (
@@ -158,36 +174,59 @@ object Embeddings {
        |agg AS (SELECT t.id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
        |    CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_agree
-       |  FROM top t JOIN embeddings la ON la.vec_id = t.id_a
-       |             JOIN embeddings lb ON lb.vec_id = t.id_b
+       |  FROM top t JOIN grp la ON la.vec_id = t.id_a
+       |             JOIN grp lb ON lb.vec_id = t.id_b
        |  GROUP BY 1)
-       |SELECT a.vec_id, e.label, n_neighbors, n_agree,
+       |SELECT a.vec_id, e.label, CAST(e.n_members AS BIGINT) AS n_members,
+       |  e.n_labels > 1 AS intra_conflict, n_neighbors, n_agree,
        |  round(CAST(n_agree AS DOUBLE) / n_neighbors, 6) AS agreement,
        |  CAST(n_agree AS DOUBLE) / n_neighbors < 0.4 AS flagged
-       |FROM agg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |FROM agg a JOIN grp e ON e.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin,
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, dir)
+    // exact-representative grouping: candidate generation is linear in
+    // DISTINCT vectors no matter how duplicated the corpus is
+    val grp = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .groupBy("embedding")
+      .agg(min(col("vec_id")).as("vec_id"), min(col("label")).as("label"),
+        count(lit(1)).as("n_members"), countDistinct(col("label")).as("n_labels")))
     // sketches feed the hot-bucket aggregate and BOTH sides of the
     // candidate self-join; norms feed both probe joins — persist, the
-    // lshNearDupPairs stance. The cap bounds per-bucket fan-out (and
-    // at real scale BitsPerTable grows with log|corpus| so occupancy
-    // stays bounded before the cap even triggers).
+    // lshNearDupPairs stance. The bucket cap bounds NEAR-dup fan-out
+    // (at real scale BitsPerTable grows with log|corpus| so occupancy
+    // stays bounded before the cap even triggers); exact-dup fan-out
+    // is already gone via grp.
     val sk0 = graft.dedup.Dedup.persistTracked(
-      Similarity.sketches(e, "vec_id", "embedding"))
+      Similarity.sketches(grp, "vec_id", "embedding"))
     val hot = sk0.groupBy("table_id", "bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > 2000)
     val sk = sk0.join(hot.select("table_id", "bucket"),
       Seq("table_id", "bucket"), "left_anti")
     // candidates deduped as ORDERED pairs (half the distinct shuffle),
     // each cosine computed once, then symmetrized — cos is symmetric
-    val candHalf = sk.select(col("vec_id").as("id_a"), col("table_id"), col("bucket"))
+    val candHalf0 = sk.select(col("vec_id").as("id_a"), col("table_id"), col("bucket"))
       .join(sk.select(col("vec_id").as("id_b"), col("table_id"), col("bucket")),
         Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val norms = graft.dedup.Dedup.persistTracked(e.select(col("vec_id"),
+    // deterministic per-vector candidate BUDGET (smallest partner ids
+    // first), capped on BOTH pair directions so the surviving set
+    // stays symmetric and each cosine is still computed once; trimmed
+    // counts surface as an observed metric through the graft_dedup
+    // listener
+    val CandBudget = 250
+    val withRa = candHalf0.withColumn("ra",
+      row_number().over(Window.partitionBy("id_a").orderBy("id_b")))
+    val obsName = s"graft_dedup__labelNoiseCand_cap${CandBudget}_h" +
+      withRa.queryExecution.analyzed.semanticHash()
+    val candHalf = withRa
+      .observe(obsName, count(when(col("ra") > CandBudget, 1)).as("n_hot"))
+      .filter(col("ra") <= CandBudget).drop("ra")
+      .withColumn("rb",
+        row_number().over(Window.partitionBy("id_b").orderBy("id_a")))
+      .filter(col("rb") <= CandBudget).drop("rb")
+    val norms = graft.dedup.Dedup.persistTracked(grp.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"),
       Similarity.norm(Similarity.asDouble(col("embedding"))).as("nr")))
     def withNorm(id: String) = norms.toDF(id, s"v_$id", s"n_$id")
@@ -202,13 +241,16 @@ object Embeddings {
       .withColumn("rk", row_number().over(
         Window.partitionBy("id_a").orderBy(col("cs").desc, col("id_b"))))
       .filter(col("rk") <= 5)
-    val labels = e.select("vec_id", "label")
+    val labels = grp.select("vec_id", "label")
     top.join(labels.toDF("id_a", "la"), "id_a")
       .join(labels.toDF("id_b", "lb"), "id_b")
       .groupBy(col("id_a").as("vec_id"), col("la").as("label"))
       .agg(count(lit(1)).as("n_neighbors"),
         sum(when(col("la") === col("lb"), 1).otherwise(0)).as("n_agree"))
-      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_agree"),
+      .join(grp.select(col("vec_id"), col("n_members"), (col("n_labels") > 1).as("intra_conflict")),
+        "vec_id")
+      .select(col("vec_id"), col("label"), col("n_members"), col("intra_conflict"),
+        col("n_neighbors"), col("n_agree"),
         round(col("n_agree").cast("double") / col("n_neighbors"), 6).as("agreement"),
         (col("n_agree").cast("double") / col("n_neighbors") < 0.4).as("flagged"))
       .orderBy("vec_id")

@@ -17,7 +17,7 @@ object Text {
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
-    charEntropy, scorerAgreement)
+    charEntropy, scorerAgreement, streamingQualityFilter)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -582,6 +582,60 @@ object Text {
     try q.processAllAvailable() finally q.stop()
     val out = s.table(sink).select("keep_doc_id", "copies")
       .orderBy("keep_doc_id").localCheckpoint(true)
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Dedup.trackRdd(lr.rdd)
+      case _ => ()
+    }
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  // --- q201: streaming quality filter ---------------------------------------
+  // The ingest-time quality gate: documents stream in, per-row
+  // heuristic quality AND the codegen [[graft.functions.CharEntropy]]
+  // entropy proxy are computed inside the stream, and only docs over
+  // both thresholds pass. Entirely stateless (pure per-row
+  // expressions — the q191 rewrite is what makes the entropy side
+  // streamable at all), so it runs in append mode with no state
+  // store; the oracle is the batch twin, proving the streaming plan
+  // computes bit-identical values.
+  def streamingQualityFilter: Q = Q(
+    "q201_streaming_quality_filter",
+    s"""WITH chars AS (
+       |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+       |  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)
+       |  WHERE len(text) >= 1),
+       |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+       |cn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+       |ent AS (SELECT cc.doc_id, round(-CAST(sum(CAST(
+       |    round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+       |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy_nats
+       |  FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id),
+       |q AS (SELECT doc_id,
+       |    round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.5
+       |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop)))
+       |          AS DOUBLE) / len(string_split(text, ' '))) * 0.5, 4) AS quality
+       |  FROM documents)
+       |SELECT q.doc_id, q.quality, ent.entropy_nats
+       |FROM q JOIN ent ON ent.doc_id = q.doc_id
+       |WHERE q.quality > 0.9 AND ent.entropy_nats > 2.8
+       |ORDER BY q.doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe only
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        round(-graft.functions.CharEntropy(col("text")).getField("negent"), 6)
+          .as("entropy_nats"))
+      .filter(col("quality") > 0.9 && col("entropy_nats") > 2.8)
+    val sink = s"graft_stream_quality_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink).select("doc_id", "quality", "entropy_nats")
+      .orderBy("doc_id").localCheckpoint(true)
     out.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Dedup.trackRdd(lr.rdd)
       case _ => ()

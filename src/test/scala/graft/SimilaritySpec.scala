@@ -230,4 +230,32 @@ class SimilaritySpec extends SparkSpec {
       s"novelty gate is not keyed:\n$plan")
     graft.dedup.Dedup.clearCaches(spark)
   }
+
+  test("q167 collapses exact-duplicate vectors and flags label-conflicted groups") {
+    // 1000 copies of one vector — 200 of them mislabeled — plus a few
+    // distinct vectors. Ungrouped, the copies alone would generate
+    // ~10⁶ candidate pairs per LSH table; grouped, the whole corpus is
+    // 4 representatives, and the conflicting labels inside the
+    // duplicate group surface as intra_conflict.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ln").toString
+    val base = Array.tabulate(Similarity.Dim)(i => (i + 1).toFloat)
+    val copies = (0 until 1000).map(i =>
+      (100L + i, base, if (i < 800) 1 else 2)) // 200 mislabels
+    def unit(j: Int) = Array.tabulate(Similarity.Dim)(i => if (i == j) 1f else 0f)
+    val others = Seq((1L, unit(0), 1), (2L, unit(1), 1), (3L, unit(2), 2))
+    (copies ++ others).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q167_label_noise")(spark, dir).collect()
+    // rows are keyed by min-id REPRESENTATIVES only (vectors without
+    // any bucket collision legitimately produce no row — inner join,
+    // unchanged semantics): none of the 999 non-rep copy ids may appear
+    assert(out.nonEmpty && out.forall(r => Set(1L, 2L, 3L, 100L)(r.getAs[Long]("vec_id"))),
+      out.mkString("\n"))
+    val dupRow = out.find(_.getAs[Long]("vec_id") == 100L).get
+    assert(dupRow.getAs[Long]("n_members") === 1000L)
+    assert(dupRow.getAs[Boolean]("intra_conflict")) // 800×label-1 + 200×label-2
+    assert(out.filter(_.getAs[Long]("vec_id") != 100L)
+      .forall(r => r.getAs[Long]("n_members") == 1L && !r.getAs[Boolean]("intra_conflict")))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
 }
