@@ -268,12 +268,14 @@ object Embeddings {
   // anywhere (the q72 hash-sampling stance applied to pairs).
   def negativeSampling: Q = Q(
     "q164_negative_sampling",
-    """WITH a AS (SELECT vec_id, label,
-      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS b
-      |  FROM embeddings WHERE vec_id % 10 = 0),
-      |t AS (SELECT vec_id, label,
-      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS b
+    """WITH nb AS (SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS INTEGER)) AS nb
       |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |a AS (SELECT vec_id, label,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % nb AS b
+      |  FROM embeddings CROSS JOIN nb WHERE vec_id % 10 = 0),
+      |t AS (SELECT vec_id, label,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % nb AS b
+      |  FROM embeddings CROSS JOIN nb WHERE vec_id % 10 <> 0),
       |p AS (SELECT a.vec_id AS anchor_id, t.vec_id AS neg_id,
       |    row_number() OVER (PARTITION BY a.vec_id
       |      ORDER BY md5(CAST(a.vec_id AS VARCHAR) || '_' || CAST(t.vec_id AS VARCHAR)),
@@ -285,9 +287,19 @@ object Embeddings {
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    def bucketed(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"), col("label"),
-      (conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
-        .cast("int") % 8).as("b"))
+    // SELF-TUNING bucket count: nb = max(8, ceil(candidates/256)) — a
+    // pure function of the corpus, so both engines derive it — keeps
+    // the per-anchor pool ~constant (≈256/|labels|) as the corpus
+    // grows. A FIXED count made the pool linear in corpus size and the
+    // pair join quadratic (the hot-key sweep measured 12.7× on 8×
+    // data); this is the documented "scale the bucket count with the
+    // corpus" lever, now implemented instead of narrated.
+    val nb = e.filter(col("vec_id") % 10 =!= 0)
+      .agg(greatest(lit(8), ceil(count(lit(1)) / 256.0).cast("int")).as("nb"))
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df.crossJoin(broadcast(nb))
+      .select(col("vec_id"), col("label"),
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % col("nb")).as("b"))
     val anchors = bucketed(e.filter(col("vec_id") % 10 === 0))
       .toDF("anchor_id", "a_label", "b")
     val cands = bucketed(e.filter(col("vec_id") % 10 =!= 0))
