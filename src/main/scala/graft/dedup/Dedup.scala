@@ -305,9 +305,15 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
       .filter(col("__rk") <=
         col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-      .select(col(idCol), col("sh_h")))
-    val cand = prefix.toDF("id_a", "sh_h").join(prefix.toDF("id_b", "sh_h"), Seq("sh_h"))
+      .select(col(idCol), col("sh_h"), col("__n")))
+    // PPJoin length filter (lossless): J(A,B) ≥ t ⇒ |min| ≥ ⌈t·|max|⌉
+    // (I ≤ |min| and J ≤ |min|/|max|) — prunes cross-length candidates
+    // before the distinct and the verification fan-out
+    val cand = prefix.toDF("id_a", "sh_h", "__na")
+      .join(prefix.toDF("id_b", "sh_h", "__nb"), Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")) >=
+        ceil(lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
     // exact verification against the FULL sets: two keyed joins
     val inter = cand

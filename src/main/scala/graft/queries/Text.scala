@@ -148,12 +148,19 @@ object Text {
   }
 
   // --- q142: prefix-filtered exact Jaccard pairs ---------------------------
-  // q40's result through the PPJoin-style scale path: candidates come
-  // only from each doc's rarest-shingle prefix (length
+  // q40's computation through the PPJoin-style scale path: candidates
+  // come only from each doc's rarest-shingle prefix (length
   // |X| − ⌈t·|X|⌉ + 1 in the global (df, hash) order — a lossless
-  // filter for Jaccard ≥ t), exact-verified against the full sets.
-  // The oracle is q40's plain inverted-index SQL, so a green hash IS
-  // the machine-checked proof that prefix filtering lost nothing.
+  // filter for Jaccard ≥ t) plus the lossless length filter,
+  // exact-verified against the full sets. The oracle is q40's plain
+  // inverted-index SQL at the same threshold, so a green hash IS the
+  // machine-checked proof that prefix filtering lost nothing.
+  // Runs at t = 0.8, the prefix filter's DESIGN POINT: the prefix is
+  // then ~20% of each set and lands on the rare tail, so candidates
+  // collapse to near-true-pairs. At t = 0.5 the prefix is half of
+  // every set and the verification fan-out EXCEEDS the plain join's
+  // direct aggregation — measured head-to-head in BENCH_NOTES
+  // (round 7); below ~0.7, use q40's shape.
   def ngramJaccardPrefix: Q = Q(
     "q142_ngram_jaccard_prefix",
     """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
@@ -172,10 +179,10 @@ object Text {
       |FROM pairs
       |JOIN sz sa ON sa.doc_id = id_a
       |JOIN sz sb ON sb.doc_id = id_b
-      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
   ) { (s, dir) =>
-    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
       .orderBy("id_a", "id_b")
   }
 
