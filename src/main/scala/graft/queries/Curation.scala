@@ -16,7 +16,7 @@ object Curation {
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
-    clusterSurvivors, clusterSourceMix)
+    clusterSurvivors, clusterSourceMix, dedupSavings)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -181,6 +181,72 @@ object Curation {
       .select(col("csz").as("cluster_size"), col("nsrc").as("n_sources"),
         col("n_clusters"))
       .orderBy("cluster_size", "n_sources")
+  }
+
+  // --- q203: per-source dedup savings report ---------------------------------
+  // The accounting line every dedup run owes its owner: token and doc
+  // counts before vs after (exact + near-dup components, min-id
+  // survivors — q71's convention, where cluster_id IS the surviving
+  // doc id), by source. Two keyed aggregates over the shared
+  // components handle joined to per-doc token counts; nothing rescans
+  // text beyond the one token-count projection.
+  def dedupSavings: Q = Q(
+    "q203_dedup_savings",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      |dt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS ntok FROM documents),
+      |agg AS (SELECT dt.source,
+      |    count(*) AS docs_before,
+      |    CAST(sum(ntok) AS BIGINT) AS tokens_before,
+      |    count(*) FILTER (WHERE cl.doc_id = cl.cluster_id) AS docs_after,
+      |    CAST(coalesce(sum(ntok) FILTER (WHERE cl.doc_id = cl.cluster_id), 0)
+      |      AS BIGINT) AS tokens_after
+      |  FROM dt JOIN cl ON cl.doc_id = dt.doc_id GROUP BY dt.source)
+      |SELECT source, CAST(docs_before AS BIGINT) AS docs_before,
+      |  CAST(docs_after AS BIGINT) AS docs_after, tokens_before, tokens_after,
+      |  round(1.0 - CAST(tokens_after AS DOUBLE) / tokens_before, 6) AS token_savings
+      |FROM agg ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("ntok"))
+    Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+      .join(dt, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("ntok")).as("tokens_before"),
+        count(when(col("doc_id") === col("cluster_id"), 1)).as("docs_after"),
+        coalesce(sum(when(col("doc_id") === col("cluster_id"), col("ntok"))), lit(0L))
+          .as("tokens_after"))
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after"),
+        round(lit(1.0) - col("tokens_after").cast("double") / col("tokens_before"), 6)
+          .as("token_savings"))
+      .orderBy("source")
   }
 
   // --- q169: token-budget mixture allocation (waterfilling) ----------------

@@ -17,7 +17,7 @@ object Text {
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
-    charEntropy, scorerAgreement, streamingQualityFilter)
+    charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -672,6 +672,40 @@ object Text {
       docs.filter(col("doc_id") >= 250),
       "doc_id", "text")
       .orderBy("doc_id")
+  }
+
+  // --- q202: tokenizer fertility by language --------------------------------
+  // The multilingual tokenizer-budget audit: how many subword tokens
+  // (q79's GPT-2-shaped estimate) and characters a language pays per
+  // whitespace word. High-fertility languages burn context window and
+  // training budget; this per-lang roll-up is the number tokenizer
+  // RFCs quote. Pure per-row expressions into one keyed aggregate —
+  // integer sums, exact; divisions are presentation-only.
+  def tokenizerFertility: Q = Q(
+    "q202_tokenizer_fertility",
+    """WITH d AS (SELECT lang,
+      |    len(string_split(text, ' ')) AS n_ws,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_sub,
+      |    length(replace(text, ' ', '')) AS n_ch
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+      |  round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 6) AS subwords_per_word,
+      |  round(CAST(sum(n_ch) AS DOUBLE) / sum(n_ws), 6) AS chars_per_word,
+      |  round(CAST(sum(n_ch) AS DOUBLE) / sum(n_sub), 6) AS chars_per_subword
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("lang"),
+      size(split(col("text"), " ")).as("n_ws"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")).as("n_sub"),
+      length(regexp_replace(col("text"), " ", "")).as("n_ch"))
+    d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws_tokens"), sum(col("n_sub")).as("n_subwords"),
+        round(sum(col("n_sub")).cast("double") / sum(col("n_ws")), 6).as("subwords_per_word"),
+        round(sum(col("n_ch")).cast("double") / sum(col("n_ws")), 6).as("chars_per_word"),
+        round(sum(col("n_ch")).cast("double") / sum(col("n_sub")), 6).as("chars_per_subword"))
+      .orderBy("lang")
   }
 
   // --- q79: BPE-ish token estimation --------------------------------------
