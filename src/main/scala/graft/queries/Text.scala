@@ -17,7 +17,8 @@ object Text {
     incrementalDedup, decontaminateBloom, dupSpans, streamingIncrementalDedup,
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
-    charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility)
+    charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
+    dupSpanIslands)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -860,6 +861,60 @@ object Text {
         round(sum(coalesce(col("is_dup"), lit(0))).cast("double") / count(lit(1)), 4)
           .as("dup_ratio"))
       .orderBy("doc_id")
+  }
+
+  // --- q204: maximal duplicated-span extraction ------------------------------
+  // q95 counts duplicated 8-token windows; this emits the REMOVAL
+  // PLAN: adjacent duplicated window positions merged into maximal
+  // spans (the exact-substring-dedup output shape — the token ranges
+  // a cut pass deletes). Classic gaps-and-islands: island key =
+  // position − row_number within the doc's duplicated positions; the
+  // window runs per doc over its duplicated positions only (bounded
+  // by doc length), never corpus-wide. Carries positions through the
+  // explode (q95's table drops them), so the two queries share the
+  // scan shape but not the persisted subtree.
+  def dupSpanIslands: Q = Q(
+    "q204_dup_span_islands",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |        array_to_string(t[i:i+7], ' ') AS win
+      |      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |      WHERE len(t) >= 8),
+      |dup AS (SELECT win FROM w GROUP BY win
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |dpos AS (SELECT doc_id, i FROM w JOIN dup USING (win)),
+      |isl AS (SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM dpos)
+      |SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows,
+      |  max(i) + 7 - min(i) + 1 AS span_tokens
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val wins = Dedup.persistTracked(
+      Tables.documents(s, dir)
+        .filter(size(toks) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(toks) - 7),
+            i => struct(i.cast("long").as("i"),
+              xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("h")))).as("u"))
+        .select(col("doc_id"), col("u.i").as("i"), col("u.h").as("h")))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    wins.join(dup, Seq("h"))
+      .withColumn("grp",
+        col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + 7).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        (max(col("i")) + 7 - min(col("i")) + 1).as("span_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_windows", "span_tokens")
+      .orderBy("doc_id", "span_start")
   }
 
   // --- q96: streaming incremental dedup (stream-static anti join) ----------
