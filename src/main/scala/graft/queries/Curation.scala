@@ -749,7 +749,8 @@ object Curation {
   // temperature sampling: language l is kept with probability
   // p_l = (min_count / count_l)^(1-α), α = 0.5 — the square-root
   // flattening used for multilingual pretraining mixes. The keep
-  // decision must be a pure function of the key (CLAUDE.md rule 6), so
+  // decision must be a pure function of the key (the registry's
+  // determinism rule: anything stochastic derives from (key, salt)), so
   // the uniform draw is the doc's md5 prefix compared against the
   // language's probability rendered as a 6-hex-digit threshold
   // ('%06x' of floor(p·16^6) — 6-char-vs-6-char compare is numeric
