@@ -107,11 +107,11 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
         sum(col(xCol) * col(yCol)).as("sxy"), sum(col(xCol) * col(xCol)).as("sxx"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val slope = try_divide((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+      col("n") * col("sxx") - col("sx") * col("sx"))
     m.select(col(groupCol), col("n"),
-      round(slope, 6).as("slope"),
-      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      graft.queries.znorm(round(slope, 6)).as("slope"),
+      graft.queries.znorm(round((col("sy") - slope * col("sx")) / col("n"), 6)).as("intercept"))
   }
 
   /** Kaplan-Meier survival curve under right-censoring. Input: one row

@@ -45,8 +45,8 @@ object Corpus {
       |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
       |  FROM pts)
       |SELECT CAST(n AS BIGINT) AS n_points,
-      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0 AS intercept
       |FROM m""".stripMargin,
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -61,10 +61,10 @@ object Corpus {
     val m = pts.agg(count(lit(1)).as("n"), dsum(col("x"), 9).as("sx"),
       dsum(col("y"), 9).as("sy"), dsum(round(col("x") * col("y"), 9), 9).as("sxy"),
       dsum(round(col("x") * col("x"), 9), 9).as("sxx"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
-    m.select(col("n").as("n_points"), round(slope, 6).as("slope"),
-      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    val slope = try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+      col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n").as("n_points"), znorm(round(slope, 6)).as("slope"),
+      znorm(round((col("sy") - slope * col("sx")) / col("n"), 6)).as("intercept"))
   }
 
   // --- q153: concat-and-chunk sequence packing -----------------------------
@@ -283,7 +283,7 @@ object Corpus {
       |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
       |  FROM pts)
       |SELECT frac, cutoff AS cutoff_doc, n_tokens, CAST(vocab AS BIGINT) AS vocab,
-      |  round((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) AS beta
+      |  round((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) + 0.0 AS beta
       |FROM pts CROSS JOIN m
       |ORDER BY frac""".stripMargin,
   ) { (s, dir) =>
@@ -308,8 +308,8 @@ object Corpus {
       dsum(round(col("x") * col("x"), 9), 9).as("sxx"))
     pts.crossJoin(broadcast(m))
       .select(col("frac"), col("cutoff").as("cutoff_doc"), col("n_tokens"), col("vocab"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"))
+        znorm(round(try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")), 6)).as("beta"))
       .orderBy("frac")
   }
 

@@ -37,7 +37,7 @@ object Embeddings {
       |SELECT p.i, p.j,
       |  round((ma.n * sxy - ma.sx * mb.sx)
       |    / sqrt((ma.n * ma.sxx - ma.sx * ma.sx) * (ma.n * mb.sxx - mb.sx * mb.sx)), 6)
-      |    AS corr
+      |    + 0.0 AS corr
       |FROM p JOIN m1 ma ON ma.i = p.i JOIN m1 mb ON mb.i = p.j
       |ORDER BY p.i, p.j""".stripMargin,
   ) { (s, dir) =>
@@ -58,9 +58,11 @@ object Embeddings {
     p.join(m1.select(col("i"), col("sx").as("sx_i"), col("sxx").as("sxx_i"), col("n")), "i")
       .join(m1.select(col("i").as("j"), col("sx").as("sx_j"), col("sxx").as("sxx_j")), "j")
       .select(col("i"), col("j"),
-        round((col("n") * col("sxy") - col("sx_i") * col("sx_j"))
-          / sqrt((col("n") * col("sxx_i") - col("sx_i") * col("sx_i"))
-            * (col("n") * col("sxx_j") - col("sx_j") * col("sx_j"))), 6).as("corr"))
+        // try_divide: a zero-variance dim must yield NULL (DuckDB's
+        // x/0 semantics), not an ANSI DIVIDE_BY_ZERO crash
+        znorm(round(try_divide(col("n") * col("sxy") - col("sx_i") * col("sx_j"),
+          sqrt((col("n") * col("sxx_i") - col("sx_i") * col("sx_i"))
+            * (col("n") * col("sxx_j") - col("sx_j") * col("sx_j")))), 6)).as("corr"))
       .orderBy("i", "j")
   }
 
@@ -95,7 +97,7 @@ object Embeddings {
       |nv AS (SELECT d.source, count(*) AS n_vecs FROM embeddings e
       |  JOIN documents d ON d.doc_id = e.vec_id GROUP BY d.source)
       |SELECT cos.source, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
-      |  round(dot / (sqrt(mm) * sqrt(gg)), 6) AS centroid_cos
+      |  round(dot / (sqrt(mm) * sqrt(gg)), 6) + 0.0 AS centroid_cos
       |FROM cos JOIN nv ON nv.source = cos.source
       |ORDER BY cos.source""".stripMargin,
   ) { (s, dir) =>
@@ -118,7 +120,8 @@ object Embeddings {
       .groupBy("source").agg(count(lit(1)).as("n_vecs"))
     cos.join(nv, "source")
       .select(col("source"), col("n_vecs"),
-        round(col("dot") / (sqrt(col("mm")) * sqrt(col("gg"))), 6).as("centroid_cos"))
+        znorm(round(try_divide(col("dot"), sqrt(col("mm")) * sqrt(col("gg"))), 6))
+          .as("centroid_cos"))
       .orderBy("source")
   }
 

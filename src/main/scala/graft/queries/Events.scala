@@ -644,8 +644,8 @@ object Events {
       |    CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sxx
       |  FROM daily CROSS JOIN lo GROUP BY 1)
       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
-      |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+      |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0 AS intercept
       |FROM m ORDER BY event_type""".stripMargin,
   ) { (s, dir) =>
     val daily = Tables.events(s, dir)

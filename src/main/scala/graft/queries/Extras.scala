@@ -69,7 +69,7 @@ object Extras {
       |f2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM fit)
       |SELECT strftime(d1 + CAST(k AS INTEGER), '%Y-%m-%d') AS day,
       |  round((intercept + slope * (datediff('day', d0, d1) + k)) / 100, 2)
-      |    AS forecast
+      |    + 0.0 AS forecast
       |FROM f2, lo, UNNEST(range(1, 8)) AS u(k)
       |ORDER BY day""".stripMargin,
   ) { (s, dir) =>
@@ -84,15 +84,15 @@ object Extras {
       .groupBy("d0", "d1")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("cents").as("sy"),
         sum(col("x") * col("cents")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val slope = try_divide((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+      col("n") * col("sxx") - col("sx") * col("sx"))
     m.select(col("d0"), col("d1"), slope.as("slope"),
         ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
       .select(col("d0"), col("d1"), col("slope"), col("intercept"),
         explode(sequence(lit(1), lit(7))).as("k"))
       .select(date_format(expr("date_add(d1, k)"), "yyyy-MM-dd").as("day"),
-        round((col("intercept")
-          + col("slope") * (datediff(col("d1"), col("d0")) + col("k"))) / 100, 2)
+        znorm(round((col("intercept")
+          + col("slope") * (datediff(col("d1"), col("d0")) + col("k"))) / 100, 2))
           .as("forecast"))
       .orderBy("day")
   }

@@ -43,8 +43,8 @@ object Ml {
       |      AS DECIMAL(18,9))) AS DOUBLE) AS negc
       |  FROM nbl JOIN nb ON nb.i = nbl.i AND nb.b = nbl.b CROSS JOIN n
       |  GROUP BY nbl.i)
-      |SELECT hcond.i AS dim, round(-hl.negh, 6) AS h_label,
-      |  round(-hl.negh - (-hcond.negc), 6) AS info_gain
+      |SELECT hcond.i AS dim, round(-hl.negh, 6) + 0.0 AS h_label,
+      |  round(-hl.negh - (-hcond.negc), 6) + 0.0 AS info_gain
       |FROM hcond CROSS JOIN hl ORDER BY dim""".stripMargin,
   ) { (s, dir) =>
     val embs = Tables.embeddings(s, dir)
@@ -66,8 +66,8 @@ object Ml {
       .agg(dsum(round((col("c").cast("double") / col("n"))
         * log(col("c").cast("double") / col("nb")), 9), 9).as("negc"))
     hcond.crossJoin(broadcast(hl))
-      .select(col("i").as("dim"), round(-col("negh"), 6).as("h_label"),
-        round(-col("negh") + col("negc"), 6).as("info_gain"))
+      .select(col("i").as("dim"), znorm(round(-col("negh"), 6)).as("h_label"),
+        znorm(round(-col("negh") + col("negc"), 6)).as("info_gain"))
       .orderBy("dim")
   }
 

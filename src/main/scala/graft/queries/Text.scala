@@ -1113,7 +1113,7 @@ object Text {
        |  FROM rk)
        |SELECT CAST(n AS BIGINT) AS n_docs,
        |  round((n * sxy - sx * sy)
-       |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+       |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS spearman_rho
        |FROM m""".stripMargin,
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -1140,9 +1140,9 @@ object Text {
       sum((col("x") * col("x")).cast("decimal(28,4)")).cast("double").as("sxx"),
       sum((col("y") * col("y")).cast("decimal(28,4)")).cast("double").as("syy"))
     m.select(col("n").as("n_docs"),
-      round((col("n") * col("sxy") - col("sx") * col("sy"))
-        / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-          * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("spearman_rho"))
+      znorm(round(try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          * (col("n") * col("syy") - col("sy") * col("sy")))), 6)).as("spearman_rho"))
   }
 
   // --- q191: character-entropy quality proxy -------------------------------

@@ -15,6 +15,12 @@ Compares each query result against the DuckDB oracle:
   - schema: column names (sorted) must match
   - values: exact equality after sorting columns by name (and rows,
     to be robust to row-order differences)
+
+Float columns are compared by canonical string render (repr), matching
+the driver's hash semantics: -0.0 != 0.0, NaN payloads unified. The
+round-7 q192 failure was invisible to a plain pandas `==` compare
+because IEEE says -0.0 == 0.0; the driver's hash disagreed.
+Run `python3 tools/check.py --selftest` to prove this gate catches it.
 """
 import json
 import os
@@ -59,7 +65,58 @@ def run_verify(sf_dir, out_dir):
         sys.exit(1)
 
 
+def compare_frames(m, r):
+    """Value compare at the driver's hash strictness. Assumes columns
+    already sorted/aligned and row counts equal."""
+    # normalize dtypes for compare: ints → Int64, timestamps → us,
+    # floats → canonical repr strings (bitwise-strict on signed zero,
+    # NaN-payload tolerant), objects → str
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            dt = str(df[c].dtype)
+            if dt.startswith("datetime"):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif dt.startswith(("int", "uint", "Int", "UInt")):
+                df[c] = df[c].astype("Int64")
+            elif dt.startswith(("float", "Float")):
+                df[c] = df[c].astype("float64").map(repr)
+            elif df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    m, r = norm(m), norm(r)
+    if m.equals(r):
+        return f"OK ({len(m)} rows)"
+    diffs = []
+    for c in m.columns:
+        if not m[c].equals(r[c]):
+            neq = (m[c] != r[c]) & ~(m[c].isna() & r[c].isna())
+            idx = neq[neq].index[:3]
+            for i in idx:
+                diffs.append(f"{c}[{i}]: mine={m[c][i]!r} ref={r[c][i]!r}")
+    return "VALUE-MISMATCH " + "; ".join(diffs[:6])
+
+
+def selftest():
+    """Prove the gate catches the divergence classes the driver's hash
+    sees but a plain pandas == compare does not."""
+    base = pd.DataFrame({"k": [1, 2], "v": [0.0, 1.5]})
+    negz = pd.DataFrame({"k": [1, 2], "v": [-0.0, 1.5]})
+    assert compare_frames(base, base).startswith("OK"), "identical frames must pass"
+    res = compare_frames(base, negz)
+    assert res.startswith("VALUE-MISMATCH"), f"-0.0 vs 0.0 must FAIL, got: {res}"
+    nan1 = pd.DataFrame({"v": [float("nan")]})
+    assert compare_frames(nan1, nan1.copy()).startswith("OK"), "NaN == NaN must pass"
+    close = pd.DataFrame({"v": [0.1 + 0.2]})
+    exact = pd.DataFrame({"v": [0.3]})
+    assert compare_frames(close, exact).startswith("VALUE-MISMATCH"), "1-ulp must FAIL"
+    print("selftest OK: -0.0 != 0.0 caught, NaN==NaN passes, 1-ulp caught")
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
@@ -114,31 +171,7 @@ def main():
         if len(m) != len(r):
             results[name] = f"ROWCOUNT mine={len(m)} ref={len(r)}"
             continue
-        # normalize dtypes for compare: ints → Int64, timestamps → us, objects → str
-        def norm(df):
-            df = df.copy()
-            for c in df.columns:
-                dt = str(df[c].dtype)
-                if dt.startswith("datetime"):
-                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-                elif dt.startswith(("int", "uint", "Int", "UInt")):
-                    df[c] = df[c].astype("Int64")
-                elif df[c].dtype == object:
-                    df[c] = df[c].astype(str)
-            return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-        m, r = norm(m), norm(r)
-        eq = m.equals(r)
-        if not eq:
-            diffs = []
-            for c in m.columns:
-                if not m[c].equals(r[c]):
-                    neq = (m[c] != r[c]) & ~(m[c].isna() & r[c].isna())
-                    idx = neq[neq].index[:3]
-                    for i in idx:
-                        diffs.append(f"{c}[{i}]: mine={m[c][i]!r} ref={r[c][i]!r}")
-            results[name] = "VALUE-MISMATCH " + "; ".join(diffs[:6])
-        else:
-            results[name] = f"OK ({len(m)} rows)"
+        results[name] = compare_frames(m, r)
 
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
     for k, v in sorted(results.items()):
