@@ -90,6 +90,52 @@ object IsolationForestLite {
     Model(trees, sampleSize)
   }
 
+  /** DuckDB serving oracle for a fitted forest over the q51-shaped
+    * event features (the q61/q94 trained-literal pattern): each tree
+    * becomes a nested CASE cascade whose LEAVES are the precomputed
+    * `depth + c(size)` path lengths as `Double.toString` literals — the
+    * oracle never does path arithmetic, it *selects* the same literal
+    * Spark's scorer computes, so per-tree paths are bit-exact by
+    * construction. The per-row path sum is written as the same
+    * 0.0-seeded left-assoc chain `Array.sum` folds. The contamination
+    * cut compares in MEAN-PATH space: s(x) = 2^(−m/c) is strictly
+    * decreasing in m, so `score > quantile(score, 1−c)` selects exactly
+    * the rows `msum < quantile(msum, c)` (rank equivalence — strict
+    * inequality excludes boundary ties identically in both
+    * parametrizations), and `pow` never has to agree across engines.
+    */
+  def servingSql(model: Model, contamination: Double): String = {
+    // E-notation forces DuckDB to parse the token as DOUBLE: a plain
+    // decimal literal becomes DECIMAL (the sum chain overflows
+    // DECIMAL(18) and a DECIMAL→DOUBLE hop may not round-trip the bits
+    // Double.toString guarantees)
+    def dlit(x: Double): String = {
+      val s = java.lang.Double.toString(x)
+      if (s.contains("E")) s else s + "E0"
+    }
+    def tree(nodes: Array[Node]): String = {
+      def go(i: Int, depth: Int): String = {
+        val n = nodes(i)
+        if (n.feature < 0) dlit(depth + avgPathLength(n.size))
+        else s"(CASE WHEN f${n.feature + 1} < ${dlit(n.split)} " +
+          s"THEN ${go(n.left, depth + 1)} ELSE ${go(n.right, depth + 1)} END)"
+      }
+      go(0, 0)
+    }
+    val sum = model.trees.map(tree).mkString("(0.0E0 + ", "\n    + ", ")")
+    s"""WITH feats AS (SELECT event_id,
+       |    value AS f1,
+       |    CAST(count(*) OVER w AS DOUBLE) AS f2,
+       |    sum(value) OVER w / count(*) OVER w AS f3,
+       |    max(value) OVER w AS f4,
+       |    min(value) OVER w AS f5
+       |  FROM events WINDOW w AS (PARTITION BY user_id)),
+       |paths AS (SELECT event_id, $sum AS msum FROM feats),
+       |thr AS (SELECT quantile_cont(msum, $contamination) AS t FROM paths)
+       |SELECT event_id, 1 AS is_anomaly FROM paths, thr
+       |WHERE msum < t ORDER BY event_id""".stripMargin
+  }
+
   /** Adds `anomaly_score` and `is_anomaly` (top `contamination` share
     * by score — matching the reference's contamination=0.05 semantics).
     *

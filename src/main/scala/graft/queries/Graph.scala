@@ -125,16 +125,25 @@ object Graph {
   // memory-based half): factor the customer×supplier purchase-count
   // matrix with from-scratch distributed ALS-WR (ml.AlsLite — keyed
   // joins only, per-group exact ridge solves, neither factor matrix
-  // ever broadcast or collected), then recommend the top-3 UNSEEN
-  // suppliers for a bounded 10-customer panel. Candidate generation is
-  // panel × items (the q101 batch-top-k shape — bounded by the panel,
-  // not the catalog) minus seen pairs via anti-join. Rows-only by
-  // necessity (an iterative data-dependent matrix factorization has
-  // no single-SQL oracle); AlsSpec gates the trainer: monotone
-  // regularized objective, bit-identical factors across
-  // partitionings, rank-1 matrix recovery, and a hand-checked 1×1
-  // ridge solve.
-  def alsRecommend: Q = Q.rowsOnly("q141_als_recommend") { (s, dir) =>
+  // ever broadcast or collected during training/scoring), then
+  // recommend the top-3 UNSEEN suppliers for a bounded 10-customer
+  // panel. Candidate generation is panel × items (the q101
+  // batch-top-k shape — bounded by the panel, not the catalog) minus
+  // seen pairs via anti-join. Training stays spec-gated (AlsSpec:
+  // monotone regularized objective, bit-identical factors across
+  // partitionings, rank-1 recovery, hand-checked ridge solve) — an
+  // iterative factorization has no single-SQL oracle — but SERVING is
+  // deterministic given the trained factors, so the q61/q94
+  // trained-literal pattern applies: the 10 panel user factors plus
+  // the item catalog's factors are emitted as SQL literals
+  // (Double.toString round-trips exactly) and DuckDB independently
+  // replays candidate generation, the 0.0-seeded left-fold dot
+  // product (list_prepend matches aggregate's init), the rank, and
+  // the rounding. The two collects are serving-side and bounded: 10
+  // user rows + one row per catalog item (suppliers — a catalog, not
+  // a fact table; the factor matrix that scales with USERS is never
+  // collected).
+  def alsRecommend: Q = Q.dynamicOracle("q141_als_recommend") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val ratings = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -148,9 +157,36 @@ object Graph {
       .join(ratings.select("u", "i"), Seq("u", "i"), "left_anti")
     val scored = graft.ml.AlsLite.predict(candidates, m.userFactors, m.itemFactors, "u", "i")
     val rk = row_number().over(Window.partitionBy("u").orderBy(col("pred").desc, col("i")))
-    scored.withColumn("rk", rk).filter(col("rk") <= 3)
+    val df = scored.withColumn("rk", rk).filter(col("rk") <= 3)
       .select(col("u"), col("i"), round(col("pred"), 6).as("pred"), col("rk"))
       .orderBy("u", "rk")
+    def lits(f: DataFrame): String = f
+      .select(col("id"), col("f")).collect()
+      .map { r =>
+        val fs = r.getAs[scala.collection.Seq[Double]]("f")
+          .map(java.lang.Double.toString).mkString("[", ", ", "]")
+        s"(${r.getLong(0)}, CAST($fs AS DOUBLE[]))"
+      }.sorted.mkString(", ")
+    val panelUf = m.userFactors.join(panel, m.userFactors("id") === panel("u")).select("id", "f")
+    val sql =
+      s"""WITH uf(u, f) AS (VALUES ${lits(panelUf)}),
+         |itf(i, f) AS (VALUES ${lits(m.itemFactors)}),
+         |ratings AS (SELECT o_custkey AS u, l_suppkey AS i, count(*) AS r
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         |panel AS (SELECT DISTINCT u FROM ratings ORDER BY u LIMIT 10),
+         |cand AS (SELECT p.u, it.i
+         |  FROM panel p CROSS JOIN (SELECT DISTINCT i FROM ratings) it
+         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r WHERE r.u = p.u AND r.i = it.i)),
+         |scored AS (SELECT c.u, c.i,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      j -> uf.f[j] * itf.f[j])), (x, y) -> x + y) AS pred
+         |  FROM cand c JOIN uf ON uf.u = c.u JOIN itf ON itf.i = c.i),
+         |rk AS (SELECT u, i, pred,
+         |    row_number() OVER (PARTITION BY u ORDER BY pred DESC, i) AS rk
+         |  FROM scored)
+         |SELECT u, i, round(pred, 6) AS pred, rk FROM rk WHERE rk <= 3
+         |ORDER BY u, rk""".stripMargin
+    (df, sql)
   }
 
   /** Distinct (customer, supplier) purchase pairs — the bipartite

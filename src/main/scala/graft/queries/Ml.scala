@@ -652,19 +652,26 @@ object Ml {
       .orderBy("event_id")
   }
 
-  // --- isolation-forest anomaly scores (rows-only; seeded) ----------------
-  // Rows-only BY NECESSITY: the forest's split points come from seeded
-  // random subsampling at fit time — no SQL engine can re-derive them.
-  // The algorithm (Liu et al. 2008) is spec-gated instead:
-  // MlPipelineSpec pins determinism, score bounds, and that planted
-  // outliers score above the contamination threshold.
-  def iforestAnomaly: Q = Q.rowsOnly("q53_iforest_anomaly") { (s, dir) =>
+  // --- isolation-forest anomaly scores (trained-literal oracle) -----------
+  // The forest's split points come from seeded random subsampling at
+  // fit time — no SQL engine can re-derive TRAINING (spec-gated:
+  // MlPipelineSpec pins determinism, score bounds, planted-outlier
+  // detection). But SCORING given the trees is deterministic, so the
+  // q61/q94/q141 trained-literal pattern applies: each tree embeds as
+  // a CASE cascade with precomputed path-length literals and DuckDB
+  // independently replays feature build → per-tree path selection →
+  // the contamination cut (in mean-path space — see
+  // IsolationForestLite.servingSql for the rank-equivalence argument
+  // that keeps pow out of the cross-engine surface).
+  def iforestAnomaly: Q = Q.dynamicOracle("q53_iforest_anomaly") { (s, dir) =>
     val features = MlPipeline.buildFeatures(Tables.events(s, dir))
     val model = IsolationForestLite.fit(features, MlPipeline.FeatureCols, numTrees = 50)
-    IsolationForestLite.transform(features, model, MlPipeline.FeatureCols, contamination = 0.05)
+    val df = IsolationForestLite.transform(features, model, MlPipeline.FeatureCols,
+        contamination = 0.05)
       .filter(col("is_anomaly") === 1)
       .select("event_id", "is_anomaly")
       .orderBy("event_id")
+    (df, IsolationForestLite.servingSql(model, contamination = 0.05))
   }
 
   // --- multimodal feature extraction (rows-only) ---------------------------
