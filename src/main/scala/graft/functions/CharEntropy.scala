@@ -55,17 +55,16 @@ object CharEntropy {
   def stats(s: UTF8String): InternalRow = {
     val str = s.toString
     val ascii = new Array[Long](128)
-    var wide: java.util.HashMap[Integer, Long] = null
+    var wide: java.util.HashMap[Integer, java.lang.Long] = null
     var i = 0
     var n = 0L
     while (i < str.length) {
       val cp = str.codePointAt(i)
       if (cp < 128) ascii(cp) += 1L
       else {
-        if (wide == null) wide = new java.util.HashMap[Integer, Long]()
+        if (wide == null) wide = new java.util.HashMap[Integer, java.lang.Long]()
         val k = Integer.valueOf(cp)
-        val prev = wide.get(k)
-        wide.put(k, if (prev == null) 1L else prev + 1L)
+        wide.put(k, wide.getOrDefault(k, 0L) + 1L)
       }
       n += 1L
       i += Character.charCount(cp)

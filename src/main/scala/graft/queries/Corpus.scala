@@ -315,7 +315,10 @@ object Corpus {
 
   // --- q194: skip-gram training-pair counts --------------------------------
   // The word2vec/GloVe preprocessing step: (center, context) pair
-  // counts within a ±2-token window. NOT a per-doc self-join on
+  // counts within a FORWARD 2-token window (offsets +1/+2 only — the
+  // symmetric ±2 convention is this table plus its transpose, so the
+  // forward counts carry the same information at half the rows). NOT
+  // a per-doc self-join on
   // doc_id (quadratic in doc length) — each position pairs with
   // exactly the positions offset by 1 and 2, so the offsets explode
   // (×2) and the match is a pure equi-join on (doc_id, target

@@ -822,10 +822,14 @@ object Text {
   // docs marks boilerplate/quotation spans that survive document-level
   // dedup. Positions count (a doc quoting a span twice has 2 spans,
   // but within-doc repeats alone never mark a span duplicated — that's
-  // q82's job). Shape at scale: windows meet on 8-byte xxhash64 keys;
-  // the span table shuffles ONCE on hash (the dup-set aggregate and
-  // the membership join reuse the exchange); per-doc rollup is the
-  // only other shuffle.
+  // q82's job). Shape at scale: windows meet on a PAIR of independent
+  // xxhash64 keys (plain + salted — 128 fingerprint bits: a single
+  // 64-bit key starts merging unrelated windows by birthday collision
+  // at the ≳2³² distinct windows a 100-TB corpus holds; the pair
+  // pushes that past 2⁶⁴, see COVERAGE.md); the span table shuffles
+  // ONCE on the hash pair (the dup-set aggregate and the membership
+  // join reuse the exchange); per-doc rollup is the only other
+  // shuffle.
   def dupSpans: Q = Q(
     "q95_dup_spans",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -849,12 +853,16 @@ object Text {
         .filter(size(toks) >= 8)
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), size(toks) - 7),
-            i => xxhash64(concat_ws(" ", slice(toks, i, lit(8)))))).as("h")))
-    val dup = wins.groupBy("h")
+            i => struct(
+              xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("h1"),
+              xxhash64(lit("graft_w2"), concat_ws(" ", slice(toks, i, lit(8)))).as("h2"))))
+            .as("u"))
+        .select(col("doc_id"), col("u.h1").as("h1"), col("u.h2").as("h2")))
+    val dup = wins.groupBy("h1", "h2")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("h"), lit(1).as("is_dup"))
-    wins.join(dup, Seq("h"), "left_outer")
+      .select(col("h1"), col("h2"), lit(1).as("is_dup"))
+    wins.join(dup, Seq("h1", "h2"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce(col("is_dup"), lit(0))).as("n_dup_spans"),
@@ -872,7 +880,10 @@ object Text {
   // window runs per doc over its duplicated positions only (bounded
   // by doc length), never corpus-wide. Carries positions through the
   // explode (q95's table drops them), so the two queries share the
-  // scan shape but not the persisted subtree.
+  // scan shape but not the persisted subtree. Windows meet on the
+  // q95 (plain, salted) xxhash64 pair — here a collision would shift
+  // EMITTED span boundaries, not just counts, so the 128-bit key is
+  // load-bearing for the removal plan's correctness at corpus scale.
   def dupSpanIslands: Q = Q(
     "q204_dup_span_islands",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -900,13 +911,15 @@ object Text {
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), size(toks) - 7),
             i => struct(i.cast("long").as("i"),
-              xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("h")))).as("u"))
-        .select(col("doc_id"), col("u.i").as("i"), col("u.h").as("h")))
-    val dup = wins.groupBy("h")
+              xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("h1"),
+              xxhash64(lit("graft_w2"), concat_ws(" ", slice(toks, i, lit(8)))).as("h2"))))
+            .as("u"))
+        .select(col("doc_id"), col("u.i").as("i"), col("u.h1").as("h1"), col("u.h2").as("h2")))
+    val dup = wins.groupBy("h1", "h2")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select("h")
-    wins.join(dup, Seq("h"))
+      .select("h1", "h2")
+    wins.join(dup, Seq("h1", "h2"))
       .withColumn("grp",
         col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
       .groupBy("doc_id", "grp")
