@@ -340,6 +340,32 @@ object Dedup {
       Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue - 1).toLong))
   }
 
+  /** [[minhashSignatures]] with the engine-portable hash family (the
+    * simhashPoly convention): shingle hash = [[polyTokenHash]] char
+    * fold mod [[PolyPrime]], permutation i = (h·a_i + b_i) mod
+    * PolyPrime with the seed-42 constants — every value recomputable
+    * by a SQL oracle bit-for-bit (q206's DuckDB twin). Same plan
+    * shape: one shingle explode, one k-min groupBy (map-side
+    * combined). The xxhash64 default stays the production path.
+    */
+  def minhashSignaturesPoly(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      preDedup: Boolean = true): DataFrame = {
+    val base = if (preDedup) exactRepresentatives(df, idCol, textCol) else df
+    val hashed = shingleTable(base, idCol, textCol, n)
+      .select(col(idCol), polyTokenHash(col("shingle")).as("h"))
+    val mins = (0 until NumPerms).map { i =>
+      min(pmod(col("h") * permA(i) + permB(i), lit(PolyPrime))).as(s"m$i")
+    }
+    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** The seed-42 (a_i, b_i) permutation constants, for SQL oracle
+    * generation (data-independent — the embeddable-literal rule).
+    */
+  def minhashPerms: Seq[(Long, Long)] =
+    (0 until NumPerms).map(i => (permA(i), permB(i)))
+
   /** MinHash signatures: explode shingles, hash once per shingle, then
     * one groupBy computing all k permutation minima map-side (partial
     * aggregation makes the shuffle k longs per doc, not per shingle).

@@ -17,7 +17,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
-    skipgramPairs, vocabKlDrift)
+    skipgramPairs, vocabKlDrift, vocabCoverageCurve)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -562,5 +562,66 @@ object Corpus {
         min(col("doc_id")).as("keep_doc_id"))
       .filter(col("n_docs") > 1)
       .orderBy("prefix")
+  }
+
+  // --- q212: vocabulary coverage curve ---------------------------------------
+  // The tokenizer-budget planning number: the smallest vocabulary (by
+  // corpus frequency rank) covering 50/75/90/95/99% of token mass.
+  // NOT a window over the vocabulary: types collapse to DISTINCT
+  // FREQUENCY groups first — Σf over distinct f is ≤ N, so the group
+  // table has ≤ √(2N) rows (~10⁶ at a 10¹² 100-TB token count) and
+  // the unpartitioned cumulative window is bounded by THAT, not by
+  // vocab size. Within the crossing group the exact type count is
+  // integer ceil-division; every comparison is integer arithmetic
+  // (targets as ⌈pct·N/100⌉ token counts), so the curve is
+  // engine-exact — the only doubles are the two rounded report
+  // columns.
+  def vocabCoverageCurve: Q = Q(
+    "q212_vocab_coverage",
+    """WITH tf AS (SELECT tok, count(*) AS f FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |tfg AS (SELECT f, count(*) AS m, CAST(count(*) * f AS BIGINT) AS mass
+      |  FROM tf GROUP BY f),
+      |cum AS (SELECT f, m, mass,
+      |    CAST(sum(m) OVER wd AS BIGINT) AS cumk,
+      |    CAST(sum(mass) OVER wd AS BIGINT) AS cump
+      |  FROM tfg WINDOW wd AS (ORDER BY f DESC)),
+      |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM tfg),
+      |tgt AS (SELECT t, (total * t + 99) // 100 AS nt, total
+      |  FROM UNNEST([50, 75, 90, 95, 99]) AS u(t), tot),
+      |hit AS (SELECT t, nt, total, f, cumk - m AS prevk, cump - mass AS prevp
+      |  FROM tgt JOIN cum ON cump >= nt AND cump - mass < nt)
+      |SELECT t AS target_pct,
+      |  CAST(prevk + (nt - prevp + f - 1) // f AS BIGINT) AS vocab_size,
+      |  CAST(prevp + ((nt - prevp + f - 1) // f) * f AS BIGINT) AS tokens_covered,
+      |  round(CAST(prevp + ((nt - prevp + f - 1) // f) * f AS DOUBLE) / total, 6)
+      |    AS coverage
+      |FROM hit ORDER BY target_pct""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val tfg = graft.dedup.Dedup.persistTracked(
+      tf.groupBy("f").agg(count(lit(1)).as("m"), (count(lit(1)) * col("f")).as("mass")))
+    val wd = Window.orderBy(col("f").desc)
+    val cum = tfg
+      .withColumn("cumk", sum(col("m")).over(wd))
+      .withColumn("cump", sum(col("mass")).over(wd))
+    val tot = tfg.agg(sum(col("mass")).as("total"))
+    val tgt = tot.select(explode(lit(Array(50, 75, 90, 95, 99))).as("t"), col("total"))
+      .withColumn("nt", expr("(total * t + 99) div 100"))
+    val hit = tgt.join(cum,
+      col("cump") >= col("nt") && col("cump") - col("mass") < col("nt"))
+      .withColumn("prevk", col("cumk") - col("m"))
+      .withColumn("prevp", col("cump") - col("mass"))
+      .withColumn("need", expr("(nt - prevp + f - 1) div f"))
+    hit.select(col("t").as("target_pct"),
+        (col("prevk") + col("need")).as("vocab_size"),
+        (col("prevp") + col("need") * col("f")).as("tokens_covered"),
+        round((col("prevp") + col("need") * col("f")).cast("double") / col("total"), 6)
+          .as("coverage"))
+      .orderBy("target_pct")
   }
 }

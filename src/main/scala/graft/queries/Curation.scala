@@ -16,7 +16,8 @@ object Curation {
   val all: Seq[Q] = Seq(dedupClusters, hashSample, packShards, piiRedact, curationV2,
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
-    clusterSurvivors, clusterSourceMix, dedupSavings)
+    clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
+    dupWeightedTokens, splitAssignment, splitLeakage)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -816,5 +817,204 @@ object Curation {
           regexp_replace(withPii, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
           "\\+?[0-9][0-9-]{6,}", "<PHONE>").as("redacted"))
       .orderBy("doc_id")
+  }
+
+  private def stopSql = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** The q36 composite quality score as SQL (both halves of every
+    * survival/threshold query must derive it identically).
+    */
+  private def qualitySql(toks: String) =
+    s"least(1.0, CAST(len($toks) AS DOUBLE) / 50.0) * 0.5 " +
+      s"+ (1.0 - CAST(len(list_filter($toks, x -> x IN ($stopSql))) AS DOUBLE) / len($toks)) * 0.5"
+
+  // --- q207: quality-threshold survival curve --------------------------------
+  // "Where do we set the quality cutoff?" answered with data: docs and
+  // tokens surviving at every candidate threshold 0.0..0.9. NOT a
+  // 10× scan (or a threshold-cross-join blowup): each doc buckets
+  // ONCE at floor(10·quality) — q ≥ k/10 ⟺ floor(10q) ≥ k exactly,
+  // integer against integer — the corpus reduces to an ≤11-row bucket
+  // table, and the curve is a reverse-cumulative join over that.
+  // Shares are integer-count ratios; the quality double is the q36
+  // expression, identical in both engines.
+  def qualitySurvivalCurve: Q = Q(
+    "q207_quality_survival",
+    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |q AS (SELECT CAST(floor((${qualitySql("toks")}) * 10) AS INTEGER) AS b,
+       |         len(toks) AS ntok FROM d),
+       |bk AS (SELECT b, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS toks
+       |       FROM q GROUP BY b),
+       |tot AS (SELECT CAST(sum(docs) AS BIGINT) AS td, CAST(sum(toks) AS BIGINT) AS tt
+       |        FROM bk),
+       |th AS (SELECT CAST(k AS INTEGER) AS k FROM UNNEST(range(0, 10)) AS u(k))
+       |SELECT round(k / 10.0, 1) AS threshold,
+       |  CAST(sum(bk.docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(bk.toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(bk.docs) AS DOUBLE) / max(td), 4) AS doc_share,
+       |  round(CAST(sum(bk.toks) AS DOUBLE) / max(tt), 4) AS token_share
+       |FROM th JOIN bk ON bk.b >= th.k CROSS JOIN tot
+       |GROUP BY k ORDER BY threshold""".stripMargin,
+  ) { (s, dir) =>
+    val q = Tables.documents(s, dir)
+      .select(floor(TextAnalysis.qualityScore(col("text")) * 10).cast("int").as("b"),
+        size(TextAnalysis.tokens(col("text"))).as("ntok"))
+    val bk = Dedup.persistTracked(
+      q.groupBy("b").agg(count(lit(1)).as("docs"), sum(col("ntok")).cast("long").as("toks")))
+    val tot = bk.agg(sum(col("docs")).as("td"), sum(col("toks")).as("tt"))
+    val th = s.range(0, 10).select(col("id").cast("int").as("k"))
+    th.join(bk, bk("b") >= th("k")).crossJoin(broadcast(tot))
+      .groupBy("k")
+      .agg(sum(col("docs")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        round(sum(col("docs")).cast("double") / max(col("td")), 4).as("doc_share"),
+        round(sum(col("toks")).cast("double") / max(col("tt")), 4).as("token_share"))
+      .select(round(col("k") / 10.0, 1).as("threshold"),
+        col("n_docs"), col("n_tokens"), col("doc_share"), col("token_share"))
+      .orderBy("threshold")
+  }
+
+  // --- q208: duplication-aware sampling weights ------------------------------
+  // The "don't let the crawler vote twice" accounting: every doc
+  // carries sampling weight 1/copies of its exact-duplicate group, so
+  // a text duplicated k× contributes one doc's worth of mass no
+  // matter which sources hold the copies. Per-source EFFECTIVE token
+  // mass vs raw mass — the duplication-inflation number a mixture
+  // designer corrects by. The group join meets on the (xxhash64,
+  // length) fixed-width key (bodies never ship — the
+  // exactRepresentatives contract); weights are 6-dp rounded rationals
+  // DECIMAL-summed. Distinct from q203 (survivor counting): this is
+  // the soft-weighting view where every copy stays but counts
+  // fractionally.
+  def dupWeightedTokens: Q = Q(
+    "q208_dup_weighted_tokens",
+    """WITH g AS (SELECT text, count(*) AS copies FROM documents GROUP BY text),
+      |d AS (SELECT d.source, len(string_split(d.text, ' ')) AS ntok, g.copies
+      |      FROM documents d JOIN g ON g.text = d.text)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+      |  CAST(sum(CAST(round(CAST(ntok AS DOUBLE) / copies, 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS effective_tokens,
+      |  round(CAST(sum(ntok) AS DOUBLE)
+      |    / CAST(sum(CAST(round(CAST(ntok AS DOUBLE) / copies, 6) AS DECIMAL(18,6)))
+      |        AS DOUBLE), 4) AS inflation
+      |FROM d GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val keyed = docs.select(col("source"),
+      size(TextAnalysis.tokens(col("text"))).as("ntok"),
+      xxhash64(col("text")).as("h"), length(col("text")).as("l"))
+    val g = docs.select(xxhash64(col("text")).as("h"), length(col("text")).as("l"))
+      .groupBy("h", "l").agg(count(lit(1)).as("copies"))
+    val eff = sum(round(col("ntok").cast("double") / col("copies"), 6)
+      .cast("decimal(18,6)")).cast("double")
+    keyed.join(g, Seq("h", "l"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("raw_tokens"),
+        eff.as("effective_tokens"),
+        round(sum(col("ntok")).cast("double") / eff, 4).as("inflation"))
+      .orderBy("source")
+  }
+
+  // --- q213: deterministic content-hash split assignment ---------------------
+  // The 90/5/5 train/val/test split done the reproducible way: the
+  // split is a pure function of CONTENT (md5(text) — the q87
+  // hex-threshold idiom), so re-runs, re-shuffles, and re-crawls
+  // assign every copy of a text to the same fold and the assignment
+  // needs no stored state. Per-(split, source) doc/token mass plus
+  // the within-source doc share — the balance audit that catches a
+  // source whose content skews a fold. Pure per-row map + one keyed
+  // aggregate.
+  def splitAssignment: Q = Q(
+    "q213_split_assignment",
+    """WITH a AS (SELECT source, len(string_split(text, ' ')) AS ntok,
+      |    CASE WHEN substr(md5(text), 1, 6) < 'e66666' THEN 'train'
+      |         WHEN substr(md5(text), 1, 6) < 'f33333' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |src AS (SELECT source, count(*) AS sd FROM a GROUP BY source)
+      |SELECT a.split, a.source, count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |  round(CAST(count(*) AS DOUBLE) / max(sd), 4) AS source_doc_share
+      |FROM a JOIN src ON src.source = a.source
+      |GROUP BY a.split, a.source ORDER BY a.split, a.source""".stripMargin,
+  ) { (s, dir) =>
+    val a = Tables.documents(s, dir)
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).as("ntok"),
+        splitOf(col("text")).as("split"))
+    val src = a.groupBy("source").agg(count(lit(1)).as("sd"))
+    a.join(broadcast(src), "source")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"),
+        round(count(lit(1)).cast("double") / max(col("sd")), 4).as("source_doc_share"))
+      .orderBy("split", "source")
+  }
+
+  /** q213/q214's content-hash fold: md5 first-6-hex against the
+    * 0.9/0.95 thresholds (0.9·16⁶ = 15099494 = 0xe66666). Exact
+    * duplicates co-assign BY CONSTRUCTION (same text → same hash).
+    */
+  private def splitOf(text: org.apache.spark.sql.Column) =
+    when(substring(md5(text), 1, 6) < "e66666", "train")
+      .when(substring(md5(text), 1, 6) < "f33333", "val")
+      .otherwise("test")
+
+  // --- q214: split-leakage audit over near-dup clusters ----------------------
+  // The eval-contamination hole q213's content hash CANNOT close: a
+  // near-duplicate pair (J ≥ 0.5, different bytes) hashes to
+  // different folds, putting a paraphrase of a training doc in the
+  // test set. This emits exactly those clusters — near-dup components
+  // (the shared memoized Dedup.componentsOf handle) whose members
+  // span >1 fold — with their fold list; the downstream fix is
+  // cluster-aware assignment (split by cluster_id, not text). Output
+  // is bounded by leaky clusters; the oracle independently replays
+  // the recursive closure (q195's CTE) plus the fold CASE.
+  def splitLeakage: Q = Q(
+    "q214_split_leakage",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      |f AS (SELECT cl.cluster_id, cl.doc_id,
+      |    CASE WHEN substr(md5(d.text), 1, 6) < 'e66666' THEN 'train'
+      |         WHEN substr(md5(d.text), 1, 6) < 'f33333' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+      |SELECT cluster_id, count(*) AS n_members,
+      |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+      |  array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+      |FROM f GROUP BY cluster_id
+      |HAVING count(DISTINCT split) > 1
+      |ORDER BY cluster_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+      .join(docs.select(col("doc_id"), splitOf(col("text")).as("split")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("split")).as("n_splits"),
+        concat_ws(",", sort_array(collect_set(col("split")))).as("splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy("cluster_id")
   }
 }

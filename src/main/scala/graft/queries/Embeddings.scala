@@ -10,7 +10,7 @@ object Embeddings {
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
-    labelNoise, dimCorrelation, sourceCentroidDrift)
+    labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -928,5 +928,103 @@ object Embeddings {
     val qv = embs.filter(col("vec_id") === 1L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.annTopKIndexed(s, idx, "vec_id", "embedding", qv, 10, excludeId = Some(1L))
+  }
+
+  // --- q209: int8 quantization error audit ----------------------------------
+  // The serving-efficiency question PQ (q94) answers with codebooks,
+  // answered for the simpler production default: symmetric per-dim
+  // int8 (absmax/127 scale — the faiss SQ8 / llama.cpp convention).
+  // One posexplode feeds BOTH passes over the same persisted dim
+  // table: pass 1 takes per-dim absmax (exact double max — no float
+  // sums), pass 2 quantizes against the broadcast scales and
+  // aggregates the reconstruction error by dim (9/12-dp DECIMAL
+  // moments). Every op (x/scale, round-half-away, clamp, dequantize,
+  // subtract) is identical IEEE arithmetic in both engines, so the
+  // audit is hash-checked, not trusted. Output is dims-sized; at
+  // corpus scale nothing leaves the keyed aggregates.
+  def int8QuantAudit: Q = Q(
+    "q209_int8_quant_audit",
+    """WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |sc AS (SELECT i, max(abs(x)) AS absmax, count(*) AS n FROM dims GROUP BY i),
+      |q AS (SELECT dims.i, x, absmax, n,
+      |    CASE WHEN absmax = 0 THEN 0.0 ELSE
+      |      greatest(-127.0, least(127.0, round(x / (absmax / 127.0))))
+      |        * (absmax / 127.0) END AS dq
+      |  FROM dims JOIN sc ON sc.i = dims.i)
+      |SELECT i AS dim, round(absmax, 6) AS absmax,
+      |  round(CAST(sum(CAST(round((x - dq) * (x - dq), 12) AS DECIMAL(20,12))
+      |    ) AS DOUBLE) / n, 12) AS mse,
+      |  round(max(abs(x - dq)), 6) AS max_abs_err
+      |FROM q GROUP BY i, absmax, n
+      |ORDER BY dim""".stripMargin,
+  ) { (s, dir) =>
+    val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).cast("int").as("i"), col("xf").cast("double").as("x")))
+    val sc = dims.groupBy("i").agg(max(abs(col("x"))).as("absmax"), count(lit(1)).as("n"))
+    val scale = col("absmax") / 127.0
+    val dq = when(col("absmax") === 0, lit(0.0))
+      .otherwise(greatest(lit(-127.0), least(lit(127.0), round(col("x") / scale, 0))) * scale)
+    dims.join(broadcast(sc), "i")
+      .withColumn("dq", dq)
+      .groupBy(col("i").as("dim"), col("absmax"), col("n"))
+      .agg(
+        sum(round((col("x") - col("dq")) * (col("x") - col("dq")), 12)
+          .cast("decimal(20,12)")).cast("double").as("sse"),
+        max(abs(col("x") - col("dq"))).as("mae"))
+      .select(col("dim"), round(col("absmax"), 6).as("absmax"),
+        round(col("sse") / col("n"), 12).as("mse"),
+        round(col("mae"), 6).as("max_abs_err"))
+      .orderBy("dim")
+  }
+
+  // --- q210: per-dim variance energy curve -----------------------------------
+  // "How many dimensions hold the variance?" — the PCA-lite capacity
+  // audit run before committing to Matryoshka truncation or a
+  // lower-dim index. Per-dim population variance from the q175 moment
+  // idiom (9-dp rounded terms, DECIMAL-exact sums), then the energy
+  // curve: dims ranked by variance, cumulative share as a windowed
+  // DECIMAL sum of 9-dp shares — the window runs over the dims table
+  // (64 rows; embedding width, never corpus size). The corpus-scale
+  // work is exactly one explode + one keyed aggregate.
+  def dimEnergyCurve: Q = Q(
+    "q210_dim_energy",
+    """WITH dims AS (SELECT CAST(i AS INTEGER) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |m AS (SELECT i, count(*) AS n,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      |  FROM dims GROUP BY i),
+      |v AS (SELECT i, round((sxx - sx * sx / n) / n, 9) AS var FROM m),
+      |tot AS (SELECT CAST(sum(CAST(var AS DECIMAL(18,9))) AS DOUBLE) AS tv FROM v),
+      |r AS (SELECT i, var, round(var / tv, 9) AS share,
+      |    row_number() OVER (ORDER BY var DESC, i) AS rk FROM v, tot)
+      |SELECT rk AS rank, i AS dim, var AS variance,
+      |  round(share, 6) AS share,
+      |  round(CAST(sum(CAST(share AS DECIMAL(18,9)))
+      |    OVER (ORDER BY rk) AS DOUBLE), 6) AS cum_share
+      |FROM r ORDER BY rank""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).cast("int").as("i"), col("xf").cast("double").as("x"))
+      .groupBy("i").agg(count(lit(1)).as("n"),
+        dsum(round(col("x"), 9), 9).as("sx"),
+        dsum(round(col("x") * col("x"), 9), 9).as("sxx"))
+    val v = m.select(col("i"),
+      round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 9).as("var"))
+    val tot = v.agg(dsum(col("var"), 9).as("tv"))
+    // 64-row table: the unpartitioned windows are embedding-width-bounded
+    val r = v.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("var") / col("tv"), 9))
+      .withColumn("rk", row_number().over(Window.orderBy(col("var").desc, col("i"))))
+    r.select(col("rk").as("rank"), col("i").as("dim"), col("var").as("variance"),
+        round(col("share"), 6).as("share"),
+        round(sum(col("share").cast("decimal(18,9)"))
+          .over(Window.orderBy("rk")).cast("double"), 6).as("cum_share"))
+      .orderBy("rank")
   }
 }

@@ -18,7 +18,7 @@ object Text {
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
-    dupSpanIslands)
+    dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -928,6 +928,227 @@ object Text {
         (max(col("i")) + 7 - min(col("i")) + 1).as("span_tokens"))
       .select("doc_id", "span_start", "span_end", "n_windows", "span_tokens")
       .orderBy("doc_id", "span_start")
+  }
+
+  // --- q205: token autocorrelation (loop-spam detector) ---------------------
+  // The degenerate-generation signal q82's distinct-3-gram ratio can't
+  // see: text looping with PERIOD structure ("a b a b a b") shows
+  // elevated token self-match rates at small lags. For lags 1–3,
+  // ac_p = |{i : t[i] = t[i+p]}| / (n − p), judged against the doc's
+  // own unigram collision baseline Σ(c_t/n)² — random token order
+  // matches the baseline, periodic loops exceed it. PURE PER-ROW
+  // higher-order-function arithmetic (every count is an integer over
+  // the row's own array, the divisions are integer-derived doubles —
+  // bit-identical across engines); no explode, no shuffle before the
+  // output sort. The O(n·distinct) baseline scan is bounded by doc
+  // length, the right cost model for a per-doc quality gate at any
+  // corpus size.
+  def tokenAutocorrelation: Q = Q(
+    "q205_token_autocorr",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, t, len(t) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_distinct(t),
+      |        x -> CAST(len(list_filter(t, y -> y = x)) AS BIGINT)
+      |           * CAST(len(list_filter(t, y -> y = x)) AS BIGINT))),
+      |      (a, b) -> a + b) AS sumsq
+      |  FROM toks WHERE len(t) >= 4),
+      |ac AS (SELECT doc_id, n, sumsq,
+      |    len(list_filter(range(1, n - 0), i -> t[i] = t[i+1])) AS m1,
+      |    len(list_filter(range(1, n - 1), i -> t[i] = t[i+2])) AS m2,
+      |    len(list_filter(range(1, n - 2), i -> t[i] = t[i+3])) AS m3
+      |  FROM base)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+      |  round(CAST(m1 AS DOUBLE) / (n - 1), 4) AS ac1,
+      |  round(CAST(m2 AS DOUBLE) / (n - 2), 4) AS ac2,
+      |  round(CAST(m3 AS DOUBLE) / (n - 3), 4) AS ac3,
+      |  round(CAST(sumsq AS DOUBLE) / (CAST(n AS BIGINT) * n), 4) AS baseline,
+      |  CASE WHEN greatest(CAST(m1 AS DOUBLE) / (n - 1), CAST(m2 AS DOUBLE) / (n - 2),
+      |                     CAST(m3 AS DOUBLE) / (n - 3))
+      |            > 2.0 * (CAST(sumsq AS DOUBLE) / (CAST(n AS BIGINT) * n))
+      |       THEN 1 ELSE 0 END AS is_periodic
+      |FROM ac ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val n = size(t)
+    // Σ c_t² over the row's own distinct tokens — integer-exact
+    val sumsq = aggregate(
+      transform(array_distinct(t),
+        x => (size(filter(t, y => y === x)).cast("long")
+          * size(filter(t, y => y === x)).cast("long"))),
+      lit(0L), (a, b) => a + b)
+    def m(p: Int) = size(filter(sequence(lit(1), n - (p - 1) - 1),
+      i => element_at(t, i) === element_at(t, i + p)))
+    def ac(p: Int) = m(p).cast("double") / (n - p)
+    val baseline = sumsq.cast("double") / (n.cast("long") * n)
+    Tables.documents(s, dir)
+      .filter(n >= 4)
+      .select(col("doc_id"), n.cast("long").as("n_tok"),
+        round(ac(1), 4).as("ac1"), round(ac(2), 4).as("ac2"), round(ac(3), 4).as("ac3"),
+        round(baseline, 4).as("baseline"),
+        when(greatest(ac(1), ac(2), ac(3)) > lit(2.0) * baseline, 1).otherwise(0)
+          .as("is_periodic"))
+      .orderBy("doc_id")
+  }
+
+  // --- q211: per-source lexical diversity -----------------------------------
+  // The vocabulary-health triple a source-quality dashboard leads
+  // with: type-token ratio (template farms repeat a tiny vocabulary),
+  // hapax share (scraped boilerplate has almost none; natural text
+  // ~40-60% of TYPES appear once), and Simpson's repeat-rate
+  // Σc(c−1)/(N(N−1)) (the probability two random tokens from the
+  // source are the same type — high = degenerate). One token explode
+  // into a (source, tok) keyed aggregate (map-side combined), then a
+  // source-keyed rollup; every statistic is integer-moment-exact, the
+  // divisions are the only doubles. Output is sources-sized.
+  def lexicalDiversity: Q = Q(
+    "q211_lexical_diversity",
+    """WITH tc AS (SELECT source, tok, count(*) AS c FROM
+      |    (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok),
+      |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+      |  FROM tc GROUP BY source)
+      |SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types, n_hapax,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+      |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
+      |  round(CAST(rep2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 6) AS simpson_repeat
+      |FROM m ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val tc = Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, lit(1))).as("n_hapax"),
+        sum(col("c") * (col("c") - 1)).as("rep2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_share"),
+        round(col("rep2").cast("double") / (col("n_tokens") * (col("n_tokens") - 1)), 6)
+          .as("simpson_repeat"))
+      .orderBy("source")
+  }
+
+  // --- q206: MinHash estimator calibration ----------------------------------
+  // "Can we trust est_jaccard?" answered with data instead of the
+  // k=32 binomial theory: for every LSH band-collision candidate
+  // pair, the signature estimate (matching components / 32) is scored
+  // against the EXACT shingle Jaccard, bucketed by exact-J decile —
+  // per-bucket bias and MAE are the curve that justifies (or indicts)
+  // a production threshold. Runs entirely on the portable poly hash
+  // family (Dedup.minhashSignaturesPoly) so DuckDB re-derives
+  // signatures, banding (band key = the 4 component VALUES — no band
+  // hash needed), the 1000-cap on hot band buckets, candidate pairs,
+  // both scores, and the bucket stats bit-for-bit. Pre-dedup'd,
+  // keyed-join-only, bucket- and df-capped — the q41/q40 scale
+  // stances compose unchanged.
+  def minhashCalibration: Q = {
+    val P = Dedup.PolyPrime
+    val perms = Dedup.minhashPerms
+    val minsSql = perms.zipWithIndex
+      .map { case ((a, b), i) => s"MIN((h * $a + $b) % $P) AS m$i" }.mkString(",\n      ")
+    val bands = 8
+    val r = Dedup.NumPerms / bands
+    val bandedSql = (0 until bands).map { j =>
+      val bv = (0 until r).map(k => s"m${j * r + k}").mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band_id, $bv AS bv FROM sig"
+    }.mkString("\n      UNION ALL ")
+    val estSql = (0 until Dedup.NumPerms)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q206_minhash_calibration",
+      s"""WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+         |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+         |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |       WHERE len(t) >= 3),
+         |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |th AS (SELECT doc_id, shingle, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |         (h, b) -> (h * 131 + b) % $P) AS h FROM sh),
+         |sig AS (SELECT doc_id, $minsSql FROM th GROUP BY doc_id),
+         |banded AS ($bandedSql),
+         |hotb AS (SELECT band_id, bv FROM banded GROUP BY band_id, bv
+         |         HAVING count(*) > 1000),
+         |bd AS (SELECT b.* FROM banded b LEFT JOIN hotb
+         |       ON hotb.band_id = b.band_id AND hotb.bv = b.bv
+         |       WHERE hotb.band_id IS NULL),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bd x JOIN bd y ON x.band_id = y.band_id AND x.bv = y.bv
+         |           AND x.doc_id < y.doc_id),
+         |est AS (SELECT id_a, id_b, round(CAST($estSql AS DOUBLE) / ${Dedup.NumPerms}, 4) AS est
+         |        FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT id_a, id_b,
+         |          round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS j
+         |        FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+         |scored AS (SELECT est.id_a, est.id_b, est.est, coalesce(jac.j, 0.0) AS j
+         |           FROM est LEFT JOIN jac ON jac.id_a = est.id_a AND jac.id_b = est.id_b),
+         |bk AS (SELECT CAST(floor(j * 10) AS INTEGER) AS b, est, j FROM scored)
+         |SELECT round(b / 10.0, 1) AS j_lo, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(j AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS mean_exact,
+         |  round(CAST(sum(CAST(est AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS mean_est,
+         |  round(CAST(sum(CAST(est AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         |    - CAST(sum(CAST(j AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) + 0.0 AS bias,
+         |  round(CAST(sum(CAST(round(abs(est - j), 4) AS DECIMAL(18,4))) AS DOUBLE)
+         |    / count(*), 6) AS mae
+         |FROM bk GROUP BY b ORDER BY j_lo""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.persistTracked(
+        Dedup.minhashSignaturesPoly(docs, "doc_id", "text"))
+      // band value = the r component VALUES joined (portable — no band
+      // hash); built per band id via slice
+      val banded = sigs.select(col("doc_id"), explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          j => struct(j.as("band_id"),
+            concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+              v => v.cast("string"))).as("bv")))).as("u"))
+        .select(col("doc_id"), col("u.band_id"), col("u.bv"))
+      val hotb = banded.groupBy("band_id", "bv").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > 1000).select("band_id", "bv")
+      // both pair-join sides read the capped table: persist once.
+      // Explicit aliases on the self-join — a positional-toDF rename
+      // of this anti-join-bearing plan resolves id_a/id_b to ONE
+      // attribute after relation dedup (id_a < id_b then always
+      // false → silently empty candidates; caught by the oracle)
+      val bd = Dedup.persistTracked(banded.join(hotb, Seq("band_id", "bv"), "left_anti"))
+      val lhs = bd.select(col("doc_id").as("id_a"), col("band_id"), col("bv")).alias("L")
+      val rhs = bd.select(col("doc_id").as("id_b"), col("band_id"), col("bv")).alias("R")
+      val cand = lhs.join(rhs, col("L.band_id") === col("R.band_id")
+          && col("L.bv") === col("R.bv") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val est = cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"), round(
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("double") / Dedup.NumPerms, 4).as("est"))
+      val jac = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+        .withColumnRenamed("jaccard", "j")
+      val scored = est.join(jac, Seq("id_a", "id_b"), "left_outer")
+        .select(col("est"), coalesce(col("j"), lit(0.0)).as("j"))
+      val d4 = (c: org.apache.spark.sql.Column) => sum(c.cast("decimal(18,4)")).cast("double")
+      scored.groupBy(floor(col("j") * 10).cast("int").as("b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(d4(col("j")) / count(lit(1)), 6).as("mean_exact"),
+          round(d4(col("est")) / count(lit(1)), 6).as("mean_est"),
+          znorm(round(d4(col("est")) / count(lit(1))
+            - d4(col("j")) / count(lit(1)), 6)).as("bias"),
+          round(d4(round(abs(col("est") - col("j")), 4)) / count(lit(1)), 6).as("mae"))
+        .select(round(col("b") / 10.0, 1).as("j_lo"), col("n_pairs"),
+          col("mean_exact"), col("mean_est"), col("bias"), col("mae"))
+        .orderBy("j_lo")
+    }
   }
 
   // --- q96: streaming incremental dedup (stream-static anti join) ----------
