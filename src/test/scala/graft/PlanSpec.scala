@@ -583,6 +583,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  // post-run AQE toString appends the initial plan; shape assertions
+  // must read only the final one
+  private def finalPlan(p: String): String = p.split("== Initial Plan ==").head
+
+  test("quality survival curve scans the corpus once into a bounded bucket table") {
+    // the threshold curve must come from the ≤11-row bucket aggregate,
+    // never a per-threshold rescan or a thresholds×docs cartesian
+    // blowup before aggregation: the final plan reads ONLY the cached
+    // bucket table (zero parquet scans)
+    val df = SparkEntry.queries("q207_quality_survival")(spark, sf)
+    df.collect() // populate the persisted bucket table under AQE
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // every parquet scan in the final plan belongs to the cached bucket
+    // relation's stored build plan — no direct rescan
+    assert("FileScan parquet".r.findAllIn(p).size
+      <= "InMemoryRelation".r.findAllIn(p).size, p.take(1500))
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("vocab coverage windows run over the distinct-frequency table, not the vocab") {
+    val df = SparkEntry.queries("q212_vocab_coverage")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the curve reads only the cached distinct-frequency table (scans
+    // in the final plan are the cached relation's stored build plan)
+    assert("FileScan parquet".r.findAllIn(p).size
+      <= "InMemoryRelation".r.findAllIn(p).size, p.take(1500))
+    assert(p.contains("InMemoryTableScan"))
+    assert(!p.contains("CartesianProduct"))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("minhash calibration candidate join is keyed on band values, never cartesian") {
+    val df = SparkEntry.queries("q206_minhash_calibration")(spark, sf)
+    df.collect() // the self-join strategy only shows post-run under AQE
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the capped band table must be persisted for its two join sides
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
