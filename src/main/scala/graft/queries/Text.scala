@@ -18,7 +18,8 @@ object Text {
     editDistancePairs, tfidfKeywords, bpeMergeTraining, tfidfCosinePairs,
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
-    dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration)
+    dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
+    streamingNearDupGate)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1113,8 +1114,10 @@ object Text {
             concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
               v => v.cast("string"))).as("bv")))).as("u"))
         .select(col("doc_id"), col("u.band_id"), col("u.bv"))
-      val hotb = banded.groupBy("band_id", "bv").agg(count(lit(1)).as("sz"))
-        .filter(col("sz") > 1000).select("band_id", "bv")
+      val hotb = Dedup.observeDrops(
+        banded.groupBy("band_id", "bv").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > 1000), "minhashCalibration", 1000)
+        .select("band_id", "bv")
       // both pair-join sides read the capped table: persist once.
       // Explicit aliases on the self-join — a positional-toDF rename
       // of this anti-join-bearing plan resolves id_a/id_b to ONE
@@ -1193,6 +1196,98 @@ object Text {
     }
     s.catalog.dropTempView(sink)
     out
+  }
+
+  // --- q215: streaming near-dup ingest gate ---------------------------------
+  // q96 drops EXACT re-crawls at the door; this quarantines NEAR-dups
+  // the same way: the incoming stream computes each document's
+  // 32-perm MinHash signature as a PURE PER-ROW expression (shingle
+  // hashes once via a HOF transform, then per-perm array_min — no
+  // explode-and-groupBy, which is what makes the signature stateless
+  // and therefore streamable), bands it, and stream-static-joins the
+  // 8 band values against the corpus' DISTINCT band index. Output =
+  // the quarantine list: incoming docs colliding with the corpus in
+  // ≥1 band, with the collision count (8 = near-certain dup, 1 =
+  // borderline → route to exact verification). Poly hash family
+  // throughout, so the batch-twin oracle re-derives both signature
+  // sets, the banding, and the join bit-for-bit — the streamed values
+  // are proven, not trusted. The only stream state is the final
+  // per-doc count; everything upstream is append-mode-shaped.
+  def streamingNearDupGate: Q = {
+    val P = Dedup.PolyPrime
+    val perms = Dedup.minhashPerms
+    val bands = 8
+    val r = Dedup.NumPerms / bands
+    def sigCtes(src: String, sfx: String): String = {
+      val mins = perms.zipWithIndex
+        .map { case ((a, b), i) => s"MIN((h * $a + $b) % $P) AS m$i" }.mkString(", ")
+      s"""sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM
+         |    (SELECT doc_id, string_split(text, ' ') AS t FROM $src) x,
+         |    UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |    WHERE len(t) >= 3),
+         |th$sfx AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (h, b) -> (h * 131 + b) % $P) AS h FROM sh$sfx),
+         |sig$sfx AS (SELECT doc_id, $mins FROM th$sfx GROUP BY doc_id),
+         |band$sfx AS (${(0 until bands).map { j =>
+             val bv = (0 until r).map(k => s"m${j * r + k}").mkString(" || ',' || ")
+             s"SELECT doc_id, $j AS band_id, $bv AS bv FROM sig$sfx"
+           }.mkString("\n  UNION ALL ")})""".stripMargin
+    }
+    Q(
+      "q215_streaming_neardup_gate",
+      s"""WITH corp AS (SELECT min(doc_id) AS doc_id, text FROM documents
+         |             WHERE doc_id < 300 GROUP BY text),
+         |inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300),
+         |${sigCtes("corp", "c")},
+         |bc AS (SELECT DISTINCT band_id, bv FROM bandc),
+         |${sigCtes("inc", "i")}
+         |SELECT bandi.doc_id, count(*) AS n_band_hits
+         |FROM bandi JOIN bc USING (band_id, bv)
+         |GROUP BY bandi.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      // static side: the corpus band index (exact-representative
+      // collapse changes nothing — identical texts band identically
+      // and the index is DISTINCT)
+      val corpBands = Dedup.minhashSignaturesPoly(
+          Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
+        .select(explode(transform(sequence(lit(0), lit(bands - 1)),
+          j => struct(j.as("band_id"),
+            concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+              v => v.cast("string"))).as("bv")))).as("u"))
+        .select(col("u.band_id"), col("u.bv")).distinct()
+      // per-row signature: shingle poly-hashes once, then 32 array_min
+      // scans — bounded by doc length, zero pre-aggregation state
+      val t = TextAnalysis.tokens(col("text"))
+      val hs = transform(Dedup.wordShingles(t, 3), sh => Dedup.polyTokenHash(sh))
+      def bvCol(j: Int) = concat_ws(",", (0 until r).map { k =>
+        val (a, b) = perms(j * r + k)
+        array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P)))).cast("string")
+      }: _*)
+      val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe only
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= 300 && size(t) >= 3)
+        .select(col("doc_id"), hs.as("__hs"))
+        .select(col("doc_id"), explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band_id"), bvCol(j).as("bv"))): _*)).as("u"))
+        .select(col("doc_id"), col("u.band_id"), col("u.bv"))
+        .join(corpBands, Seq("band_id", "bv")) // stream-static inner
+        .groupBy("doc_id").agg(count(lit(1)).as("n_band_hits"))
+      val sink = s"graft_stream_neardup_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(sink).select("doc_id", "n_band_hits")
+        .orderBy("doc_id").localCheckpoint(true)
+      out.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Dedup.trackRdd(lr.rdd)
+        case _ => ()
+      }
+      s.catalog.dropTempView(sink)
+      out
+    }
   }
 
   // --- q102: edit-distance near-dup pairs ----------------------------------
