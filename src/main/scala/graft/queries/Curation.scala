@@ -17,7 +17,7 @@ object Curation {
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
-    dupWeightedTokens, splitAssignment, splitLeakage)
+    dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -956,6 +956,77 @@ object Curation {
     when(substring(md5(text), 1, 6) < "e66666", "train")
       .when(substring(md5(text), 1, 6) < "f33333", "val")
       .otherwise("test")
+
+  // --- q216: cluster-aware split assignment -----------------------------------
+  // The FIX for the leakage q214 exposes: the fold hashes the CLUSTER
+  // REPRESENTATIVE's text (cluster_id IS the min-id member — the q71
+  // convention), so every member of a near-dup cluster co-assigns and
+  // fold leakage is zero BY CONSTRUCTION (still stateless and
+  // reproducible: content in, fold out). Per-fold doc/token/cluster
+  // mass — the numbers that replace q213's once a corpus cares about
+  // paraphrase contamination. One keyed join from the shared memoized
+  // components handle to the representatives' texts, then a fold-keyed
+  // rollup; the oracle replays closure + representative hash + CASE.
+  def clusterAwareSplit: Q = Q(
+    "q216_cluster_split",
+    """WITH RECURSIVE
+      |dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |exacts AS (SELECT d.doc_id AS id_a, r.doc_id AS id_b
+      |           FROM documents d JOIN dd r ON d.text = r.text AND d.doc_id <> r.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+      |          UNION SELECT id_b, id_a FROM near
+      |          UNION SELECT id_a, id_b FROM exacts
+      |          UNION SELECT id_b, id_a FROM exacts),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      |rf AS (SELECT r.doc_id AS cluster_id,
+      |    CASE WHEN substr(md5(r.text), 1, 6) < 'e66666' THEN 'train'
+      |         WHEN substr(md5(r.text), 1, 6) < 'f33333' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents r JOIN (SELECT DISTINCT cluster_id FROM cl) c
+      |    ON r.doc_id = c.cluster_id),
+      |a AS (SELECT rf.split, cl.cluster_id, cl.doc_id,
+      |        len(string_split(d.text, ' ')) AS ntok
+      |      FROM cl JOIN rf USING (cluster_id)
+      |      JOIN documents d ON d.doc_id = cl.doc_id),
+      |tot AS (SELECT count(*) AS td FROM documents)
+      |SELECT split, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |  round(CAST(count(*) AS DOUBLE) / max(td), 4) AS doc_share
+      |FROM a CROSS JOIN tot GROUP BY split ORDER BY split""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val cl = Dedup.componentsOf(docs, "doc_id", "text", 0.5)
+    // fold of the representative's text (cluster_id is a doc_id)
+    val rf = docs.select(col("doc_id").as("cluster_id"), splitOf(col("text")).as("split"))
+      .join(cl.select("cluster_id").distinct(), "cluster_id")
+    val tot = docs.agg(count(lit(1)).as("td"))
+    cl.join(rf, "cluster_id")
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("ntok")), "doc_id")
+      .crossJoin(broadcast(tot))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        round(count(lit(1)).cast("double") / max(col("td")), 4).as("doc_share"))
+      .orderBy("split")
+  }
 
   // --- q214: split-leakage audit over near-dup clusters ----------------------
   // The eval-contamination hole q213's content hash CANNOT close: a

@@ -10,7 +10,8 @@ object Embeddings {
   val all: Seq[Q] = Seq(cosineTopK, labelPairs, annLsh, annIvf, annIvfProbe,
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
-    labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve)
+    labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
+    annRecallCurve)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -928,6 +929,95 @@ object Embeddings {
     val qv = embs.filter(col("vec_id") === 1L)
       .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
     Similarity.annTopKIndexed(s, idx, "vec_id", "embedding", qv, 10, excludeId = Some(1L))
+  }
+
+  // --- q217: ANN recall@k curve ----------------------------------------------
+  // The production ANN dashboard number SimilaritySpec pins once,
+  // measured continuously: recall@{1,5,10} of the LSH candidate path
+  // against exact brute force, over a 10-query panel. One corpus
+  // sketch pass (persisted — panel buckets filter FROM it, broadcast
+  // back); ground truth is the q101 batched-panel shape (one corpus
+  // scan, per-panel windows); per-(k, query) hits come from ONE
+  // matched-ranks join + a 30-row grid, not a per-k rescan. Every
+  // stage is deterministic (seeded plane literals, rounded cosines,
+  // id tie-breaks), so DuckDB replays candidates, both rankings, and
+  // the recall arithmetic — the approximation CURVE is hash-checked,
+  // not sampled.
+  def annRecallCurve: Q = {
+    val panel: Seq[Long] = 0L to 9L
+    val ks = Seq(1, 5, 10)
+    Q(
+      "q217_ann_recall_curve",
+      s"""WITH panel AS (SELECT CAST(unnest([${panel.mkString(", ")}]) AS BIGINT) AS query_id),
+         |b AS (${sqlBucketCte("embeddings")}),
+         |qb AS (SELECT b.* FROM b JOIN panel ON b.vec_id = panel.query_id),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+         |         FROM b, qb WHERE b.vec_id <> qb.vec_id
+         |           AND (${(0 until Similarity.Tables).map(t => s"b.b$t = qb.b$t").mkString(" OR ")})),
+         |qv AS (SELECT e.vec_id AS query_id, e.embedding AS qv
+         |       FROM embeddings e JOIN panel ON e.vec_id = panel.query_id),
+         |appx AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk
+         |  FROM (SELECT c.query_id, c.vec_id, ${sqlCos("e.embedding", "qv")} AS cs
+         |        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |        JOIN qv ON qv.query_id = c.query_id)),
+         |exact AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk
+         |  FROM (SELECT qv.query_id, e.vec_id, ${sqlCos("e.embedding", "qv")} AS cs
+         |        FROM embeddings e, qv WHERE e.vec_id <> qv.query_id)
+         |  QUALIFY rk <= 10),
+         |matched AS (SELECT ex.query_id, ex.rk AS rk_e, ap.rk AS rk_a
+         |  FROM exact ex JOIN appx ap
+         |    ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id),
+         |grid AS (SELECT k, query_id FROM (SELECT unnest([${ks.mkString(", ")}]) AS k), panel),
+         |hits AS (SELECT g.k, g.query_id,
+         |    round(CAST(count(m.rk_e) FILTER (WHERE m.rk_e <= g.k AND m.rk_a <= g.k)
+         |      AS DOUBLE) / g.k, 4) AS recall
+         |  FROM grid g LEFT JOIN matched m ON m.query_id = g.query_id
+         |  GROUP BY g.k, g.query_id)
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+         |    AS mean_recall,
+         |  round(min(recall), 4) AS min_recall
+         |FROM hits GROUP BY k ORDER BY k""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables.embeddings(s, dir)
+      val sk = graft.dedup.Dedup.persistTracked(
+        Similarity.sketches(embs, "vec_id", "embedding"))
+      val qsk = sk.filter(col("vec_id").isin(panel: _*))
+        .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+      val cand = sk.join(broadcast(qsk), Seq("table_id", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct()
+      val qv = embs.filter(col("vec_id").isin(panel: _*))
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv"),
+          Similarity.norm(Similarity.asDouble(col("embedding"))).as("qn"))
+      val appx = cand.join(embs, "vec_id").join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          (Similarity.dot(Similarity.asDouble(col("embedding")), col("qv"))
+            / (Similarity.norm(Similarity.asDouble(col("embedding"))) * col("qn"))).as("cs"))
+        .withColumn("rk_a", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
+        .select("query_id", "vec_id", "rk_a")
+      val exact = Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding", panel, 10)
+        .select(col("query_id"), col("vec_id"), col("rk").as("rk_e"))
+      val matched = exact.join(appx, Seq("query_id", "vec_id"))
+        .select("query_id", "rk_e", "rk_a")
+      val grid = s.createDataFrame(
+        for (k <- ks; q <- panel) yield (k, q)).toDF("k", "query_id")
+      val hits = grid.join(matched, Seq("query_id"), "left_outer")
+        .groupBy("k", "query_id")
+        .agg(round(count(when(col("rk_e") <= col("k") && col("rk_a") <= col("k"), lit(1)))
+          .cast("double") / col("k"), 4).as("recall"))
+      hits.groupBy("k")
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("recall").cast("decimal(18,4)")).cast("double") / count(lit(1)), 6)
+            .as("mean_recall"),
+          round(min(col("recall")), 4).as("min_recall"))
+        .orderBy("k")
+    }
   }
 
   // --- q209: int8 quantization error audit ----------------------------------
