@@ -11,7 +11,7 @@ object Embeddings {
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
-    annRecallCurve)
+    annRecallCurve, annNdcg)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1017,6 +1017,113 @@ object Embeddings {
             .as("mean_recall"),
           round(min(col("recall")), 4).as("min_recall"))
         .orderBy("k")
+    }
+  }
+
+  // --- q218: graded ANN ranking quality (NDCG@10 + MRR) ----------------------
+  // q217's recall counts SET overlap; this grades the ORDER: NDCG@10
+  // of the LSH approximate ranking with exact-cosine gains
+  // (rel = max(cos, 0), the graded-relevance stand-in ground truth),
+  // plus the reciprocal rank of the true nearest neighbor — the two
+  // numbers an IR eval harness reports next to recall. Same persisted
+  // one-pass sketch/candidate machinery as q217; discount terms
+  // rel/log₂(r+1) are 9-dp rounded before DECIMAL sums (the ln-parity
+  // idiom q162 established), so the whole eval is engine-exact and
+  // hash-checked per round. Per-query rows keep the eval auditable;
+  // a dashboard would aggregate the 10 rows driver-side.
+  def annNdcg: Q = {
+    val panel: Seq[Long] = 0L to 9L
+    Q(
+      "q218_ann_ndcg",
+      s"""WITH panel AS (SELECT CAST(unnest([${panel.mkString(", ")}]) AS BIGINT) AS query_id),
+         |b AS (${sqlBucketCte("embeddings")}),
+         |qb AS (SELECT b.* FROM b JOIN panel ON b.vec_id = panel.query_id),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+         |         FROM b, qb WHERE b.vec_id <> qb.vec_id
+         |           AND (${(0 until Similarity.Tables).map(t => s"b.b$t = qb.b$t").mkString(" OR ")})),
+         |qv AS (SELECT e.vec_id AS query_id, e.embedding AS qv
+         |       FROM embeddings e JOIN panel ON e.vec_id = panel.query_id),
+         |appx AS (SELECT query_id, vec_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk
+         |  FROM (SELECT c.query_id, c.vec_id, ${sqlCos("e.embedding", "qv")} AS cs
+         |        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |        JOIN qv ON qv.query_id = c.query_id)),
+         |exact AS (SELECT query_id, vec_id, cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk
+         |  FROM (SELECT qv.query_id, e.vec_id, ${sqlCos("e.embedding", "qv")} AS cs
+         |        FROM embeddings e, qv WHERE e.vec_id <> qv.query_id)
+         |  QUALIFY rk <= 10),
+         |dcg AS (SELECT query_id, CAST(sum(CAST(round(
+         |      greatest(round(cs, 6), 0.0) / log2(rk + 1), 9) AS DECIMAL(18,9)))
+         |    AS DOUBLE) AS dcg
+         |  FROM appx WHERE rk <= 10 GROUP BY query_id),
+         |idcg AS (SELECT query_id, CAST(sum(CAST(round(
+         |      greatest(round(cs, 6), 0.0) / log2(rk + 1), 9) AS DECIMAL(18,9)))
+         |    AS DOUBLE) AS idcg
+         |  FROM exact GROUP BY query_id),
+         |nn1 AS (SELECT query_id, vec_id FROM exact WHERE rk = 1),
+         |rr AS (SELECT nn1.query_id,
+         |    coalesce(round(1.0 / min(ap.rk), 4), 0.0) AS rr
+         |  FROM nn1 LEFT JOIN appx ap
+         |    ON ap.query_id = nn1.query_id AND ap.vec_id = nn1.vec_id
+         |  GROUP BY nn1.query_id)
+         |SELECT p.query_id, round(coalesce(dcg.dcg, 0.0), 6) AS dcg,
+         |  round(idcg.idcg, 6) AS idcg,
+         |  round(coalesce(dcg.dcg, 0.0) / idcg.idcg, 6) + 0.0 AS ndcg,
+         |  coalesce(rr.rr, 0.0) AS mrr
+         |FROM panel p JOIN idcg ON idcg.query_id = p.query_id
+         |LEFT JOIN dcg ON dcg.query_id = p.query_id
+         |LEFT JOIN rr ON rr.query_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables.embeddings(s, dir)
+      val sk = graft.dedup.Dedup.persistTracked(
+        Similarity.sketches(embs, "vec_id", "embedding"))
+      val qsk = sk.filter(col("vec_id").isin(panel: _*))
+        .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+      val cand = sk.join(broadcast(qsk), Seq("table_id", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct()
+      val qv = embs.filter(col("vec_id").isin(panel: _*))
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv"),
+          Similarity.norm(Similarity.asDouble(col("embedding"))).as("qn"))
+      val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))
+      val appx = graft.dedup.Dedup.persistTracked(
+        cand.join(embs, "vec_id").join(broadcast(qv), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            (Similarity.dot(Similarity.asDouble(col("embedding")), col("qv"))
+              / (Similarity.norm(Similarity.asDouble(col("embedding"))) * col("qn"))).as("cs"))
+          .withColumn("rk", row_number().over(w)))
+      val exact = graft.dedup.Dedup.persistTracked(
+        embs.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (Similarity.dot(Similarity.asDouble(col("embedding")), col("qv"))
+              / (Similarity.norm(Similarity.asDouble(col("embedding"))) * col("qn"))).as("cs"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10))
+      def dcgSum(df: org.apache.spark.sql.DataFrame, out: String) = df
+        .groupBy("query_id")
+        .agg(sum(round(greatest(round(col("cs"), 6), lit(0.0))
+          / log2(col("rk") + 1), 9).cast("decimal(18,9)")).cast("double").as(out))
+      val dcg = dcgSum(appx.filter(col("rk") <= 10), "dcg")
+      val idcg = dcgSum(exact, "idcg")
+      val nn1 = exact.filter(col("rk") === 1).select("query_id", "vec_id")
+      val rr = nn1.join(appx.select(col("query_id"), col("vec_id"), col("rk").as("rk_a")),
+          Seq("query_id", "vec_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(coalesce(round(lit(1.0) / min(col("rk_a")), 4), lit(0.0)).as("rr"))
+      val p = s.createDataFrame(panel.map(Tuple1(_))).toDF("query_id")
+      p.join(idcg, "query_id")
+        .join(dcg, Seq("query_id"), "left_outer")
+        .join(rr, Seq("query_id"), "left_outer")
+        .select(col("query_id"), round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"),
+          znorm(round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6)).as("ndcg"),
+          coalesce(col("rr"), lit(0.0)).as("mrr"))
+        .orderBy("query_id")
     }
   }
 
