@@ -9,5 +9,5 @@ object Registry {
       queries.Text.all ++ queries.Embeddings.all ++ queries.Events.all ++
       queries.Ml.all ++ queries.Scale.all ++ queries.Extras.all ++
       queries.Curation.all ++ queries.Corpus.all ++ queries.Graph.all ++
-      queries.Search.all
+      queries.Search.all ++ queries.Preference.all
 }
