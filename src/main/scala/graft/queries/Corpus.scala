@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
 
 /** Corpus-shaping operators a training-data pipeline runs between
   * dedup and shard writing: chunking long documents into overlapping
@@ -17,7 +19,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
-    skipgramPairs, vocabKlDrift, vocabCoverageCurve)
+    skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -623,5 +625,70 @@ object Corpus {
         round((col("prevp") + col("need") * col("f")).cast("double") / col("total"), 6)
           .as("coverage"))
       .orderBy("target_pct")
+  }
+
+  // --- q227: content-defined chunk dedup -----------------------------------
+  // q95's fixed 8-token windows find duplicated content but shift with
+  // it: insert one token at the front of a copy and every window
+  // fingerprint changes. Content-defined chunking (the rsync/LBFS
+  // trick) cuts where the CONTENT says to cut — a token is a chunk
+  // boundary when md5(token) starts with '0' (expected chunk ≈ 16
+  // tokens) — so an insertion only perturbs its own chunk and the
+  // rest re-align. Per source: chunk instances, instances whose
+  // fingerprint recurs in ≥2 docs, and the shared-token fraction —
+  // the dedupable-mass estimate robust to prefix/suffix edits.
+  // Shapes: one posexplode, a per-DOC cumulative window (doc-sized
+  // partitions, the q95 idiom), chunk reassembly via
+  // array_sort(struct(pos, tok)) inside a keyed aggregate (collect
+  // order never matters), and two keyed aggregates on md5 chunk
+  // fingerprints. Nothing corpus-wide is sorted; chunk texts travel
+  // only until hashed.
+  def cdcChunks: Q = Q(
+    "q227_cdc_chunks",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      |p AS (SELECT doc_id, source, CAST(i AS INTEGER) AS pos, tk[CAST(i AS INTEGER)] AS tok
+      |      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+      |b AS (SELECT doc_id, source, pos, tok,
+      |        CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS brk
+      |      FROM p),
+      |c AS (SELECT doc_id, source, pos, tok,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+      |      FROM b),
+      |ch AS (SELECT doc_id, source, cid, count(*) AS ntok,
+      |         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      |       FROM c GROUP BY doc_id, source, cid),
+      |fpc AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(ntok) AS BIGINT) AS chunk_tokens,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN ntok ELSE 0 END) AS BIGINT) AS shared_tokens,
+      |  round(CAST(sum(CASE WHEN nd >= 2 THEN ntok ELSE 0 END) AS DOUBLE)
+      |    / sum(ntok), 4) AS shared_token_frac,
+      |  round(CAST(sum(ntok) AS DOUBLE) / count(*), 2) AS avg_chunk_tokens
+      |FROM ch JOIN fpc USING (fp)
+      |GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val p = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val c = p
+      .withColumn("brk", when(substring(md5(col("tok")), 1, 1) === "0", 1).otherwise(0))
+      .withColumn("cid",
+        sum(col("brk")).over(Window.partitionBy("doc_id").orderBy("pos")))
+    val ch = Dedup.persistTracked(c.groupBy("doc_id", "source", "cid")
+      .agg(count(lit(1)).as("ntok"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("fp")))
+    val fpc = ch.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+    ch.join(fpc, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("ntok")).cast("long").as("chunk_tokens"),
+        sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("shared_chunks"),
+        sum(when(col("nd") >= 2, col("ntok")).otherwise(0)).cast("long").as("shared_tokens"),
+        round(sum(when(col("nd") >= 2, col("ntok")).otherwise(0)).cast("double")
+          / sum(col("ntok")), 4).as("shared_token_frac"),
+        round(sum(col("ntok")).cast("double") / count(lit(1)), 2).as("avg_chunk_tokens"))
+      .orderBy("source")
   }
 }

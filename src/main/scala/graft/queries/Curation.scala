@@ -17,7 +17,8 @@ object Curation {
     balancedMixture, temperatureMixture, sourceQuota, weightedSample, dsirResample,
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
-    dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit)
+    dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
+    dataConstrainedEpochs)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -306,6 +307,67 @@ object Curation {
           expr("leftover * (avail - alloc1) div headroom")).otherwise(lit(0L)))
           .cast("double") / col("avail"), 6).as("fill_rate"))
       .orderBy("lang")
+  }
+
+  // --- q221: data-constrained epoch planning --------------------------------
+  // q169 sizes a mixture assuming tokens are interchangeable; this
+  // prices REPETITION: when the budget exceeds a source's unique mass,
+  // extra epochs buy exponentially less (the "Scaling Data-Constrained
+  // Language Models" decay shape — repeated data asymptotes at roughly
+  // R* ≈ 15 epochs' worth of fresh-data value). Per source: raw vs
+  // unique token mass (unique = exact-dedup survivors, counted on the
+  // (xxhash64, len) key — bodies never ship), a 3×unique total budget
+  // allocated pro rata to raw mass, the implied epoch count, and the
+  // effective fresh-token value U·R*·(1 − e^(−E/R*)). `value_ratio` is
+  // the planner's verdict: how much of each source's allocation buys
+  // signal rather than memorization. One corpus scan into a
+  // sources-sized aggregate; the BIGINT cross-multiplication is the
+  // q169 idiom (widen to DECIMAL(38,0) at warehouse scale). The exp()
+  // term is 9-dp rounded before use (the q133 sigmoid parity idiom).
+  def dataConstrainedEpochs: Q = Q(
+    "q221_data_constrained",
+    """WITH u AS (SELECT source, text, max(len(string_split(text, ' '))) AS ntok,
+      |         count(*) AS copies
+      |       FROM documents GROUP BY source, text),
+      |a AS (SELECT source, CAST(sum(ntok * copies) AS BIGINT) AS raw_tokens,
+      |        CAST(sum(ntok) AS BIGINT) AS uniq_tokens
+      |      FROM u GROUP BY source),
+      |tot AS (SELECT CAST(sum(raw_tokens) AS BIGINT) AS traw,
+      |          CAST(3 * sum(uniq_tokens) AS BIGINT) AS budget FROM a),
+      |b AS (SELECT source, raw_tokens, uniq_tokens,
+      |        CAST(budget * raw_tokens // traw AS BIGINT) AS alloc_tokens
+      |      FROM a CROSS JOIN tot),
+      |e AS (SELECT source, raw_tokens, uniq_tokens, alloc_tokens,
+      |        round(CAST(alloc_tokens AS DOUBLE) / uniq_tokens, 4) AS epochs,
+      |        round(uniq_tokens * 15.0 * (1.0 - round(exp(
+      |          -(CAST(alloc_tokens AS DOUBLE) / uniq_tokens) / 15.0), 9)), 2)
+      |          AS effective_tokens
+      |      FROM b)
+      |SELECT source, raw_tokens, uniq_tokens, alloc_tokens, epochs,
+      |  effective_tokens,
+      |  round(effective_tokens / alloc_tokens, 4) AS value_ratio
+      |FROM e ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val u = docs
+      .groupBy(col("source"), xxhash64(col("text")).as("h"), length(col("text")).as("l"))
+      .agg(max(TextAnalysis.tokenCount(col("text"))).as("ntok"),
+        count(lit(1)).as("copies"))
+    val a = Dedup.persistTracked(u.groupBy("source")
+      .agg(sum(col("ntok") * col("copies")).cast("long").as("raw_tokens"),
+        sum(col("ntok")).cast("long").as("uniq_tokens")))
+    val tot = a.agg(sum(col("raw_tokens")).cast("long").as("traw"),
+      (lit(3) * sum(col("uniq_tokens"))).cast("long").as("budget"))
+    val b = a.crossJoin(broadcast(tot))
+      .select(col("source"), col("raw_tokens"), col("uniq_tokens"),
+        expr("budget * raw_tokens div traw").cast("long").as("alloc_tokens"))
+    val epochsE = col("alloc_tokens").cast("double") / col("uniq_tokens")
+    val eff = round(col("uniq_tokens") * 15.0 *
+      (lit(1.0) - round(exp(-epochsE / 15.0), 9)), 2)
+    b.select(col("source"), col("raw_tokens"), col("uniq_tokens"), col("alloc_tokens"),
+        round(epochsE, 4).as("epochs"), eff.as("effective_tokens"),
+        round(eff / col("alloc_tokens"), 4).as("value_ratio"))
+      .orderBy("source")
   }
 
   // --- q158: curation-funnel waterfall -------------------------------------

@@ -11,7 +11,7 @@ object Embeddings {
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
-    annRecallCurve, annNdcg)
+    annRecallCurve, annNdcg, pcaPower, embeddingDispersion)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1223,5 +1223,148 @@ object Embeddings {
         round(sum(col("share").cast("decimal(18,9)"))
           .over(Window.orderBy("rk")).cast("double"), 6).as("cum_share"))
       .orderBy("rank")
+  }
+
+  // --- q224: PCA top component via distributed power iteration --------------
+  // q210 ranks AXIS-ALIGNED variance; the top PRINCIPAL direction needs
+  // an eigensolve. Power iteration does it without ever materializing
+  // the d×d covariance: three rounds of v ← normalize(Xᶜᵀ(Xᶜ·v)) over
+  // the mean-centered data, each round two corpus-linear keyed
+  // aggregates (per-vector dot, then per-dim weighted sum) — the
+  // textbook distributed eigensolver shape (d² never shuffles, only
+  // d-sized vectors do). Engine parity is the q133 trajectory
+  // discipline end-to-end: centered values, every dot/sum term, and
+  // each normalized v are 9-dp rounded with DECIMAL sums, and the
+  // oracle unrolls all three rounds as chained CTEs from the same
+  // v₀ = 1/√d start. `top_var_share` = λ/trace(Xᶜᵀ Xᶜ) — how much of
+  // total variance the top component explains (the whitening/
+  // truncation go-signal next to q210's per-dim curve).
+  def pcaPower: Q = {
+    val d = EmbDim
+    val v0 = s"round(1.0 / sqrt($d.0), 9)"
+    def iterSql(t: Int, n: Int): String =
+      s"""s$n AS (SELECT c.vec_id,
+         |    CAST(sum(CAST(round(c.x * v.v, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+         |  FROM cent c JOIN v$t v USING (i) GROUP BY c.vec_id),
+         |w$n AS (SELECT c.i,
+         |    CAST(sum(CAST(round(s$n.s * c.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS w
+         |  FROM cent c JOIN s$n ON s$n.vec_id = c.vec_id GROUP BY c.i),
+         |n$n AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE)) AS nrm FROM w$n),
+         |v$n AS (SELECT i, round(w / nrm, 9) AS v FROM w$n CROSS JOIN n$n)""".stripMargin
+    Q(
+      "q224_pca_power",
+      s"""WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         |mu AS (SELECT i, CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+         |    / count(*) AS mu FROM dims GROUP BY i),
+         |cent AS (SELECT d.vec_id, d.i, round(d.x - m.mu, 9) AS x
+         |  FROM dims d JOIN mu m USING (i)),
+         |v0 AS (SELECT DISTINCT i, $v0 AS v FROM cent),
+         |${iterSql(0, 1)},
+         |${iterSql(1, 2)},
+         |${iterSql(2, 3)},
+         |tr AS (SELECT CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |    AS trace FROM cent)
+         |SELECT v3.i AS dim, round(v3.v, 6) + 0.0 AS loading,
+         |  round(n3.nrm / tr.trace, 6) AS top_var_share
+         |FROM v3 CROSS JOIN n3 CROSS JOIN tr
+         |ORDER BY dim""".stripMargin,
+    ) { (s, dir) =>
+      val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+          col("xf").cast("double").as("x")))
+      val mu = dims.groupBy("i")
+        .agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("mu"))
+      val cent = graft.dedup.Dedup.persistTracked(
+        dims.join(broadcast(mu), "i")
+          .select(col("vec_id"), col("i"), round(col("x") - col("mu"), 9).as("x")))
+      val vInit = cent.select("i").distinct()
+        .select(col("i"), round(lit(1.0) / sqrt(lit(d.toDouble)), 9).as("v"))
+      def iterate(v: org.apache.spark.sql.DataFrame) = {
+        val sv = cent.join(broadcast(v), "i")
+          .groupBy("vec_id")
+          .agg(sum(round(col("x") * col("v"), 9).cast("decimal(28,9)"))
+            .cast("double").as("s"))
+        val w = cent.join(sv, "vec_id")
+          .groupBy("i")
+          .agg(sum(round(col("s") * col("x"), 9).cast("decimal(28,9)"))
+            .cast("double").as("w"))
+        val nrm = w.agg(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(28,9)"))
+          .cast("double")).as("nrm"))
+        (w.crossJoin(broadcast(nrm))
+          .select(col("i"), round(col("w") / col("nrm"), 9).as("v")), nrm)
+      }
+      val (v1, _) = iterate(vInit)
+      val (v2, _) = iterate(v1)
+      val (v3, n3) = iterate(v2)
+      val tr = cent.agg(sum(round(col("x") * col("x"), 9).cast("decimal(28,9)"))
+        .cast("double").as("trace"))
+      v3.crossJoin(broadcast(n3)).crossJoin(broadcast(tr))
+        .select(col("i").as("dim"), znorm(round(col("v"), 6)).as("loading"),
+          round(col("nrm") / col("trace"), 6).as("top_var_share"))
+        .orderBy("dim")
+    }
+  }
+
+  // --- q225: per-label embedding dispersion ---------------------------------
+  // The intra-class compactness audit q193 (cross-source drift) and
+  // q210 (global variance) both miss: how tightly does each label
+  // cluster? Two classical statistics from ONE pass of sufficient
+  // statistics — the mean-resultant length ‖Σû‖/n of the unit-
+  // normalized vectors (≈1 collapsed, ≈0 isotropic) and the average
+  // pairwise cosine via the identity Σᵢⱼcos(i,j) = ‖Σû‖² with the n
+  // self-terms removed — so the "average pairwise" number costs a
+  // keyed aggregate, never an n² pair join. Zero-norm vectors are
+  // excluded (their direction is undefined); a single-vector label
+  // NULLs the pairwise mean via try_divide. 9-dp/DECIMAL discipline
+  // throughout; the Σû·Σû moment uses DECIMAL(28,9) headroom (an
+  // aligned 20k-vector label squares to ~4·10⁸ per dim).
+  def embeddingDispersion: Q = Q(
+    "q225_embedding_dispersion",
+    """WITH dims AS (SELECT vec_id, label, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |nrm0 AS (SELECT vec_id, label,
+      |    sqrt(CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      |  FROM dims GROUP BY vec_id, label),
+      |nrm AS (SELECT * FROM nrm0 WHERE nrm > 0),
+      |un AS (SELECT n.label, d.i, round(d.x / n.nrm, 9) AS u
+      |  FROM dims d JOIN nrm n ON n.vec_id = d.vec_id),
+      |sd AS (SELECT label, i, CAST(sum(CAST(u AS DECIMAL(18,9))) AS DOUBLE) AS sd
+      |  FROM un GROUP BY label, i),
+      |ss AS (SELECT label, CAST(sum(CAST(round(sd * sd, 9) AS DECIMAL(28,9)))
+      |    AS DOUBLE) AS ss FROM sd GROUP BY label),
+      |nv AS (SELECT label, count(*) AS n_vecs FROM nrm GROUP BY label)
+      |SELECT ss.label, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+      |  round(sqrt(ss) / nv.n_vecs, 6) AS mean_resultant,
+      |  round((ss - nv.n_vecs) / (CAST(nv.n_vecs AS DOUBLE) * (nv.n_vecs - 1)), 6)
+      |    + 0.0 AS avg_pair_cos
+      |FROM ss JOIN nv USING (label)
+      |ORDER BY label""".stripMargin,
+  ) { (s, dir) =>
+    val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x")))
+    val nrm = dims.groupBy("vec_id", "label")
+      .agg(sqrt(dsum(round(col("x") * col("x"), 9), 9)).as("nrm"))
+      .filter(col("nrm") > 0)
+    val un = dims.drop("label")
+      .join(nrm, "vec_id")
+      .select(col("label"), col("i"), round(col("x") / col("nrm"), 9).as("u"))
+    val sd = un.groupBy("label", "i").agg(dsum(col("u"), 9).as("sd"))
+    val ss = sd.groupBy("label")
+      .agg(sum(round(col("sd") * col("sd"), 9).cast("decimal(28,9)"))
+        .cast("double").as("ss"))
+    val nv = nrm.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    ss.join(nv, "label")
+      .select(col("label"), col("n_vecs").cast("long").as("n_vecs"),
+        round(sqrt(col("ss")) / col("n_vecs"), 6).as("mean_resultant"),
+        znorm(round(try_divide(col("ss") - col("n_vecs"),
+          col("n_vecs").cast("double") * (col("n_vecs") - 1)), 6)).as("avg_pair_cos"))
+      .orderBy("label")
   }
 }

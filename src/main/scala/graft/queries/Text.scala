@@ -19,7 +19,7 @@ object Text {
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
-    streamingNearDupGate)
+    streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1513,4 +1513,274 @@ object Text {
         round(-col("e.negent"), 6).as("entropy_nats"))
       .orderBy("doc_id")
   }
+
+  // --- q222: graded eval contamination fraction ----------------------------
+  // q81 answers "which TRAIN docs touch the eval set" (a binary flag
+  // for removal); this answers the question an eval owner asks in the
+  // other direction: per EVAL doc, what fraction of its distinct
+  // 3-gram shingles occur anywhere in the train split — the graded
+  // "dirtiness" score the GPT-3 appendix reports per benchmark, which
+  // decides whether an eval number needs a clean-subset rerun.
+  // Orientation flips the scale shape too: the TRAIN shingle set is
+  // corpus-sized, so unlike q81 nothing broadcasts — the eval shingles
+  // (sample-sized) meet the distinct train index in a keyed LEFT join
+  // on the shingle and reduce per doc. `contaminated` is the ≥50%
+  // gate as an integer cross-multiplication (no float threshold).
+  def contaminationFraction: Q = Q(
+    "q222_contamination_frac",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |eval AS (SELECT doc_id FROM documents
+      |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5'),
+      |tsh AS (SELECT DISTINCT shingle, 1 AS hitm FROM sh
+      |        WHERE doc_id NOT IN (SELECT doc_id FROM eval)),
+      |esh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN eval USING (doc_id))
+      |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(COALESCE(t.hitm, 0)) AS BIGINT) AS n_hit,
+      |  round(CAST(sum(COALESCE(t.hitm, 0)) AS DOUBLE) / count(*), 4) AS overlap_frac,
+      |  (sum(COALESCE(t.hitm, 0)) * 2 >= count(*)) AS contaminated
+      |FROM esh e LEFT JOIN tsh t ON t.shingle = e.shingle
+      |GROUP BY e.doc_id
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    // split is a per-row doc_id predicate pushed below both explodes
+    // (the q81 idiom) — no membership join
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5"
+    val tsh = Dedup.shingleTable(docs.filter(!isEval), "doc_id", "text")
+      .select("shingle").distinct().withColumn("hitm", lit(1))
+    Dedup.shingleTable(docs.filter(isEval), "doc_id", "text")
+      .join(tsh, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hitm"), lit(0))).cast("long").as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 4).as("overlap_frac"),
+        (col("n_hit") * 2 >= col("n_shingles")).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // --- q226: filter-agreement kappa ----------------------------------------
+  // q198 asks whether two scorers RANK the corpus alike; this asks the
+  // operational question: do the DECISIONS agree once each score is
+  // thresholded — Cohen's κ (chance-corrected agreement) between the
+  // three standing gates (quality, char entropy, low repetition), each
+  // thresholded at its own corpus MEDIAN so the 2×2 tables are
+  // balanced by construction and the constant is data-derived, not
+  // arbitrary. κ near 0 means a second filter adds real information;
+  // κ near 1 means it's redundant. One corpus scan computes all three
+  // per-doc scores (entropy via the codegen CharEntropy pass), the
+  // medians ride back as a 1-row broadcast, and all twelve 2×2 cells
+  // reduce in ONE aggregate — the three output rows are literal
+  // selects from that single row. κ's numerator is a cancelling
+  // subtraction → signed-zero-normalized, and pe = 1 (degenerate
+  // all-agree corpus) NULLs via try_divide, per the CLAUDE.md rule.
+  // Domain = docs with ≥3 tokens (where all three scores exist).
+  def filterKappa: Q = Q(
+    "q226_filter_kappa",
+    s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |chars AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+       |  FROM base, UNNEST(range(1, len(text) + 1)) AS u(i)),
+       |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+       |cn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+       |ent AS (SELECT cc.doc_id, round(-CAST(sum(CAST(
+       |    round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+       |    AS DECIMAL(18,9))) AS DOUBLE), 4) AS se
+       |  FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id),
+       |sc AS (SELECT b.doc_id,
+       |    round(${TextSqlFragments.qualitySql("t")}, 4) AS sq,
+       |    e.se,
+       |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+       |      / (len(t) - 2), 4) AS rr
+       |  FROM base b JOIN ent e ON e.doc_id = b.doc_id),
+       |med AS (SELECT quantile_cont(sq, 0.5) AS mq, quantile_cont(se, 0.5) AS me,
+       |          quantile_cont(rr, 0.5) AS mr FROM sc),
+       |fl AS (SELECT (sq >= mq) AS fq, (se >= me) AS fe, (rr <= mr) AS fr
+       |       FROM sc CROSS JOIN med),
+       |agg AS (SELECT count(*) AS n,
+       |    sum(CASE WHEN fq AND fe THEN 1 ELSE 0 END) AS qe_a,
+       |    sum(CASE WHEN fq AND NOT fe THEN 1 ELSE 0 END) AS qe_b,
+       |    sum(CASE WHEN NOT fq AND fe THEN 1 ELSE 0 END) AS qe_c,
+       |    sum(CASE WHEN NOT fq AND NOT fe THEN 1 ELSE 0 END) AS qe_d,
+       |    sum(CASE WHEN fq AND fr THEN 1 ELSE 0 END) AS qr_a,
+       |    sum(CASE WHEN fq AND NOT fr THEN 1 ELSE 0 END) AS qr_b,
+       |    sum(CASE WHEN NOT fq AND fr THEN 1 ELSE 0 END) AS qr_c,
+       |    sum(CASE WHEN NOT fq AND NOT fr THEN 1 ELSE 0 END) AS qr_d,
+       |    sum(CASE WHEN fe AND fr THEN 1 ELSE 0 END) AS er_a,
+       |    sum(CASE WHEN fe AND NOT fr THEN 1 ELSE 0 END) AS er_b,
+       |    sum(CASE WHEN NOT fe AND fr THEN 1 ELSE 0 END) AS er_c,
+       |    sum(CASE WHEN NOT fe AND NOT fr THEN 1 ELSE 0 END) AS er_d
+       |  FROM fl)
+       |SELECT * FROM (
+       |  SELECT 'entropy' AS filter_a, 'repetition' AS filter_b,
+       |    CAST(n AS BIGINT) AS n_docs,
+       |    round(CAST(er_a + er_d AS DOUBLE) / n, 4) AS agree_rate,
+       |    round((CAST(er_a + er_d AS DOUBLE) / n
+       |        - ((er_a+er_b)*(er_a+er_c) + (er_c+er_d)*(er_b+er_d)) / (CAST(n AS DOUBLE)*n))
+       |      / (1.0 - ((er_a+er_b)*(er_a+er_c) + (er_c+er_d)*(er_b+er_d)) / (CAST(n AS DOUBLE)*n)),
+       |      4) + 0.0 AS kappa
+       |  FROM agg
+       |  UNION ALL
+       |  SELECT 'quality', 'entropy', CAST(n AS BIGINT),
+       |    round(CAST(qe_a + qe_d AS DOUBLE) / n, 4),
+       |    round((CAST(qe_a + qe_d AS DOUBLE) / n
+       |        - ((qe_a+qe_b)*(qe_a+qe_c) + (qe_c+qe_d)*(qe_b+qe_d)) / (CAST(n AS DOUBLE)*n))
+       |      / (1.0 - ((qe_a+qe_b)*(qe_a+qe_c) + (qe_c+qe_d)*(qe_b+qe_d)) / (CAST(n AS DOUBLE)*n)),
+       |      4) + 0.0
+       |  FROM agg
+       |  UNION ALL
+       |  SELECT 'quality', 'repetition', CAST(n AS BIGINT),
+       |    round(CAST(qr_a + qr_d AS DOUBLE) / n, 4),
+       |    round((CAST(qr_a + qr_d AS DOUBLE) / n
+       |        - ((qr_a+qr_b)*(qr_a+qr_c) + (qr_c+qr_d)*(qr_b+qr_d)) / (CAST(n AS DOUBLE)*n))
+       |      / (1.0 - ((qr_a+qr_b)*(qr_a+qr_c) + (qr_c+qr_d)*(qr_b+qr_d)) / (CAST(n AS DOUBLE)*n)),
+       |      4) + 0.0
+       |  FROM agg)
+       |ORDER BY filter_a, filter_b""".stripMargin,
+  ) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val rawSh = transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val sc = Dedup.persistTracked(Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+        round(-graft.functions.CharEntropy(col("text")).getField("negent"), 4).as("se"),
+        round(lit(1.0) - size(array_distinct(rawSh)).cast("double") / (size(toks) - 2), 4)
+          .as("rr")))
+    val med = sc.agg(expr("percentile(sq, 0.5)").as("mq"),
+      expr("percentile(se, 0.5)").as("me"), expr("percentile(rr, 0.5)").as("mr"))
+    val fl = sc.crossJoin(broadcast(med))
+      .select((col("sq") >= col("mq")).as("fq"), (col("se") >= col("me")).as("fe"),
+        (col("rr") <= col("mr")).as("fr"))
+    def cell(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      sum(when(x && y, 1).otherwise(0))
+    val agg = fl.agg(count(lit(1)).as("n"),
+      cell(col("fq"), col("fe")).as("qe_a"), cell(col("fq"), !col("fe")).as("qe_b"),
+      cell(!col("fq"), col("fe")).as("qe_c"), cell(!col("fq"), !col("fe")).as("qe_d"),
+      cell(col("fq"), col("fr")).as("qr_a"), cell(col("fq"), !col("fr")).as("qr_b"),
+      cell(!col("fq"), col("fr")).as("qr_c"), cell(!col("fq"), !col("fr")).as("qr_d"),
+      cell(col("fe"), col("fr")).as("er_a"), cell(col("fe"), !col("fr")).as("er_b"),
+      cell(!col("fe"), col("fr")).as("er_c"), cell(!col("fe"), !col("fr")).as("er_d"))
+    val aggP = Dedup.persistTracked(agg)
+    def row(la: String, lb: String, p: String) = {
+      val (a, b, c, d) = (col(s"${p}_a"), col(s"${p}_b"), col(s"${p}_c"), col(s"${p}_d"))
+      val po = (a + d).cast("double") / col("n")
+      val pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (col("n").cast("double") * col("n"))
+      aggP.select(lit(la).as("filter_a"), lit(lb).as("filter_b"),
+        col("n").cast("long").as("n_docs"),
+        round(po, 4).as("agree_rate"),
+        znorm(round(try_divide(po - pe, lit(1.0) - pe), 4)).as("kappa"))
+    }
+    row("quality", "entropy", "qe")
+      .union(row("quality", "repetition", "qr"))
+      .union(row("entropy", "repetition", "er"))
+      .orderBy("filter_a", "filter_b")
+  }
+
+  // --- q223: multinomial Naive Bayes source classifier ----------------------
+  // The fastText-shaped curation classifier on TOKEN features (q133's
+  // logreg classifies embeddings): train add-one-smoothed multinomial
+  // NB on the train split's (source, token) counts, score the held-out
+  // split, emit the confusion matrix — the "does provenance leak into
+  // surface form" audit that decides whether a source filter can be
+  // learned. Everything is counts: the model is ln((c_st+1)/(N_s+V))
+  // over a df-capped vocabulary (count ≥ 5 — at web scale cap to
+  // top-K by frequency; the cap bounds the model table), priors are
+  // doc shares, and scoring is ONE keyed join of exploded eval tokens
+  // against the model followed by a per-(doc, candidate) DECIMAL sum
+  // of 9-dp ln terms — bit-reproducible, so argmax (score desc, then
+  // source asc on exact ties) matches across engines. Eval docs with
+  // zero in-vocab tokens drop out (no evidence, no prediction).
+  // The per-doc argmax window ranks |sources| rows per doc, never the
+  // corpus.
+  def nbSourceClassifier: Q = Q(
+    "q223_nb_source_classifier",
+    """WITH eval AS (SELECT doc_id FROM documents
+      |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5'),
+      |tr AS (SELECT doc_id, source, text FROM documents
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM eval)),
+      |tt AS (SELECT t.source, tok FROM tr t,
+      |       UNNEST(string_split(t.text, ' ')) AS u(tok)),
+      |voc AS (SELECT tok FROM tt GROUP BY tok HAVING count(*) >= 5),
+      |vsz AS (SELECT count(*) AS v FROM voc),
+      |c AS (SELECT source, tok, count(*) AS c FROM tt JOIN voc USING (tok)
+      |      GROUP BY source, tok),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY source),
+      |srcs AS (SELECT source, count(*) AS nd FROM tr GROUP BY source),
+      |ndt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndt FROM srcs),
+      |model AS (SELECT n.source, v.tok,
+      |    round(ln((COALESCE(c.c, 0) + 1.0) / (n.ns + vsz.v)), 9) AS lp
+      |  FROM ns n CROSS JOIN voc v CROSS JOIN vsz
+      |  LEFT JOIN c ON c.source = n.source AND c.tok = v.tok),
+      |prior AS (SELECT s.source, round(ln(CAST(s.nd AS DOUBLE) / ndt.ndt), 9) AS lp0
+      |  FROM srcs s CROSS JOIN ndt),
+      |ed AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN eval USING (doc_id)),
+      |et AS (SELECT doc_id, source AS true_source, tok FROM ed,
+      |       UNNEST(string_split(text, ' ')) AS u(tok)),
+      |sc AS (SELECT e.doc_id, e.true_source, m.source AS cand,
+      |    CAST(sum(CAST(m.lp AS DECIMAL(28,9))) AS DOUBLE) + max(p.lp0) AS score
+      |  FROM et e JOIN model m ON m.tok = e.tok
+      |  JOIN prior p ON p.source = m.source
+      |  GROUP BY e.doc_id, e.true_source, m.source),
+      |pred AS (SELECT doc_id, true_source, cand AS pred_source,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+      |  FROM sc)
+      |SELECT true_source, pred_source, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) < "28f5"
+    val tr = docs.filter(!isEval)
+    val tt = tr.select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val voc = Dedup.persistTracked(
+      tt.groupBy("tok").agg(count(lit(1)).as("ctot")).filter(col("ctot") >= 5)
+        .select("tok"))
+    val vsz = voc.agg(count(lit(1)).as("v"))
+    // vocab join deliberately unhinted (the q108 stance): AQE
+    // broadcasts a small vocab, a web-scale one stays a shuffle join
+    val c = Dedup.persistTracked(
+      tt.join(voc, "tok").groupBy("source", "tok").agg(count(lit(1)).as("c")))
+    val ns = c.groupBy("source").agg(sum(col("c")).cast("long").as("ns"))
+    val srcs = tr.groupBy("source").agg(count(lit(1)).as("nd"))
+    val ndt = srcs.agg(sum(col("nd")).cast("long").as("ndt"))
+    val model = voc.crossJoin(broadcast(ns)).crossJoin(broadcast(vsz))
+      .join(c, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("ns") + col("v"))), 9)
+          .as("lp"))
+    val prior = srcs.crossJoin(broadcast(ndt))
+      .select(col("source"), round(log(col("nd").cast("double") / col("ndt")), 9).as("lp0"))
+    val et = docs.filter(isEval)
+      .select(col("doc_id"), col("source").as("true_source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sc = et.join(model, "tok")
+      .join(broadcast(prior), "source")
+      .groupBy("doc_id", "true_source", "source")
+      .agg((sum(col("lp").cast("decimal(28,9)")).cast("double") + max(col("lp0")))
+        .as("score"))
+    val rn = row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score").desc, col("source")))
+    sc.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("true_source"), col("source").as("pred_source"))
+      .groupBy("true_source", "pred_source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_source", "pred_source")
+  }
+}
+
+/** SQL fragments shared by Text-family oracles. */
+private[queries] object TextSqlFragments {
+  private def stopSql = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** q36's composite quality score over a string_split list column. */
+  def qualitySql(toks: String): String =
+    s"least(1.0, CAST(len($toks) AS DOUBLE) / 50.0) * 0.5 " +
+      s"+ (1.0 - CAST(len(list_filter($toks, x -> x IN ($stopSql))) AS DOUBLE) / len($toks)) * 0.5"
 }
