@@ -19,7 +19,8 @@ object Corpus {
 
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
-    skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks)
+    skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
+    tokenBurstiness)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -625,6 +626,101 @@ object Corpus {
         round((col("prevp") + col("need") * col("f")).cast("double") / col("total"), 6)
           .as("coverage"))
       .orderBy("target_pct")
+  }
+
+  // --- q228: Good-Turing unseen-mass estimate --------------------------------
+  // "How much vocabulary is the crawl still missing?" — the classical
+  // answer from the frequency-of-frequencies: the Good-Turing estimate
+  // of unseen probability mass is n₁/N (share of tokens that are
+  // hapaxes), the expected true count of a singleton is 2·n₂/n₁, and
+  // Chao1 lower-bounds the true vocabulary at V + n₁²/(2n₂). Per
+  // source, from ONE (source, token) aggregate reduced to a
+  // sources-sized row — the companion planning number to q192's Heaps
+  // slope and q212's coverage curve. A hapax-free source (n₂ = 0 form)
+  // NULLs Chao1 via try_divide.
+  def goodTuring: Q = Q(
+    "q228_good_turing",
+    """WITH tt AS (SELECT source, tok FROM documents,
+      |       UNNEST(string_split(text, ' ')) AS u(tok)),
+      |tf AS (SELECT source, tok, count(*) AS c FROM tt GROUP BY source, tok)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(c), 6)
+      |    AS p_unseen,
+      |  round(count(*) +
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      |      / (2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)), 2) AS chao1_vocab
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val n1 = sum(when(col("c") === 1, 1).otherwise(0))
+    val n2 = sum(when(col("c") === 2, 1).otherwise(0))
+    tf.groupBy("source")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        n1.cast("long").as("n1"), n2.cast("long").as("n2"),
+        round(n1.cast("double") / sum(col("c")), 6).as("p_unseen"),
+        round(count(lit(1)) +
+          try_divide(n1.cast("double") * n1, lit(2.0) * n2), 2).as("chao1_vocab"))
+      .orderBy("source")
+  }
+
+  // --- q229: token burstiness (Church-Gale VMR) ------------------------------
+  // Content words clump — once a document mentions a term it tends to
+  // mention it again — while function words spread Poisson-like. The
+  // variance-to-mean ratio of per-document counts (over ALL docs,
+  // zeros included, via moment sums) separates the two; `repeat_rate`
+  // is the within-doc repeat share of each term's occurrences. Run
+  // for the corpus top-20 terms: selection is a distributed
+  // TakeOrdered (count desc, token asc — never a vocab-wide window),
+  // the 20 survivors broadcast back into the (token, doc) aggregate.
+  // VMR's variance numerator cancels to zero when a term occurs
+  // exactly once in every doc → signed-zero-normalized.
+  def tokenBurstiness: Q = Q(
+    "q229_token_burstiness",
+    """WITH tf AS (SELECT tok, doc_id, count(*) AS c FROM documents,
+      |       UNNEST(string_split(text, ' ')) AS u(tok) GROUP BY tok, doc_id),
+      |top AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY tok
+      |        ORDER BY sum(c) DESC, tok LIMIT 20),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |m AS (SELECT t.tok, max(t.ct) AS ct, count(*) AS df,
+      |        CAST(sum(f.c) AS BIGINT) AS sc, CAST(sum(f.c * f.c) AS BIGINT) AS sc2
+      |      FROM top t JOIN tf f ON f.tok = t.tok GROUP BY t.tok)
+      |SELECT CAST(row_number() OVER (ORDER BY ct DESC, tok) AS INTEGER) AS rank,
+      |  tok, ct AS corpus_count, CAST(df AS BIGINT) AS doc_freq,
+      |  round((CAST(sc2 AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+      |    / (CAST(sc AS DOUBLE) / n), 4) + 0.0 AS vmr,
+      |  round(CAST(sc - df AS DOUBLE) / sc, 4) AS repeat_rate
+      |FROM m CROSS JOIN nd
+      |ORDER BY rank""".stripMargin,
+  ) { (s, dir) =>
+    val tf = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c")))
+    val top = tf.groupBy("tok").agg(sum(col("c")).cast("long").as("ct"))
+      .orderBy(col("ct").desc, col("tok")).limit(20)
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val m = broadcast(top).join(tf, "tok")
+      .groupBy("tok")
+      .agg(max(col("ct")).as("ct"), count(lit(1)).as("df"),
+        sum(col("c")).cast("long").as("sc"),
+        sum(col("c") * col("c")).cast("long").as("sc2"))
+    val mean = col("sc").cast("double") / col("n")
+    m.crossJoin(broadcast(nd))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ct").desc, col("tok"))).cast("int").as("rank"),
+        col("tok"), col("ct").as("corpus_count"), col("df").cast("long").as("doc_freq"),
+        znorm(round((col("sc2").cast("double") / col("n") - mean * mean) / mean, 4))
+          .as("vmr"),
+        round((col("sc") - col("df")).cast("double") / col("sc"), 4).as("repeat_rate"))
+      .orderBy("rank")
   }
 
   // --- q227: content-defined chunk dedup -----------------------------------

@@ -106,42 +106,48 @@ object Preference {
        |FROM wins w JOIN losses lo ON lo.i = w.i JOIN p3 ON p3.pk = w.i
        |ORDER BY source""".stripMargin,
   ) { (s, dir) =>
-    val wl = Dedup.persistTracked(matchWl(s, dir))
-    val pairs = wl.select(col("winner").as("i"), col("loser").as("j"), col("n"))
-      .union(wl.select(col("loser").as("i"), col("winner").as("j"), col("n")))
-      .groupBy("i", "j").agg(sum(col("n")).cast("long").as("mn"))
-    val players = pairs.select("i").distinct()
-    val wins = players.join(wl.withColumnRenamed("winner", "i"), Seq("i"), "left")
-      .groupBy("i").agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("w"))
-    val losses = players.join(wl.withColumnRenamed("loser", "i"), Seq("i"), "left")
-      .groupBy("i").agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("l"))
-    val k = players.agg(count(lit(1)).as("k"))
-    val p0 = players.crossJoin(broadcast(k))
-      .select(col("i").as("pk"), round(lit(1.0) / col("k"), 9).as("p"))
-    val p3 = (1 to 3).foldLeft(p0)((p, _) => btIter(pairs, wins, p))
-    wins.join(losses, "i").join(p3, col("i") === col("pk"))
-      .select(col("i").as("source"), col("w").as("wins"), col("l").as("losses"),
-        (col("w") + col("l")).cast("long").as("matches"),
-        round(col("p"), 6).as("bt_strength"))
+    // The corpus-scale work is ONE aggregate (matchWl); what reaches
+    // the driver is the players²-bounded W/L matrix — the q133 budget
+    // ("only d+2 scalars reach the driver"). The MM rounds then run as
+    // driver arithmetic with the exact engine semantics (9-dp HALF_UP
+    // requantization via BigDecimal.valueOf — bit-identical to Spark's
+    // round() on doubles — and scale-9 decimal sums), because a
+    // DataFrame formulation of a 20-row × 3-round iteration spends
+    // seconds of AQE stage scheduling per round (measured 28 s; the
+    // cluster-shaped plan is the wrong shape when the data is
+    // literally a handful of scalars). The DuckDB oracle replays the
+    // identical chain from the corpus, so the driver arithmetic is
+    // hash-checked end to end.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def rnd(x: Double, s9: Int): Double =
+      JBD.valueOf(x).setScale(s9, RoundingMode.HALF_UP).doubleValue
+    def sumDec9(xs: Iterable[Double]): Double =
+      xs.foldLeft(JBD.ZERO)((acc, x) =>
+        acc.add(JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP))).doubleValue
+    val wl = matchWl(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pairs = wl.flatMap { case (w, l, n) => Seq(((w, l), n), ((l, w), n)) }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2).sum }
+    val players = pairs.keysIterator.map(_._1).toSeq.distinct.sorted
+    val wins = players.map(i => i -> wl.filter(_._1 == i).map(_._3).sum).toMap
+    val losses = players.map(i => i -> wl.filter(_._2 == i).map(_._3).sum).toMap
+    var p = players.map(i => i -> rnd(1.0 / players.size, 9)).toMap
+    for (_ <- 1 to 3) {
+      // a battling pair always has ≥1 win between them, so after the
+      // uniform start no denominator term can see p_i + p_j = 0
+      val den = players.map { i =>
+        i -> sumDec9(pairs.collect {
+          case ((a, j), mn) if a == i => rnd(mn.toDouble / (p(i) + p(j)), 9)
+        })
+      }.toMap
+      val up = players.map(i => i -> rnd(wins(i).toDouble / den(i), 9)).toMap
+      val tot = sumDec9(players.map(up))
+      p = players.map(i => i -> rnd(up(i) / tot, 9)).toMap
+    }
+    import s.implicits._
+    players.map(i => (i, wins(i), losses(i), wins(i) + losses(i), rnd(p(i), 6)))
+      .toDF("source", "wins", "losses", "matches", "bt_strength")
       .orderBy("source")
-  }
-
-  /** One MM round: DECIMAL-exact denominator per player, renormalize,
-    * 9-dp requantize (schema (pk, p) in → same out).
-    */
-  private def btIter(pairs: DataFrame, wins: DataFrame, p: DataFrame): DataFrame = {
-    val pa = p.select(col("pk").as("ia"), col("p").as("pia"))
-    val pb = p.select(col("pk").as("jb"), col("p").as("pjb"))
-    val den = pairs
-      .join(broadcast(pa), col("i") === col("ia"))
-      .join(broadcast(pb), col("j") === col("jb"))
-      .groupBy("i")
-      .agg(sum(round(col("mn") / (col("pia") + col("pjb")), 9).cast("decimal(28,9)"))
-        .cast("double").as("den"))
-    val u = wins.join(den, "i").select(col("i"), round(col("w") / col("den"), 9).as("up"))
-    val tot = u.agg(sum(col("up").cast("decimal(28,9)")).cast("double").as("tp"))
-    u.crossJoin(broadcast(tot))
-      .select(col("i").as("pk"), round(col("up") / col("tp"), 9).as("p"))
   }
 
   /** The same MM round as SQL, CTE p$t → p$n. */

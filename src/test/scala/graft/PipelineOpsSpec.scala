@@ -220,6 +220,43 @@ class PipelineOpsSpec extends SparkSpec {
       "the cancelled numerator must normalize to +0.0")
   }
 
+  test("q228: Good-Turing counts hapaxes and Chao1 NULLs without doubletons") {
+    val dir = corpusDir(Seq(
+      (1L, "x1 x1 x2 x2 x3", "en", "srcX"),  // n1=1, n2=2 → chao1 = 3.25
+      (2L, "y1 y1 y2 y2", "en", "srcY"),     // n1=0 → p_unseen 0, chao1 = V
+      (3L, "z1 z2", "en", "srcZ")))          // n2=0 → chao1 undefined
+    val rows = Corpus.goodTuring.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val x = rows("srcX")
+    assert(x.getAs[Long]("n_tokens") === 5L && x.getAs[Long]("vocab") === 3L)
+    assert(x.getAs[Long]("n1") === 1L && x.getAs[Long]("n2") === 2L)
+    assert(x.getAs[Double]("p_unseen") === 0.2)
+    assert(x.getAs[Double]("chao1_vocab") === 3.25)
+    assert(rows("srcY").getAs[Double]("p_unseen") === 0.0)
+    assert(rows("srcY").getAs[Double]("chao1_vocab") === 2.0)
+    val z = rows("srcZ")
+    assert(z.isNullAt(z.fieldIndex("chao1_vocab")), "n2=0 ⇒ Chao1 undefined")
+  }
+
+  test("q229: burstiness separates a clumped term from a uniformly spread one") {
+    // "fn" once in every doc → Poisson-flat, VMR = 0 (the cancelled
+    // variance must normalize to +0.0); "ct" 4× in one doc → VMR = 3
+    val dir = corpusDir(Seq(
+      (1L, "fn ct ct ct ct", "en", "s0"),
+      (2L, "fn pad", "en", "s0"),
+      (3L, "fn pad", "en", "s0"),
+      (4L, "fn pad", "en", "s0")))
+    val rows = Corpus.tokenBurstiness.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("tok") -> r).toMap
+    assert(rows("ct").getAs[Int]("rank") === 1, "count tie breaks by token")
+    assert(rows("ct").getAs[Double]("vmr") === 3.0)
+    assert(rows("ct").getAs[Double]("repeat_rate") === 0.75)
+    assert(rows("fn").getAs[Double]("vmr") === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(rows("fn").getAs[Double]("vmr")) === 0L)
+    assert(rows("fn").getAs[Double]("repeat_rate") === 0.0)
+    assert(rows("fn").getAs[Long]("doc_freq") === 4L)
+  }
+
   test("q227: content-defined chunks realign after a prefix insertion") {
     // find a boundary token (md5 starts '0') and filler tokens that
     // are not boundaries — chunk structure is then fully determined
