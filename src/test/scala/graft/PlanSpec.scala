@@ -627,6 +627,25 @@ class PlanSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("burstiness top-20 is TakeOrderedAndProject, never a vocab-wide sort") {
+    val df = SparkEntry.queries("q229_token_burstiness")(spark, sf)
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the 20 survivors broadcast back into the (token, doc) aggregate
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q219 serves a driver-materialized rating table as a local relation") {
+    // corpus work happens once inside fn (the bounded W/L collect); the
+    // RETURNED plan must be local-only — re-running the served result
+    // must never rescan the corpus
+    val df = SparkEntry.queries("q219_bradley_terry")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), p.take(1200))
+    assert(!p.contains("Scan parquet"), p.take(1200))
+  }
+
   test("logreg training aggregate is map-side partial before one-row reduce") {
     // the per-iteration gradient must partial-aggregate per partition —
     // only d+2 scalars may cross the exchange
