@@ -20,7 +20,7 @@ object Corpus {
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
-    tokenBurstiness)
+    tokenBurstiness, batchNovelty)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -786,5 +786,63 @@ object Corpus {
           / sum(col("ntok")), 4).as("shared_token_frac"),
         round(sum(col("ntok")).cast("double") / count(lit(1)), 2).as("avg_chunk_tokens"))
       .orderBy("source")
+  }
+
+  // --- q231: per-batch shingle novelty curve -------------------------------
+  // The marginal-utility-of-data curve: split the crawl (doc_id order)
+  // into 10 equal batches and ask, per batch, what fraction of its
+  // distinct 5-gram shingles was never seen in an earlier batch.
+  // q84's incremental dedup answers this for WHOLE documents; at
+  // shingle granularity the curve shows content exhaustion long
+  // before exact duplicates appear (novelty decaying toward 0 means
+  // later crawls buy boilerplate recombinations, not new text) — the
+  // number a data-acquisition owner reads before paying for batch 11.
+  // Batch id is pure integer math ((doc_id·10) div n, clamped), the
+  // corpus-scale work is two keyed aggregates on the distinct
+  // (batch, shingle) set — min-batch per shingle, then counts per
+  // batch — and the doc count rides in as a 1-row broadcast, so the
+  // plan is scan → distinct → two bounded shuffles on the shingle
+  // key. Shingles stay exact strings: novelty is a set-membership
+  // claim, and a lossy hash would undercount novel shingles by
+  // exactly its collision rate.
+  def batchNovelty: Q = Q(
+    "q231_batch_novelty",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |d AS (SELECT least(CAST((doc_id * 10) // n AS INT), 9) AS batch,
+      |    string_split(text, ' ') AS t FROM documents CROSS JOIN nn),
+      |bs AS (SELECT DISTINCT batch, sg FROM d,
+      |    UNNEST(list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+      |      AS u(sg)
+      |  WHERE len(t) >= 5),
+      |fb AS (SELECT sg, min(batch) AS fb FROM bs GROUP BY sg),
+      |cur AS (SELECT b.batch, count(*) AS n_distinct,
+      |    sum(CASE WHEN f.fb = b.batch THEN 1 ELSE 0 END) AS novel
+      |  FROM bs b JOIN fb f ON f.sg = b.sg GROUP BY b.batch)
+      |SELECT batch, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(novel AS BIGINT) AS novel_shingles,
+      |  round(CAST(novel AS DOUBLE) / n_distinct, 4) AS novelty_rate
+      |FROM cur ORDER BY batch""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val t = TextAnalysis.tokens(col("text"))
+    val d = docs.crossJoin(broadcast(nn))
+      .select(least(expr("div(doc_id * 10, n)").cast("int"), lit(9)).as("batch"),
+        t.as("t"))
+      .filter(size(col("t")) >= 5)
+    val bs = d.select(col("batch"), explode(transform(sequence(lit(1), size(col("t")) - 4),
+        i => concat_ws(" ", slice(col("t"), i, lit(5))))).as("sg"))
+      .distinct()
+    val fb = bs.groupBy("sg").agg(min(col("batch")).as("fb"))
+    bs.join(fb, "sg")
+      .groupBy("batch")
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("fb") === col("batch"), 1).otherwise(0)).cast("long")
+          .as("novel_shingles"))
+      .withColumn("novelty_rate",
+        round(col("novel_shingles").cast("double") / col("n_distinct"), 4))
+      .select("batch", "n_distinct", "novel_shingles", "novelty_rate")
+      .orderBy("batch")
   }
 }

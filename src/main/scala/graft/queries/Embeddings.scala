@@ -11,7 +11,7 @@ object Embeddings {
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
-    annRecallCurve, annNdcg, pcaPower, embeddingDispersion)
+    annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1366,5 +1366,79 @@ object Embeddings {
         znorm(round(try_divide(col("ss") - col("n_vecs"),
           col("n_vecs").cast("double") * (col("n_vecs") - 1)), 6)).as("avg_pair_cos"))
       .orderBy("label")
+  }
+
+  // --- q234: per-dimension embedding PSI drift -----------------------------
+  // q147 PSIs a scalar metric; q193 tracks the mean vector. The audit
+  // an embedding-store owner runs on re-embedding day is per-
+  // DIMENSION PSI: bucket each dim into 10 bins fitted on the
+  // reference snapshot (first half by vec_id), compare the current
+  // half's occupancy, and flag dims whose distribution moved — a
+  // centroid can stay put while one dimension bimodalizes. Bin edges
+  // are fixed-width from the reference min/max (a 64-row broadcast),
+  // occupancy is one (dim, bin) aggregate over the posexplode, and
+  // the statistic is q147's smoothed PSI with 9-dp DECIMAL-summed
+  // terms — every term (p−q)·ln(p/q) ≥ 0, so no signed-zero
+  // exposure. The shuffle is (dims × bins)-bounded; the corpus-scale
+  // work is the single exploded scan, identical at 100 TB.
+  def embeddingPsi: Q = Q(
+    "q234_embedding_psi",
+    """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      |d AS (SELECT CAST(i AS INTEGER) - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x,
+      |    CAST(vec_id * 2 < n AS INT) AS ref
+      |  FROM embeddings CROSS JOIN nn, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |lim AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d WHERE ref = 1 GROUP BY dim),
+      |b AS (SELECT d.dim,
+      |    CASE WHEN hi > lo THEN CAST(least(greatest(
+      |      floor((x - lo) / ((hi - lo) / 10.0)), 0), 9) AS INT) ELSE 0 END AS bin,
+      |    ref
+      |  FROM d JOIN lim ON lim.dim = d.dim),
+      |c AS (SELECT dim, bin, sum(ref) AS n_ref, sum(1 - ref) AS n_cur
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT dim, CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+      |    CAST(sum(n_cur) AS DOUBLE) AS t_cur, CAST(count(*) AS DOUBLE) AS nb
+      |  FROM c GROUP BY 1),
+      |p AS (SELECT c.dim,
+      |    (CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 0.5 * nb) AS p,
+      |    (CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 0.5 * nb) AS q
+      |  FROM c JOIN t ON c.dim = t.dim)
+      |SELECT dim,
+      |  round(CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+      |  CASE WHEN CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE) < 0.1 THEN 'stable'
+      |       WHEN CAST(sum(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE) < 0.25 THEN 'drifting'
+      |       ELSE 'shifted' END AS verdict
+      |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
+  ) { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val nn = embs.agg(count(lit(1)).as("n"))
+    val d = embs.crossJoin(broadcast(nn))
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")),
+        (col("vec_id") * 2 < col("n")).cast("int").as("ref"))
+      .select(col("pos").cast("int").as("dim"), col("xf").cast("double").as("x"),
+        col("ref"))
+    val lim = d.filter(col("ref") === 1)
+      .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val b = d.join(broadcast(lim), "dim")
+      .select(col("dim"),
+        when(col("hi") > col("lo"),
+          least(greatest(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+            lit(0)), lit(9)).cast("int")).otherwise(0).as("bin"),
+        col("ref"))
+    val c = b.groupBy("dim", "bin")
+      .agg(sum("ref").as("n_ref"), sum(lit(1) - col("ref")).as("n_cur"))
+    val t = c.groupBy("dim")
+      .agg(sum("n_ref").cast("double").as("t_ref"),
+        sum("n_cur").cast("double").as("t_cur"),
+        count(lit(1)).cast("double").as("nb"))
+    val p = c.join(broadcast(t), "dim")
+      .select(col("dim"),
+        ((col("n_ref").cast("double") + lit(0.5)) / (col("t_ref") + lit(0.5) * col("nb"))).as("p"),
+        ((col("n_cur").cast("double") + lit(0.5)) / (col("t_cur") + lit(0.5) * col("nb"))).as("q"))
+    val psi = dsum(round((col("p") - col("q")) * log(col("p") / col("q")), 9), 9)
+    p.groupBy("dim")
+      .agg(round(psi, 6).as("psi"),
+        when(psi < 0.1, "stable").when(psi < 0.25, "drifting").otherwise("shifted")
+          .as("verdict"))
+      .orderBy("dim")
   }
 }

@@ -14,7 +14,8 @@ object Privacy {
   private val QI1 = Seq("c_nationkey")
 
   val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize,
-    generalizeOrSuppress, lDiversity, tCloseness, auditScore, gdprErasure)
+    generalizeOrSuppress, lDiversity, tCloseness, auditScore, gdprErasure,
+    userLevelDp)
 
   // --- q160: right-to-erasure cascade accounting ---------------------------
   // The dry-run a GDPR deletion job emits before touching storage:
@@ -264,5 +265,60 @@ object Privacy {
       |FROM k, l, t""".stripMargin,
   ) { (s, dir) =>
     PrivacyEngine.auditScore(Tables.customer(s, dir), QI1, "c_mktsegment", k = 5, l = 3, t = 0.2)
+  }
+
+  // --- q233: user-level DP counts with bounded contribution ----------------
+  // q34 noises one RECORD per key — record-level DP. The guarantee a
+  // release actually needs is USER-level: one person must not move
+  // the histogram by more than the noise hides, however many events
+  // they generated. The standard mechanism (Wilson et al., "Differen-
+  // tially Private SQL with Bounded User Contribution", VLDB 2020):
+  // cap each user at k = 5 events per event_type (row_number over the
+  // (user, type) partition, ordered by (ts, event_id) so the kept set
+  // is deterministic), count the capped rows, add Laplace(k/ε) noise
+  // — sensitivity is now exactly k because a user owns ≤ k rows per
+  // group. Noise is the registry's pure-(key, salt) LCG Laplace
+  // (keyed on the type's rank among the distinct types, a value both
+  // engines derive identically), so the release is reproducible and
+  // oracle-checkable while remaining a faithful DP trace. True counts
+  // never leave the plan — only the noised value and the mechanism's
+  // public parameters (k, ε) are emitted. The per-user window
+  // partitions by (user_id, event_type): at 100 TB that shuffle is
+  // the per-user history, never a global sort.
+  def userLevelDp: Q = Q(
+    "q233_userlevel_dp",
+    """WITH capped AS (SELECT event_type FROM (
+      |    SELECT event_type, row_number() OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |    FROM events) WHERE rn <= 5),
+      |c AS (SELECT event_type, count(*) AS n FROM capped GROUP BY event_type),
+      |k AS (SELECT event_type, row_number() OVER (ORDER BY event_type) AS kk
+      |      FROM (SELECT DISTINCT event_type FROM events)),
+      |u AS (SELECT c.event_type, c.n,
+      |    (CAST((kk * 2654435761 + 42) % 1000003 AS DOUBLE) + 0.5)
+      |      / 1000003.0 - 0.5 AS uu
+      |  FROM c JOIN k ON k.event_type = c.event_type)
+      |SELECT event_type,
+      |  round(greatest(0.0, n + (-(5.0 / 1.0) * sign(uu) * ln(1 - 2 * abs(uu)))), 2)
+      |    AS noised_count,
+      |  5 AS contribution_cap, 1.0 AS epsilon
+      |FROM u ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val rn = row_number().over(Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id"))
+    val c = ev.select(col("event_type"), rn.as("rn")).filter(col("rn") <= 5)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val k = ev.select("event_type").distinct()
+      .withColumn("kk", row_number().over(
+        Window.orderBy("event_type")))
+    c.join(broadcast(k), "event_type")
+      .select(col("event_type"),
+        round(graft.functions.Transforms.laplaceNoisedKeyed(
+          col("n").cast("double"), col("kk"), epsilon = 1.0 / 5.0, salt = 42L), 2)
+          .as("noised_count"),
+        lit(5).as("contribution_cap"), lit(1.0).as("epsilon"))
+      .orderBy("event_type")
   }
 }

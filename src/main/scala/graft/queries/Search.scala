@@ -13,7 +13,7 @@ import graft.similarity.Similarity
   */
 object Search {
 
-  val all: Seq[Q] = Seq(bm25, hybridRrf)
+  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank)
 
   // BM25 parameters (the universal defaults) and the demo query terms.
   // defs, not vals: `val all` above runs at object init, before vals
@@ -144,6 +144,127 @@ object Search {
             + lit(1.0) / (lit(60) + coalesce(col("rk_d"), lit(1000)))).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
         .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+    }
+  }
+
+  // --- q235: MMR-diversified re-ranking ------------------------------------
+  // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+  // diversification pass a RAG retriever runs AFTER top-k: greedily
+  // pick 5 of the top-12 candidates maximizing λ·rel − (1−λ)·max
+  // similarity to what's already picked (λ = 0.7), so near-duplicate
+  // hits don't crowd the context window. Scale split per the q219
+  // rule: the corpus-scale work is ONE batched exact top-k scan
+  // (3 query panel, broadcast, rounded cosines); the greedy loop then
+  // runs as driver arithmetic on the 36-row candidate set — a
+  // DataFrame formulation of a 5-round loop over ≤12 rows only buys
+  // AQE scheduling latency. Engine parity: rels and pairwise sims are
+  // 6-dp rounded + signed-zero normalized, each round's score is 9-dp
+  // HALF_UP requantized, ties break (score desc, id asc), and the
+  // DuckDB oracle replays candidate generation, the 12×12 sim matrix,
+  // and all five greedy rounds as chained CTEs — the full serving
+  // computation, hash-checked.
+  def mmrRerank: Q = {
+    val dim = Similarity.Dim
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def sqlCos(a: String, b: String) =
+      s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+    // One greedy MMR round as SQL: remaining = cand − sel$t, score
+    // every remaining candidate against the selected set, keep the
+    // argmax with rank k.
+    def mmrIterSql(t: Int, k: Int): String =
+      s"""rem$k AS (SELECT c.* FROM cand c
+         |  LEFT JOIN sel$t s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+         |  WHERE s.vec_id IS NULL),
+         |m$k AS (SELECT r.query_id, r.vec_id, r.rel,
+         |    round(0.7 * r.rel - 0.3 * max(ps.sim), 9) + 0.0 AS sc
+         |  FROM rem$k r
+         |  JOIN sel$t s ON s.query_id = r.query_id
+         |  JOIN ps ON ps.query_id = r.query_id AND ps.a = r.vec_id AND ps.b = s.vec_id
+         |  GROUP BY r.query_id, r.vec_id, r.rel),
+         |sel$k AS (SELECT * FROM sel$t UNION ALL
+         |  SELECT query_id, vec_id, rel, sc, $k AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sc DESC, vec_id) AS rn FROM m$k) WHERE rn = 1)""".stripMargin
+    Q(
+      "q235_mmr_rerank",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id IN (0, 1, 2)),
+        |cs AS (SELECT q.query_id, e.vec_id,
+        |    round(${sqlCos("e.embedding", "qv")}, 6) + 0.0 AS rel
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, vec_id, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rn FROM cs) WHERE rn <= 12),
+        |cv AS (SELECT c.query_id, c.vec_id, e.embedding AS v
+        |       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |ps AS (SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+        |    round(${sqlCos("x.v", "y.v")}, 6) + 0.0 AS sim
+        |  FROM cv x JOIN cv y ON y.query_id = x.query_id AND y.vec_id <> x.vec_id),
+        |sel1 AS (SELECT query_id, vec_id, rel,
+        |    round(0.7 * rel, 9) + 0.0 AS sc, 1 AS rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+        |${mmrIterSql(1, 2)},
+        |${mmrIterSql(2, 3)},
+        |${mmrIterSql(3, 4)},
+        |${mmrIterSql(4, 5)}
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, rel,
+        |  sc AS mmr_score
+        |FROM sel5 ORDER BY query_id, rank""".stripMargin,
+    ) { (s, dir) =>
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val embs = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 1L, 2L)
+      // corpus-scale work: one broadcast-panel scan, per-query top-12
+      // via the partitioned window (3 bounded partitions); rel is
+      // rounded + znormed BEFORE ranking so a -0.0/0.0 tie can't order
+      // differently across engines
+      val q = embs.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+      val scored = embs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          znorm(round(Similarity.cosine(Similarity.asDouble(col("embedding")), col("qv")), 6))
+            .as("rel"))
+      val w = Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id"))
+      val cand = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
+        .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+      // ≤ 36 rows reach the driver — the q219 bounded-sample budget.
+      // The greedy rounds are driver arithmetic with engine semantics:
+      // left-fold dots (DotProduct's accumulation order), 6-dp sims,
+      // 9-dp HALF_UP scores, +0.0 signed-zero normalization.
+      val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray.map(_.toDouble)))
+      def dotd(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      def rnd(x: Double, sc: Int): Double =
+        JBD.valueOf(x).setScale(sc, RoundingMode.HALF_UP).doubleValue
+      val out = rows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        val cands = cs.map { case (_, cid, rel, v) => (cid, rel, v) }
+        val sim: Map[(Long, Long), Double] = (for {
+          (a, _, va) <- cands; (bv, _, vb) <- cands if a != bv
+        } yield (a, bv) -> (rnd(dotd(va, vb) / (math.sqrt(dotd(va, va)) * math.sqrt(dotd(vb, vb))), 6) + 0.0)).toMap
+        val first = cands.minBy { case (cid, rel, _) => (-rel, cid) }
+        var sel = Vector((first._1, first._2, rnd(0.7 * first._2, 9) + 0.0))
+        for (_ <- 2 to 5) {
+          val rem = cands.filterNot(c => sel.exists(_._1 == c._1))
+          val scoredRem = rem.map { case (cid, rel, _) =>
+            val ms = sel.map(sl => sim((cid, sl._1))).max
+            (cid, rel, rnd(0.7 * rel - 0.3 * ms, 9) + 0.0)
+          }
+          sel = sel :+ scoredRem.minBy { case (cid, _, sc) => (-sc, cid) }
+        }
+        sel.zipWithIndex.map { case ((cid, rel, sc), i) => (qid, i + 1, cid, rel, sc) }
+      }
+      import s.implicits._
+      out.toDF("query_id", "rank", "vec_id", "rel", "mmr_score")
+        .orderBy("query_id", "rank")
     }
   }
 }

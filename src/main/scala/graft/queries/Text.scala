@@ -19,7 +19,8 @@ object Text {
     ngramJaccardPrefix, perplexityFilter, contextLengthPlanner, containmentPairs,
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
-    streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier)
+    streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
+    gopherRules, fleissKappa)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -848,17 +849,20 @@ object Text {
       |ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
     val toks = TextAnalysis.tokens(col("text"))
-    // all window positions — NOT array_distinct'd like shingleTable
+    // all window positions — NOT array_distinct'd like shingleTable.
+    // The window string is built ONCE inside the (interpreted) HOF
+    // lambda and both pair hashes run in the codegen'd Project after
+    // the explode — hashing inside the lambda would rebuild the
+    // 8-token concat per hash and evaluate both interpreted (measured
+    // ~35% of q95's wall time at sf0.1).
     val wins = Dedup.persistTracked(
       Tables.documents(s, dir)
         .filter(size(toks) >= 8)
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), size(toks) - 7),
-            i => struct(
-              xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("h1"),
-              xxhash64(lit("graft_w2"), concat_ws(" ", slice(toks, i, lit(8)))).as("h2"))))
-            .as("u"))
-        .select(col("doc_id"), col("u.h1").as("h1"), col("u.h2").as("h2")))
+            i => concat_ws(" ", slice(toks, i, lit(8))))).as("win"))
+        .select(col("doc_id"), xxhash64(col("win")).as("h1"),
+          xxhash64(lit("graft_w2"), col("win")).as("h2")))
     val dup = wins.groupBy("h1", "h2")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -906,16 +910,18 @@ object Text {
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalysis.tokens(col("text"))
+    // q95's explode-then-hash shape (window string built once in the
+    // lambda, pair hashes codegen'd post-explode), position carried
+    // through posexplode
     val wins = Dedup.persistTracked(
       Tables.documents(s, dir)
         .filter(size(toks) >= 8)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(toks) - 7),
-            i => struct(i.cast("long").as("i"),
-              xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("h1"),
-              xxhash64(lit("graft_w2"), concat_ws(" ", slice(toks, i, lit(8)))).as("h2"))))
-            .as("u"))
-        .select(col("doc_id"), col("u.i").as("i"), col("u.h1").as("h1"), col("u.h2").as("h2")))
+          posexplode(transform(sequence(lit(1), size(toks) - 7),
+            i => concat_ws(" ", slice(toks, i, lit(8))))).as(Seq("p", "win")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
+          xxhash64(col("win")).as("h1"),
+          xxhash64(lit("graft_w2"), col("win")).as("h2")))
     val dup = wins.groupBy("h1", "h2")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -1773,11 +1779,136 @@ object Text {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("true_source", "pred_source")
   }
+
+  // --- q230: Gopher-style quality-rule battery -----------------------------
+  // The rule-based pre-filter every web-scale curation pipeline runs
+  // BEFORE any learned scorer (Gopher §A.1.1 / RedPajama-v2 quality
+  // signals): a battery of cheap structural rules, reported as
+  // per-source pass rates so the mixture owner sees which source a
+  // rule would decimate. Five rules over one token pass: length in
+  // [20, 80] tokens, mean word length in [3, 6], ≥ 2 stopwords,
+  // unique-token fraction ≥ 0.4, dominant-token share ≤ 0.12. Every
+  // rule is evaluated in INTEGER arithmetic (mean-word-length bounds
+  // become 3·wc ≤ chars−wc+1 ≤ 6·wc; ratio gates cross-multiply), so
+  // engine float semantics can't flip a boundary doc. One scan, one
+  // 20-row aggregate — no shuffle wider than the source dimension.
+  // The per-doc dominant-token count is O(distinct·wc) list ops
+  // inside codegen, bounded by the tokenizer, not the corpus.
+  def gopherRules: Q = Q(
+    "q230_gopher_rules",
+    s"""WITH d AS (SELECT source, string_split(text, ' ') AS t, len(text) AS c
+       |  FROM documents),
+       |r AS (SELECT source,
+       |  CASE WHEN len(t) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_len,
+       |  CASE WHEN 3 * len(t) <= c - len(t) + 1 AND c - len(t) + 1 <= 6 * len(t)
+       |       THEN 1 ELSE 0 END AS r_mwl,
+       |  CASE WHEN len(list_filter(t, x -> x IN (${TextSqlFragments.stopList}))) >= 2
+       |       THEN 1 ELSE 0 END AS r_stop,
+       |  CASE WHEN 5 * len(list_distinct(t)) >= 2 * len(t) THEN 1 ELSE 0 END AS r_uniq,
+       |  CASE WHEN 25 * list_max(list_transform(list_distinct(t),
+       |         x -> len(list_filter(t, y -> y = x)))) <= 3 * len(t)
+       |       THEN 1 ELSE 0 END AS r_dom
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(sum(r_len) AS DOUBLE) / count(*), 4) AS pass_len,
+       |  round(CAST(sum(r_mwl) AS DOUBLE) / count(*), 4) AS pass_mwl,
+       |  round(CAST(sum(r_stop) AS DOUBLE) / count(*), 4) AS pass_stop,
+       |  round(CAST(sum(r_uniq) AS DOUBLE) / count(*), 4) AS pass_uniq,
+       |  round(CAST(sum(r_dom) AS DOUBLE) / count(*), 4) AS pass_dom,
+       |  round(CAST(sum(r_len * r_mwl * r_stop * r_uniq * r_dom) AS DOUBLE)
+       |    / count(*), 4) AS pass_all
+       |FROM r GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir)
+      .select(col("source"), t.as("t"), length(col("text")).as("c"))
+    val wc = size(col("t"))
+    val domCount = array_max(transform(array_distinct(col("t")),
+      x => size(filter(col("t"), y => y === x))))
+    def b(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    val r = d.select(col("source"),
+      b(wc.between(20, 80)).as("r_len"),
+      b((lit(3) * wc <= col("c") - wc + 1) && (col("c") - wc + 1 <= lit(6) * wc))
+        .as("r_mwl"),
+      b(TextAnalysis.stopwordCount(col("t")) >= 2).as("r_stop"),
+      b(lit(5) * size(array_distinct(col("t"))) >= lit(2) * wc).as("r_uniq"),
+      b(lit(25) * domCount <= lit(3) * wc).as("r_dom"))
+    def rate(c: String) = round(sum(col(c)).cast("double") / count(lit(1)), 4)
+    r.groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        rate("r_len").as("pass_len"), rate("r_mwl").as("pass_mwl"),
+        rate("r_stop").as("pass_stop"), rate("r_uniq").as("pass_uniq"),
+        rate("r_dom").as("pass_dom"),
+        round(sum(col("r_len") * col("r_mwl") * col("r_stop") * col("r_uniq") *
+          col("r_dom")).cast("double") / count(lit(1)), 4).as("pass_all"))
+      .orderBy("source")
+  }
+
+  // --- q232: Fleiss' kappa across three binary raters ----------------------
+  // q226 answers pairwise redundancy (Cohen's κ per filter pair); this
+  // is the m-rater generalization a labeling pipeline reports when
+  // SEVERAL gates vote on the same doc: Fleiss' κ over three binary
+  // raters (quality ≥ 0.9, length ≥ 50 tokens, unique-token fraction
+  // ≥ 0.45), per language. With m = 3 raters the per-item agreement
+  // P_i = (v(v−1) + (3−v)(2−v))/6 for v pass-votes, the chance
+  // agreement Pe = p² + (1−p)² from the pooled pass share p — all
+  // counts and exact integer ratios except the final statistic, which
+  // follows the registry's decimal-sum + znorm + try_divide
+  // discipline (a unanimous language has Pe = 1 → NULL, and the
+  // numerator is a cancelling subtraction). One scan, one
+  // languages-row aggregate; the ratio gates cross-multiply so no
+  // float compare sits on a rule boundary.
+  def fleissKappa: Q = Q(
+    "q232_fleiss_kappa",
+    s"""WITH d AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+       |v AS (SELECT lang,
+       |    (CASE WHEN round(${TextSqlFragments.qualitySql("t")}, 4) >= 0.9
+       |          THEN 1 ELSE 0 END)
+       |    + (CASE WHEN len(t) >= 50 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN 20 * len(list_distinct(t)) >= 9 * len(t)
+       |            THEN 1 ELSE 0 END) AS v
+       |  FROM d),
+       |g AS (SELECT lang, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+       |    CAST(sum(CAST(round((v * (v - 1) + (3 - v) * (2 - v)) / 6.0, 9)
+       |      AS DECIMAL(18,9))) AS DOUBLE) AS sp
+       |  FROM v GROUP BY lang),
+       |k AS (SELECT lang, n, sv, sp / n AS pbar,
+       |    CAST(sv AS DOUBLE) / (3 * n) AS p FROM g)
+       |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       |  round(p, 4) AS p_pass, round(pbar, 6) AS p_bar,
+       |  round((pbar - (p * p + (1 - p) * (1 - p)))
+       |    / (1 - (p * p + (1 - p) * (1 - p))), 4) + 0.0 AS kappa
+       |FROM k ORDER BY lang""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(col("lang"), col("text"), t.as("t"))
+    def b(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    val v = d.select(col("lang"),
+      (b(round(TextAnalysis.qualityScore(col("text")), 4) >= 0.9)
+        + b(size(col("t")) >= 50)
+        + b(lit(20) * size(array_distinct(col("t"))) >= lit(9) * size(col("t"))))
+        .as("v"))
+    val g = v.groupBy("lang").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      dsum(round((col("v") * (col("v") - 1) + (lit(3) - col("v")) * (lit(2) - col("v")))
+        / 6.0, 9), 9).as("sp"))
+    val k = g.select(col("lang"), col("n"), col("sv"),
+      (col("sp") / col("n")).as("pbar"),
+      (col("sv").cast("double") / (lit(3) * col("n"))).as("p"))
+    val pe = col("p") * col("p") + (lit(1) - col("p")) * (lit(1) - col("p"))
+    k.select(col("lang"), col("n").cast("long").as("n_docs"),
+        round(col("p"), 4).as("p_pass"), round(col("pbar"), 6).as("p_bar"),
+        znorm(round(try_divide(col("pbar") - pe, lit(1) - pe), 4)).as("kappa"))
+      .orderBy("lang")
+  }
 }
 
 /** SQL fragments shared by Text-family oracles. */
 private[queries] object TextSqlFragments {
   private def stopSql = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** The stopword list as a SQL IN-list body. */
+  def stopList: String = stopSql
 
   /** q36's composite quality score over a string_split list column. */
   def qualitySql(toks: String): String =
