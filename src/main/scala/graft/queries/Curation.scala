@@ -18,7 +18,7 @@ object Curation {
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
-    dataConstrainedEpochs)
+    dataConstrainedEpochs, filterParity, importanceReweight)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1150,4 +1150,115 @@ object Curation {
       .filter(col("n_splits") > 1)
       .orderBy("cluster_id")
   }
+
+  // --- q237: filter disparate-impact audit ---------------------------------
+  // A quality gate tuned on the majority language silently decimates
+  // the others — the fairness failure mode of every learned/heuristic
+  // filter. The audit is the EEOC four-fifths rule applied per
+  // language: pass rate of the median-threshold quality gate (q226's
+  // fq), the best-passing language as reference, disparate-impact
+  // ratio rate/max_rate, and a `below_four_fifths` flag. One scan
+  // scores the corpus, the median rides back as a 1-row broadcast,
+  // rates reduce per language, and the max is a second 1-row
+  // broadcast — nothing wider than |languages| past the scan. The
+  // ratio-of-rates is exact-count division; 0/0 (an empty gate)
+  // NULLs via try_divide.
+  def filterParity: Q = Q(
+    "q237_filter_parity",
+    s"""WITH sc AS (SELECT lang,
+       |    round(${CurationSqlFragments.qualitySql}, 4) AS sq
+       |  FROM documents),
+       |med AS (SELECT quantile_cont(sq, 0.5) AS mq FROM sc),
+       |r AS (SELECT lang, count(*) AS n,
+       |    CAST(sum(CASE WHEN sq >= mq THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |  FROM sc CROSS JOIN med GROUP BY lang),
+       |mx AS (SELECT max(CAST(n_pass AS DOUBLE) / n) AS max_rate FROM r)
+       |SELECT lang, CAST(n AS BIGINT) AS n_docs, n_pass,
+       |  round(CAST(n_pass AS DOUBLE) / n, 4) AS pass_rate,
+       |  round((CAST(n_pass AS DOUBLE) / n) / max_rate, 4) AS di_ratio,
+       |  ((CAST(n_pass AS DOUBLE) / n) / max_rate < 0.8) AS below_four_fifths
+       |FROM r CROSS JOIN mx ORDER BY lang""".stripMargin,
+  ) { (s, dir) =>
+    val sc = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("lang"), round(TextAnalysis.qualityScore(col("text")), 4).as("sq")))
+    val med = sc.agg(expr("percentile(sq, 0.5)").as("mq"))
+    val r = sc.crossJoin(broadcast(med))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sq") >= col("mq"), 1).otherwise(0)).cast("long").as("n_pass"))
+    val mx = r.agg(max(col("n_pass").cast("double") / col("n")).as("max_rate"))
+    val rate = col("n_pass").cast("double") / col("n")
+    r.crossJoin(broadcast(mx))
+      .select(col("lang"), col("n").cast("long").as("n_docs"), col("n_pass"),
+        round(rate, 4).as("pass_rate"),
+        round(try_divide(rate, col("max_rate")), 4).as("di_ratio"),
+        (try_divide(rate, col("max_rate")) < 0.8).as("below_four_fifths"))
+      .orderBy("lang")
+  }
+
+  // --- q238: importance reweighting toward a target mixture ----------------
+  // When resampling (q83/q87/q134) isn't allowed — every doc must
+  // stay, e.g. a fixed eval pool — the mixture is corrected by
+  // WEIGHTS instead: per-source w = target share / observed token
+  // share (target = uniform over sources), and the price of the skew
+  // is Kish's effective sample size (Σw)²/Σw² over docs, reported as
+  // an ESS fraction of the corpus. One (source, token-mass) aggregate
+  // plus a doc-count scan; the per-source weight joins back only into
+  // the sources-bounded Kish sums (Σw = Σ_s n_s·w_s, Σw² = Σ_s
+  // n_s·w_s² — never a per-doc pass), all DECIMAL-summed at 9 dp.
+  // The TOTAL row carries the ESS verdict next to the per-source
+  // weight table.
+  def importanceReweight: Q = Q(
+    "q238_importance_reweight",
+    """WITH tm AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t, count(*) AS k,
+      |               CAST(sum(n_docs) AS BIGINT) AS nd FROM tm),
+      |w AS (SELECT source, n_docs, toks,
+      |    round(CAST(toks AS DOUBLE) / t, 6) AS obs_share,
+      |    round((1.0 / k) / (CAST(toks AS DOUBLE) / t), 9) AS weight
+      |  FROM tm CROSS JOIN tot),
+      |kish AS (SELECT
+      |    CAST(sum(CAST(round(n_docs * weight, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sw,
+      |    CAST(sum(CAST(round(n_docs * weight * weight, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sww
+      |  FROM w)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, toks, obs_share,
+      |  round(weight, 4) AS weight, CAST(NULL AS DOUBLE) AS ess_frac
+      |FROM w
+      |UNION ALL
+      |SELECT 'TOTAL', nd, t, 1.0, CAST(NULL AS DOUBLE),
+      |  round((sw * sw / sww) / nd, 4)
+      |FROM tot CROSS JOIN kish
+      |ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val tm = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("toks"))
+    val tot = tm.agg(sum("toks").cast("long").as("t"), count(lit(1)).as("k"),
+      sum("n_docs").cast("long").as("nd"))
+    val w = Dedup.persistTracked(tm.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("toks"),
+        round(col("toks").cast("double") / col("t"), 6).as("obs_share"),
+        round((lit(1.0) / col("k")) / (col("toks").cast("double") / col("t")), 9)
+          .as("weight")))
+    val kish = w.agg(
+      dsum(round(col("n_docs") * col("weight"), 9), 9).as("sw"),
+      dsum(round(col("n_docs") * col("weight") * col("weight"), 9), 9).as("sww"))
+    val perSource = w.select(col("source"), col("n_docs").cast("long").as("n_docs"),
+      col("toks"), col("obs_share"), round(col("weight"), 4).as("weight"),
+      lit(null).cast("double").as("ess_frac"))
+    val total = broadcast(tot).crossJoin(broadcast(kish))
+      .select(lit("TOTAL").as("source"), col("nd").as("n_docs"), col("t").as("toks"),
+        lit(1.0).as("obs_share"), lit(null).cast("double").as("weight"),
+        round((col("sw") * col("sw") / col("sww")) / col("nd"), 4).as("ess_frac"))
+    perSource.union(total).orderBy("source")
+  }
+}
+
+/** SQL fragments shared by Curation-family oracles. */
+private[queries] object CurationSqlFragments {
+  /** q36's composite quality over the raw text column. */
+  def qualitySql: String = TextSqlFragments.qualitySql("string_split(text, ' ')")
 }

@@ -11,7 +11,8 @@ object Embeddings {
     embeddingNearDup, annLshProbe, annPq, batchTopK, annIvfPq, kmeansAssign,
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
-    annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi)
+    annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
+    mahalanobisOod)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1440,5 +1441,66 @@ object Embeddings {
         when(psi < 0.1, "stable").when(psi < 0.25, "drifting").otherwise("shifted")
           .as("verdict"))
       .orderBy("dim")
+  }
+
+  // --- q239: Mahalanobis out-of-distribution scoring -----------------------
+  // The OOD audit for the embedding store (Lee et al. 2018 shape with
+  // a diagonal covariance): per-dim mean/variance from one moment
+  // aggregate (the q210 idiom), then each vector's squared
+  // Mahalanobis distance Σ(x−μ)²/σ² as a per-element 9-dp rounded
+  // DECIMAL sum — every term ≥ 0, so no signed-zero exposure. q52
+  // z-scores a SCALAR; this scores the whole vector against the
+  // corpus ellipsoid, the standard "which embeddings don't belong"
+  // triage before contamination/poisoning review. Scale: the 64-row
+  // stats table broadcasts back into the exploded scan, the per-vec
+  // reduce is keyed on vec_id, and top-20 is TakeOrderedAndProject —
+  // never a global sort. Zero-variance dims carry no signal and are
+  // excluded in both engines.
+  def mahalanobisOod: Q = Q(
+    "q239_mahalanobis_ood",
+    """WITH dims AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |m AS (SELECT i, count(*) AS n,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      |  FROM dims GROUP BY i),
+      |st AS (SELECT i, sx / n AS mu, round((sxx - sx * sx / n) / n, 9) AS var
+      |       FROM m),
+      |sv AS (SELECT i, mu, var FROM st WHERE var > 0),
+      |nd AS (SELECT count(*) AS d FROM sv),
+      |md AS (SELECT dims.vec_id,
+      |    CAST(sum(CAST(round((x - mu) * (x - mu) / var, 9) AS DECIMAL(28,9)))
+      |      AS DOUBLE) AS md2
+      |  FROM dims JOIN sv ON sv.i = dims.i GROUP BY dims.vec_id),
+      |top AS (SELECT vec_id, md2 FROM md ORDER BY md2 DESC, vec_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY md2 DESC, vec_id) AS INT) AS rank,
+      |  vec_id, round(md2, 6) AS md2, round(md2 / d, 6) AS md2_per_dim
+      |FROM top CROSS JOIN nd ORDER BY rank""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x")))
+    val m = dims.groupBy("i").agg(count(lit(1)).as("n"),
+      dsum(round(col("x"), 9), 9).as("sx"),
+      dsum(round(col("x") * col("x"), 9), 9).as("sxx"))
+    val sv = m.select(col("i"), (col("sx") / col("n")).as("mu"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 9).as("var"))
+      .filter(col("var") > 0)
+    val nd = sv.agg(count(lit(1)).as("d"))
+    val md = dims.join(broadcast(sv), "i")
+      .groupBy("vec_id")
+      .agg(dsum(round((col("x") - col("mu")) * (col("x") - col("mu")) / col("var"), 9), 9)
+        .as("md2"))
+    // bounded 20-row table: the unpartitioned rank window is fine
+    md.orderBy(col("md2").desc, col("vec_id")).limit(20)
+      .crossJoin(broadcast(nd))
+      .select(row_number().over(Window.orderBy(col("md2").desc, col("vec_id")))
+          .cast("int").as("rank"),
+        col("vec_id"), round(col("md2"), 6).as("md2"),
+        round(col("md2") / col("d"), 6).as("md2_per_dim"))
+      .orderBy("rank")
   }
 }

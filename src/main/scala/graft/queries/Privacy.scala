@@ -15,7 +15,7 @@ object Privacy {
 
   val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize,
     generalizeOrSuppress, lDiversity, tCloseness, auditScore, gdprErasure,
-    userLevelDp)
+    userLevelDp, dpMedian)
 
   // --- q160: right-to-erasure cascade accounting ---------------------------
   // The dry-run a GDPR deletion job emits before touching storage:
@@ -320,5 +320,58 @@ object Privacy {
           .as("noised_count"),
         lit(5).as("contribution_cap"), lit(1.0).as("epsilon"))
       .orderBy("event_type")
+  }
+
+  // --- q236: DP median via the exponential mechanism -----------------------
+  // Laplace noise (q34/q233) handles counts; a MEDIAN release needs
+  // the exponential mechanism (McSherry-Talwar): candidates = 50
+  // public price boundaries (12k..600k — public domain bounds, not
+  // data-derived), utility u(c) = −|rank(c) − n/2| (sensitivity 1),
+  // winner drawn ∝ exp(ε·u/2) via the Gumbel-max trick with the
+  // registry's pure-(candidate, salt) LCG — the draw is reproducible,
+  // so the whole release is oracle-checked while remaining a faithful
+  // DP trace. Scale shape: ranks of ALL 50 candidates come from ONE
+  // scan (bucketize each row once, 50-row cumulative window), never a
+  // candidates×rows join; the argmax runs on the 50-row table. Only
+  // the winning boundary and the mechanism's public parameters are
+  // emitted.
+  def dpMedian: Q = Q(
+    "q236_dp_median",
+    """WITH cand AS (SELECT CAST(i AS INT) AS i FROM UNNEST(range(0, 50)) AS u(i)),
+      |b AS (SELECT least(greatest(CAST(ceil(o_totalprice / 12000.0) AS INT) - 1,
+      |        0), 49) AS bkt FROM orders),
+      |bc AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+      |nn AS (SELECT count(*) AS n FROM orders),
+      |cum AS (SELECT cand.i,
+      |    CAST(sum(coalesce(bc.c, 0)) OVER (ORDER BY cand.i) AS BIGINT) AS below
+      |  FROM cand LEFT JOIN bc ON bc.bkt = cand.i),
+      |g AS (SELECT i, below,
+      |    -abs(below - n / 2.0) / 2.0
+      |      + -ln(-ln((CAST((i * 2654435761 + 7) % 1000003 AS DOUBLE) + 0.5)
+      |                 / 1000003.0)) AS gk
+      |  FROM cum CROSS JOIN nn)
+      |SELECT CAST(12000 * (i + 1) AS DOUBLE) AS dp_median,
+      |  1.0 AS epsilon, 1 AS sensitivity, 50 AS n_candidates
+      |FROM g ORDER BY gk DESC, i LIMIT 1""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, dir)
+    val b = orders.select(
+      least(greatest(ceil(col("o_totalprice") / 12000.0).cast("int") - 1, lit(0)), lit(49))
+        .as("bkt"))
+    val bc = b.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val nn = orders.agg(count(lit(1)).as("n"))
+    val cand = s.range(0, 50).select(col("id").cast("int").as("i"))
+    // 50-row table: the unpartitioned cumulative window is bounded
+    val cum = cand.join(broadcast(bc), cand("i") === bc("bkt"), "left_outer")
+      .select(col("i"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("below", sum(col("c")).over(Window.orderBy("i")).cast("long"))
+    val gk = graft.functions.Transforms.gumbelKey(
+      -abs(col("below") - col("n") / 2.0) / 2.0, col("i"), salt = 7L)
+    cum.crossJoin(broadcast(nn))
+      .select(col("i"), gk.as("gk"))
+      .orderBy(col("gk").desc, col("i")).limit(1)
+      .select((lit(12000.0) * (col("i") + 1)).as("dp_median"),
+        lit(1.0).as("epsilon"), lit(1).as("sensitivity"), lit(50).as("n_candidates"))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Corpus, Embeddings, Privacy, Search, Text}
+import graft.queries.{Corpus, Curation, Embeddings, Privacy, Search, Text}
 
 /** Semantic pins for the round-8 hygiene/audit family (q230–q235) on
   * crafted fixtures — the oracle pins cross-engine equality; these pin
@@ -149,5 +149,75 @@ class HygieneSpec extends SparkSpec {
     // each round's winner beat that round's alternatives, so just pin
     // the count and rel of the top pick
     assert(out.length === 5)
+  }
+
+  test("q236: the exponential mechanism lands inside the high-utility band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_ord").toString
+    // 100 orders at ~66k (bucket 5), 100 at ~246k (bucket 20): every
+    // candidate in [5, 20) splits the corpus exactly in half (utility
+    // 0); all others sit at utility -100 — a 50-nat log-weight gap no
+    // bounded Gumbel draw can cross
+    ((1L to 100L).map(i => (i, i % 4, "F", 66000.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT")) ++
+      (101L to 200L).map(i => (i, i % 4, "F", 246000.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Privacy.dpMedian.fn(spark, dir).collect()
+    assert(out.length === 1)
+    val med = out.head.getDouble(0)
+    assert(med > 12000.0 * 5 && med <= 12000.0 * 20, s"dp median $med")
+    // full mechanism replay: the winner is the zero-utility candidate
+    // with the largest deterministic Gumbel key
+    val expected = (5 until 20).map { i =>
+      val h = ((i.toLong * 2654435761L + 7L) % 1000003L).toDouble
+      val g = -math.log(-math.log((h + 0.5) / 1000003.0))
+      (g, i)
+    }.maxBy(x => (x._1, -x._2))._2
+    assert(med === 12000.0 * (expected + 1))
+  }
+
+  test("q237: a language the gate decimates is flagged by the four-fifths rule") {
+    val good = (1 to 60).map(i => f"tok$i%02d").mkString(" ")
+    val bad = "the the a a of of to to in in"
+    val dir = corpusDir(
+      (1L to 4L).map(i => (i, good, "en", "s0")) ++
+        (5L to 8L).map(i => (i, bad, "fr", "s0")))
+    val out = Curation.filterParity.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getDouble(3) === 1.0)
+    assert(out("en").getDouble(4) === 1.0 && !out("en").getBoolean(5))
+    assert(out("fr").getDouble(3) === 0.0)
+    assert(out("fr").getDouble(4) === 0.0 && out("fr").getBoolean(5))
+  }
+
+  test("q238: a 1:3 token skew prices as weights 2 and 2/3; balance gives ESS 1") {
+    val doc = (1 to 25).map(i => s"w$i").mkString(" ")
+    val skew = corpusDir(Seq((1L, doc, "en", "sA")) ++
+      (2L to 4L).map(i => (i, doc, "en", "sB")))
+    val rows = Curation.importanceReweight.fn(spark, skew).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("sA").getDouble(4) === 2.0)
+    assert(rows("sB").getDouble(4) === 0.6667)
+    val ess = rows("TOTAL").getDouble(5)
+    assert(ess > 0.0 && ess < 1.0, s"skew must cost effective sample size, got $ess")
+    val flat = corpusDir(Seq((1L, doc, "en", "sA"), (2L, doc, "en", "sB")))
+    val fr = Curation.importanceReweight.fn(spark, flat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fr("TOTAL").getDouble(5) === 1.0, "uniform mixture has full ESS")
+    assert(fr("sA").getDouble(4) === 1.0)
+  }
+
+  test("q239: the planted outlier ranks first; zero-variance dims are excluded") {
+    // dim 2 is constant (zero variance — must drop out of d); vec 9
+    // sits far outside the cluster on dims 0/1
+    val rows = (0L until 9L).map(i =>
+      (i, Array((i % 3).toFloat, (i % 2).toFloat, 5f), 0)) :+
+      ((9L, Array(50f, -40f, 5f), 0))
+    val out = Embeddings.mahalanobisOod.fn(spark, embDir(rows)).collect()
+    assert(out.head.getInt(0) === 1 && out.head.getLong(1) === 9L)
+    assert(out.head.getDouble(2) > out(1).getDouble(2) * 10,
+      "the outlier must dominate the next distance")
+    // md2_per_dim divides by the 2 informative dims, not 3
+    val r0 = out.head
+    assert(math.abs(r0.getDouble(3) - r0.getDouble(2) / 2.0) < 1e-6)
   }
 }
