@@ -15,7 +15,7 @@ object Etl {
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
     keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
-    fdDiscovery)
+    fdDiscovery, recordLinkage, zorderLayout)
 
   // --- q199: approximate functional-dependency discovery --------------------
   // Schema profiling's other half next to q188's FK inclusion: for
@@ -856,5 +856,207 @@ object Etl {
         round(Transforms.laplaceNoisedKeyed(col("o_totalprice"), col("o_orderkey"), 0.1, 42L), 2)
           .as("noised_price"))
       .orderBy("o_orderkey")
+  }
+
+  // --- q240: Fellegi-Sunter record linkage ---------------------------------
+  // Probabilistic entity resolution — the warehouse op that merges a
+  // re-crawled/partner customer feed without shared keys. A dirty
+  // twin of `customer` is synthesized deterministically (every 5th
+  // name case-mangled, every 11th balance shifted +250 vs the global
+  // +0.37 drift, every 7th segment lost), then: BLOCK on
+  // (nationkey, 1000-unit balance bucket) — a keyed equi-join, never
+  // clean×dirty; SCORE each candidate with Fellegi-Sunter log-
+  // likelihood weights ln(m/u) / ln((1−m)/(1−u)) over three field
+  // comparators (name equality, segment equality, |Δbal| ≤ 1) with
+  // published m/u priors; CLASSIFY at ≥6 link / ≥2 possible. Because
+  // the synthetic truth is recoverable (dirty key = clean key + 10⁶),
+  // the report grades itself: per-class precision plus the blocking-
+  // recall row (true pairs whose +250 shift crossed a block boundary
+  // are invisible — production widens blocks with a second pass; the
+  // row makes that cost visible). ln terms 9-dp rounded, scores 6-dp;
+  // all comparators exact arithmetic.
+  def recordLinkage: Q = Q(
+    "q240_record_linkage",
+    """WITH dirty AS (SELECT c_custkey + 1000000 AS d_key,
+      |    CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS d_name,
+      |    c_nationkey AS d_nationkey,
+      |    c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 250.0 ELSE 0.37 END AS d_bal,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+      |  FROM customer),
+      |cand AS (SELECT c.c_custkey, d.d_key,
+      |    (c.c_name = d.d_name) AS a_name,
+      |    (c.c_mktsegment = d.d_seg) AS a_seg,
+      |    (abs(c.c_acctbal - d.d_bal) <= 1.0) AS a_bal,
+      |    (d.d_key - 1000000 = c.c_custkey) AS is_true
+      |  FROM customer c JOIN dirty d
+      |    ON d.d_nationkey = c.c_nationkey
+      |   AND CAST(floor(d.d_bal / 1000.0) AS INT) = CAST(floor(c.c_acctbal / 1000.0) AS INT)),
+      |sc AS (SELECT *, round(
+      |    round(CASE WHEN a_name THEN ln(CAST(0.8 AS DOUBLE) / CAST(0.001 AS DOUBLE))
+      |               ELSE ln(CAST(0.2 AS DOUBLE) / CAST(0.999 AS DOUBLE)) END, 9)
+      |  + round(CASE WHEN a_seg THEN ln(CAST(0.86 AS DOUBLE) / CAST(0.2 AS DOUBLE))
+      |               ELSE ln(CAST(0.14 AS DOUBLE) / CAST(0.8 AS DOUBLE)) END, 9)
+      |  + round(CASE WHEN a_bal THEN ln(CAST(0.91 AS DOUBLE) / CAST(0.01 AS DOUBLE))
+      |               ELSE ln(CAST(0.09 AS DOUBLE) / CAST(0.99 AS DOUBLE)) END, 9),
+      |    6) AS score FROM cand),
+      |cls AS (SELECT CASE WHEN score >= 6.0 THEN 'link'
+      |               WHEN score >= 2.0 THEN 'possible'
+      |               ELSE 'non_link' END AS bucket,
+      |    count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+      |  FROM sc GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM customer)
+      |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs, n_true_pairs,
+      |  round(CAST(n_true_pairs AS DOUBLE) / n_pairs, 4) AS precision_or_recall
+      |FROM cls
+      |UNION ALL
+      |SELECT 'zz_blocking', CAST(sum(n_pairs) AS BIGINT),
+      |  CAST(sum(n_true_pairs) AS BIGINT),
+      |  round(CAST(sum(n_true_pairs) AS DOUBLE) / max(nn.n), 4)
+      |FROM cls CROSS JOIN nn
+      |ORDER BY bucket""".stripMargin,
+  ) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val dirty = cust.select(
+      (col("c_custkey") + 1000000L).as("d_key"),
+      when(col("c_custkey") % 5 === 0, upper(col("c_name"))).otherwise(col("c_name"))
+        .as("d_name"),
+      col("c_nationkey").as("d_nationkey"),
+      (col("c_acctbal") + when(col("c_custkey") % 11 === 0, 250.0).otherwise(0.37))
+        .as("d_bal"),
+      when(col("c_custkey") % 7 === 0, "UNKNOWN").otherwise(col("c_mktsegment"))
+        .as("d_seg"))
+    val cand = cust.join(dirty,
+      dirty("d_nationkey") === cust("c_nationkey") &&
+        floor(dirty("d_bal") / 1000.0).cast("int") === floor(cust("c_acctbal") / 1000.0).cast("int"))
+      .select(col("c_custkey"), col("d_key"),
+        (col("c_name") === col("d_name")).as("a_name"),
+        (col("c_mktsegment") === col("d_seg")).as("a_seg"),
+        (abs(col("c_acctbal") - col("d_bal")) <= 1.0).as("a_bal"),
+        (col("d_key") - 1000000L === col("c_custkey")).as("is_true"))
+    // disagreement priors written as explicit literals (NOT 1−m in
+    // Scala: 1−0.8 is 0.19999…96 in binary, the SQL literal 0.2 isn't)
+    def w(agree: org.apache.spark.sql.Column,
+        m: Double, u: Double, dm: Double, du: Double) =
+      round(when(agree, log(lit(m) / lit(u))).otherwise(log(lit(dm) / lit(du))), 9)
+    val sc = cand.withColumn("score", round(
+      w(col("a_name"), 0.8, 0.001, 0.2, 0.999)
+        + w(col("a_seg"), 0.86, 0.2, 0.14, 0.8)
+        + w(col("a_bal"), 0.91, 0.01, 0.09, 0.99), 6))
+    val cls = graft.dedup.Dedup.persistTracked(sc
+      .groupBy(when(col("score") >= 6.0, "link")
+        .when(col("score") >= 2.0, "possible").otherwise("non_link").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_true"), 1).otherwise(0)).cast("long").as("n_true_pairs")))
+    val nn = cust.agg(count(lit(1)).as("n"))
+    val perClass = cls.select(col("bucket"), col("n_pairs").cast("long").as("n_pairs"),
+      col("n_true_pairs"),
+      round(col("n_true_pairs").cast("double") / col("n_pairs"), 4)
+        .as("precision_or_recall"))
+    val blocking = cls.crossJoin(broadcast(nn))
+      .agg(sum("n_pairs").cast("long").as("n_pairs"),
+        sum("n_true_pairs").cast("long").as("n_true_pairs"),
+        round(sum("n_true_pairs").cast("double") / max(col("n")), 4)
+          .as("precision_or_recall"))
+      .select(lit("zz_blocking").as("bucket"), col("n_pairs"), col("n_true_pairs"),
+        col("precision_or_recall"))
+    perClass.union(blocking).orderBy("bucket")
+  }
+
+  // --- q241: Z-order layout audit ------------------------------------------
+  // Before rewriting a 100 TB fact table, the layout decision wants
+  // NUMBERS: how many files would a point query scan under the
+  // current order vs a single-column sort vs Morton (Z-order)
+  // interleaving? This audit simulates all three: normalize custkey
+  // and order-day to 8 bits (exact integer scaling against the
+  // corpus min/max), interleave bits for the Z-value, assign 32
+  // files per layout by ntile (the stand-in for the writer's
+  // repartitionByRange — the audit, like the write job it prices, is
+  // allowed one global sort), collect per-file min/max zone maps, and
+  // replay a 16-probe point workload per dimension against them. The
+  // punchline rows: a custkey sort prunes custkey probes to 1/32 but
+  // scans everything for dates; Z-order prunes BOTH dims several-fold
+  // — the quantified case for interleaving. Zone-map checks are
+  // exact integer comparisons; the probe×file replay is (96 × 32)
+  // rows of driver-free arithmetic.
+  def zorderLayout: Q = {
+    val zTerms = (0 until 8).map(i =>
+      s"(((c8 >> $i) & 1) << ${2 * i}) + (((d8 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    Q(
+      "q241_zorder_layout",
+      s"""WITH base AS (SELECT o_orderkey, o_custkey,
+        |    datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS day
+        |  FROM orders),
+        |st AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |    min(day) AS dmin, max(day) AS dmax FROM base),
+        |e AS (SELECT o_orderkey, o_custkey, day,
+        |    ((o_custkey - cmin) * 256) // (cmax - cmin + 1) AS c8,
+        |    ((day - dmin) * 256) // (dmax - dmin + 1) AS d8
+        |  FROM base CROSS JOIN st),
+        |z AS (SELECT *, $zTerms AS zval FROM e),
+        |f AS (
+        |  SELECT 'a_natural' AS layout,
+        |    ntile(32) OVER (ORDER BY o_orderkey) AS file_id, o_custkey, day FROM z
+        |  UNION ALL
+        |  SELECT 'b_custsort', ntile(32) OVER (ORDER BY o_custkey, o_orderkey),
+        |    o_custkey, day FROM z
+        |  UNION ALL
+        |  SELECT 'c_zorder', ntile(32) OVER (ORDER BY zval, o_orderkey),
+        |    o_custkey, day FROM z),
+        |zones AS (SELECT layout, file_id,
+        |    min(o_custkey) AS clo, max(o_custkey) AS chi,
+        |    min(day) AS dlo, max(day) AS dhi
+        |  FROM f GROUP BY layout, file_id),
+        |probes AS (
+        |  SELECT 'custkey' AS dim, cmin + ((cmax - cmin) * i) // 16 AS v
+        |  FROM st, UNNEST(range(0, 16)) AS u(i)
+        |  UNION ALL
+        |  SELECT 'day', dmin + ((dmax - dmin) * i) // 16
+        |  FROM st, UNNEST(range(0, 16)) AS u(i))
+        |SELECT layout, dim AS query_dim,
+        |  round(avg(CASE WHEN (dim = 'custkey' AND v BETWEEN clo AND chi)
+        |                   OR (dim = 'day' AND v BETWEEN dlo AND dhi)
+        |            THEN 1.0 ELSE 0.0 END), 4) AS files_scanned_frac
+        |FROM zones CROSS JOIN probes
+        |GROUP BY layout, dim ORDER BY layout, query_dim""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("day"))
+      val st = base.agg(min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+        min("day").as("dmin"), max("day").as("dmax"))
+      val e = base.crossJoin(broadcast(st))
+        .withColumn("c8", expr("div((o_custkey - cmin) * 256, cmax - cmin + 1)"))
+        .withColumn("d8", expr("div((day - dmin) * 256, dmax - dmin + 1)"))
+      val zval = (0 until 8).map { i =>
+        (shiftleft(shiftright(col("c8"), i).bitwiseAND(1), 2 * i)
+          + shiftleft(shiftright(col("d8"), i).bitwiseAND(1), 2 * i + 1))
+      }.reduce(_ + _)
+      val z = graft.dedup.Dedup.persistTracked(e.withColumn("zval", zval))
+      def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+        z.select(lit(name).as("layout"),
+          ntile(32).over(Window.orderBy(order: _*)).as("file_id"),
+          col("o_custkey"), col("day"))
+      val f = layout("a_natural", Seq(col("o_orderkey")))
+        .union(layout("b_custsort", Seq(col("o_custkey"), col("o_orderkey"))))
+        .union(layout("c_zorder", Seq(col("zval"), col("o_orderkey"))))
+      val zones = f.groupBy("layout", "file_id")
+        .agg(min("o_custkey").as("clo"), max("o_custkey").as("chi"),
+          min("day").as("dlo"), max("day").as("dhi"))
+      val probes = s.range(0, 16).crossJoin(broadcast(st))
+        .select(lit("custkey").as("dim"),
+          (col("cmin") + expr("div((cmax - cmin) * id, 16)")).as("v"))
+        .union(s.range(0, 16).crossJoin(broadcast(st))
+          .select(lit("day").as("dim"),
+            (col("dmin") + expr("div((dmax - dmin) * id, 16)")).as("v")))
+      zones.crossJoin(broadcast(probes))
+        .groupBy(col("layout"), col("dim").as("query_dim"))
+        .agg(round(avg(
+          when((col("dim") === "custkey" && col("v").between(col("clo"), col("chi")))
+            || (col("dim") === "day" && col("v").between(col("dlo"), col("dhi"))),
+            1.0).otherwise(0.0)), 4).as("files_scanned_frac"))
+        .orderBy("layout", "query_dim")
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Corpus, Curation, Embeddings, Privacy, Search, Text}
+import graft.queries.{Corpus, Curation, Embeddings, Etl, Privacy, Search, Text}
 
 /** Semantic pins for the round-8 hygiene/audit family (q230–q235) on
   * crafted fixtures — the oracle pins cross-engine equality; these pin
@@ -219,5 +219,43 @@ class HygieneSpec extends SparkSpec {
     // md2_per_dim divides by the 2 informative dims, not 3
     val r0 = out.head
     assert(math.abs(r0.getDouble(3) - r0.getDouble(2) / 2.0) < 1e-6)
+  }
+
+  test("q240: clean twins link, a mangled name degrades to possible, strangers don't link") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_cust").toString
+    // keys 1..4: untouched twins (all three fields agree → link);
+    // key 5: %5 mangles the dirty name → possible; all share nation 0
+    // and balance bucket 0, so every clean×dirty pair is a candidate
+    (1L to 5L).map(i => (i, s"Customer#$i", 0, 100.0 + 10 * i, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = Etl.recordLinkage.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("link").getLong(1) === 4 && out("link").getDouble(3) === 1.0)
+    assert(out("possible").getLong(1) === 1 && out("possible").getLong(2) === 1,
+      "the name-mangled twin must fall to possible, not vanish")
+    assert(out("non_link").getLong(2) === 0, "no true pair may score below 2")
+    assert(out("zz_blocking").getDouble(3) === 1.0, "tight balances never cross blocks")
+  }
+
+  test("q241: z-order prunes both dimensions; a single-column sort prunes only its own") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_zord").toString
+    // 1024 orders: custkey 0..1023, day decorrelated via (i*37)%1024,
+    // natural order scrambled via (i*613)%1024 (613 coprime to 1024)
+    (0L until 1024L).map { i =>
+      ((i * 613) % 1024, i, "F", 100.0,
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(1992, 1, 1, 0, 0)
+          .plusDays((i * 37) % 1024)), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Etl.zorderLayout.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // the single-column sort is perfect on its own dim, blind on the other
+    assert(out(("b_custsort", "custkey")) <= 2.0 / 32 + 0.01)
+    assert(out(("b_custsort", "day")) > 0.8)
+    // z-order beats natural on BOTH dims — the case for interleaving
+    assert(out(("c_zorder", "custkey")) < out(("a_natural", "custkey")))
+    assert(out(("c_zorder", "day")) < out(("a_natural", "day")))
+    assert(out(("c_zorder", "day")) < out(("b_custsort", "day")))
   }
 }

@@ -657,4 +657,50 @@ class PlanSpec extends SparkSpec {
     val p = g.queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
+
+  test("q235 serves the MMR ranking as a local relation (q219 rule)") {
+    // candidate generation scans the corpus once inside fn; the
+    // RETURNED 15-row ranking must never rescan it
+    val df = SparkEntry.queries("q235_mmr_rerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), p.take(1200))
+    assert(!p.contains("Scan parquet"), p.take(1200))
+  }
+
+  test("q239 top-20 is TakeOrderedAndProject over the persisted explode") {
+    // the exploded (vec, dim) table is read twice (stats, distances)
+    // from cache, and the outlier cut is a distributed top-k — a
+    // global sort of per-vec distances would not survive 100 TB
+    val df = SparkEntry.queries("q239_mahalanobis_ood")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q231 novelty joins stay keyed on the shingle, never cartesian") {
+    // the only row-multiplying operators allowed are the window
+    // explode and the 1-row doc-count broadcast; batch assignment and
+    // both aggregates must be hash-keyed
+    val df = SparkEntry.queries("q231_batch_novelty")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
+  test("q236 candidate ranks come from one keyed scan plus a 50-row window") {
+    // the exponential mechanism must never join candidates against the
+    // fact table: one bucketized aggregate, a bounded cumulative
+    // window, and a top-1 TakeOrderedAndProject
+    val df = SparkEntry.queries("q236_dp_median")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // exactly one aggregation over orders rows per scan purpose: the
+    // bucket counts and the scalar count — nothing candidate-multiplied
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+  }
 }
