@@ -15,7 +15,7 @@ object Events {
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
-    bounceRate)
+    bounceRate, decayedPopularity, diffInDiff)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1141,5 +1141,105 @@ object Events {
         when(unix_micros(lead(col("ts"), 1).over(wOrd)) - unix_micros(col("ts")) <= 86400000000L, 1)
           .otherwise(0).as("next_within_1d"))
       .orderBy("event_id")
+  }
+
+  // --- q243: exponentially time-decayed popularity -------------------------
+  // The feature-store freshness primitive: raw counts rank a catalog
+  // by lifetime popularity; serving wants exp(−ln2·age/h) half-life
+  // weighting (h = 7 days, as-of 2024-01-31) so last week outvotes
+  // last month. One scan computes raw and decayed count/value sums
+  // simultaneously (9-dp rounded weights, DECIMAL-exact sums — decay
+  // weights are the classic float-sum-order trap, a tree reduction
+  // vs sequential sum disagree in the last bits); `recency_index` =
+  // decayed/raw count is the drift signal (higher = fresher traffic).
+  // The whole query is a single keyed aggregate — the 100 TB shape is
+  // a map-side partial per (type, partition), |types| rows crossing
+  // the wire.
+  def decayedPopularity: Q = Q(
+    "q243_decayed_popularity",
+    """WITH w AS (SELECT event_type, value,
+      |    round(exp(-(ln(CAST(2 AS DOUBLE)) / 7.0)
+      |      * ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+      |         / 86400000000.0)), 9) AS w
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(CAST(sum(CAST(w AS DECIMAL(18,9))) AS DOUBLE), 4) AS decayed_count,
+      |  round(CAST(sum(CAST(round(w * value, 9) AS DECIMAL(18,9))) AS DOUBLE), 4)
+      |    AS decayed_value,
+      |  round(CAST(sum(CAST(w AS DECIMAL(18,9))) AS DOUBLE) / count(*), 4)
+      |    AS recency_index
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    val ref = lit("2024-01-31 00:00:00").cast("timestamp")
+    val age = (unix_micros(ref) - unix_micros(col("ts"))) / 86400000000.0
+    val w = round(exp(-(log(lit(2.0)) / 7.0) * age), 9)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), w.as("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum(col("w"), 9), 4).as("decayed_count"),
+        round(dsum(round(col("w") * col("value"), 9), 9), 4).as("decayed_value"),
+        round(dsum(col("w"), 9) / count(lit(1)), 4).as("recency_index"))
+      .orderBy("event_type")
+  }
+
+  // --- q244: difference-in-differences -------------------------------------
+  // The quasi-experimental estimate when randomization isn't
+  // available (policy shipped at a date, not to a cohort): treatment
+  // = the deterministic user_id-parity holdout, post = the Jan 16
+  // cut, estimate = (T_post − T_pre) − (C_post − C_pre) on mean event
+  // value — the parallel-trends subtraction that removes both the
+  // group baseline and the secular time shift (q129's CUPED reduces
+  // variance WITHIN a randomized test; DiD identifies the effect
+  // without one). All four cell means reduce in ONE aggregate (9-dp
+  // DECIMAL value sums ÷ exact counts); the estimate is a cancelling
+  // double subtraction → signed-zero-normalized, empty cells NULL
+  // via try_divide.
+  def diffInDiff: Q = Q(
+    "q244_diff_in_diff",
+    """WITH c AS (SELECT CAST(user_id % 2 AS INT) AS treat,
+      |    CAST(ts >= TIMESTAMP '2024-01-16 00:00:00' AS INT) AS post,
+      |    value FROM events),
+      |agg AS (SELECT
+      |    sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS n11,
+      |    sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS n10,
+      |    sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS n01,
+      |    sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS n00,
+      |    CAST(sum(CASE WHEN treat = 1 AND post = 1
+      |      THEN CAST(round(value, 9) AS DECIMAL(18,9)) ELSE 0 END) AS DOUBLE) AS s11,
+      |    CAST(sum(CASE WHEN treat = 1 AND post = 0
+      |      THEN CAST(round(value, 9) AS DECIMAL(18,9)) ELSE 0 END) AS DOUBLE) AS s10,
+      |    CAST(sum(CASE WHEN treat = 0 AND post = 1
+      |      THEN CAST(round(value, 9) AS DECIMAL(18,9)) ELSE 0 END) AS DOUBLE) AS s01,
+      |    CAST(sum(CASE WHEN treat = 0 AND post = 0
+      |      THEN CAST(round(value, 9) AS DECIMAL(18,9)) ELSE 0 END) AS DOUBLE) AS s00
+      |  FROM c)
+      |SELECT CAST(n11 + n10 AS BIGINT) AS n_treat, CAST(n01 + n00 AS BIGINT) AS n_control,
+      |  round(s10 / n10, 6) AS treat_pre, round(s11 / n11, 6) AS treat_post,
+      |  round(s00 / n00, 6) AS control_pre, round(s01 / n01, 6) AS control_post,
+      |  round((s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00), 6) + 0.0
+      |    AS did_estimate
+      |FROM agg""".stripMargin,
+  ) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .select((col("user_id") % 2).cast("int").as("treat"),
+        (col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")).cast("int").as("post"),
+        col("value"))
+    def cell(t: Int, p: Int) = (when(col("treat") === t && col("post") === p, 1).otherwise(0),
+      sum(when(col("treat") === t && col("post") === p,
+        round(col("value"), 9).cast("decimal(18,9)")).otherwise(lit(0).cast("decimal(18,9)")))
+        .cast("double"))
+    val agg = c.agg(
+      sum(cell(1, 1)._1).as("n11"), sum(cell(1, 0)._1).as("n10"),
+      sum(cell(0, 1)._1).as("n01"), sum(cell(0, 0)._1).as("n00"),
+      cell(1, 1)._2.as("s11"), cell(1, 0)._2.as("s10"),
+      cell(0, 1)._2.as("s01"), cell(0, 0)._2.as("s00"))
+    def m(sc: String, n: String) = try_divide(col(sc), col(n).cast("double"))
+    agg.select((col("n11") + col("n10")).cast("long").as("n_treat"),
+      (col("n01") + col("n00")).cast("long").as("n_control"),
+      round(m("s10", "n10"), 6).as("treat_pre"), round(m("s11", "n11"), 6).as("treat_post"),
+      round(m("s00", "n00"), 6).as("control_pre"), round(m("s01", "n01"), 6).as("control_post"),
+      znorm(round((m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")), 6))
+        .as("did_estimate"))
   }
 }

@@ -15,7 +15,7 @@ import graft.{Q, Tables}
 object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
-    frequentPairs)
+    frequentPairs, labelPropagation)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -344,6 +344,71 @@ object Graph {
         graft.operators.PageRank.undirected(edges), iters = 5)
       ranks.select(col("id"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("id")).limit(20)
+    }
+  }
+
+  // --- q242: label-propagation communities ---------------------------------
+  // Community detection on q131's supplier co-purchase projection
+  // (Raghavan et al. 2007): three SYNCHRONOUS rounds where each node
+  // adopts the plurality label of neighbors-plus-self (the self-loop
+  // is what keeps synchronous LPA from oscillating), ties to the
+  // smallest label — fully deterministic, so the whole run unrolls
+  // into oracle CTEs. Scale shape per round: one keyed join of the
+  // adjacency against the label table, one (node, label) count, one
+  // per-node argmax window partitioned by node (never global) — LPA
+  // is exactly 3 × (join + aggregate), the cheapest community
+  // algorithm that exists at 100 TB, which is why it's the one
+  // production graph stacks actually run. The projection reuses the
+  // capped shared core (hot customers dropped, ≥ 190 shared-customer
+  // threshold keeps the graph sparse).
+  def labelPropagation: Q = {
+    def roundSql(t: Int): String = {
+      val p = t - 1
+      s"""n$t AS (SELECT g.src AS id, l$p.lbl AS nl FROM g JOIN l$p ON l$p.id = g.dst),
+         |c$t AS (SELECT id, nl, count(*) AS c FROM n$t GROUP BY id, nl),
+         |l$t AS (SELECT id, nl AS lbl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+         |    FROM c$t) WHERE rn = 1)""".stripMargin
+    }
+    Q(
+      "q242_label_propagation",
+      s"""WITH $CustSuppSql,
+        |e AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+        |      GROUP BY 1, 2 HAVING count(*) >= 190),
+        |g AS (SELECT sa AS src, sb AS dst FROM e
+        |      UNION ALL SELECT sb, sa FROM e
+        |      UNION ALL SELECT id, id FROM (SELECT sa AS id FROM e UNION SELECT sb FROM e)),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM g),
+        |${roundSql(1)},
+        |${roundSql(2)},
+        |${roundSql(3)}
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+        |FROM l3 GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cs = custSupp(s, dir)
+      val e = cs.as("a").join(cs.as("b"),
+          col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
+        .select("sa", "sb")
+      val sym = e.select(col("sa").as("src"), col("sb").as("dst"))
+        .union(e.select(col("sb").as("src"), col("sa").as("dst")))
+      val nodes = sym.select(col("src").as("id")).distinct()
+      val g = graft.dedup.Dedup.persistTracked(
+        sym.union(nodes.select(col("id").as("src"), col("id").as("dst"))))
+      var l = nodes.withColumn("lbl", col("id"))
+      for (_ <- 1 to 3) {
+        val joined = g.join(l.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+          .select(col("src").as("id"), col("lbl").as("nl"))
+        val ct = joined.groupBy("id", "nl").agg(count(lit(1)).as("c"))
+        l = ct.withColumn("rn", row_number().over(
+            Window.partitionBy("id").orderBy(col("c").desc, col("nl"))))
+          .filter(col("rn") === 1).select(col("id"), col("nl").as("lbl"))
+      }
+      l.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
     }
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Corpus, Curation, Embeddings, Etl, Privacy, Search, Text}
+import graft.queries.{Corpus, Curation, Embeddings, Etl, Events, Privacy, Search, Text}
 
 /** Semantic pins for the round-8 hygiene/audit family (q230–q235) on
   * crafted fixtures — the oracle pins cross-engine equality; these pin
@@ -257,5 +257,58 @@ class HygieneSpec extends SparkSpec {
     assert(out(("c_zorder", "custkey")) < out(("a_natural", "custkey")))
     assert(out(("c_zorder", "day")) < out(("a_natural", "day")))
     assert(out(("c_zorder", "day")) < out(("b_custsort", "day")))
+  }
+
+  test("q242: two disconnected co-purchase triangles converge to two communities") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_lpa").toString
+    // 190 customers buy from suppliers {1,2,3}, another 190 from
+    // {4,5,6}: every within-group supplier pair clears the >=190
+    // shared-customer projection threshold, no cross edge exists
+    val custs = (1L to 190L).map(c => (c, Seq(1L, 2L, 3L))) ++
+      (201L to 390L).map(c => (c, Seq(4L, 5L, 6L)))
+    custs.map { case (c, _) => (c, c, "F", 100.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    custs.flatMap { case (c, sps) => sps.map(sp => (c, sp)) }
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Graph.labelPropagation.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 4L -> 3L),
+      "each triangle adopts its smallest supplier id as the community label")
+  }
+
+  test("q243: a 7-day-old event carries exactly half the weight of a fresh one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_dec").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-31 00:00:00"), 1L, "click", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-24 00:00:00"), 1L, "click", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.decayedPopularity.fn(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 1.5)   // 1.0 + 0.5
+    assert(out.head.getDouble(3) === 15.0)  // 10 + 5
+    assert(out.head.getDouble(4) === 0.75)
+  }
+
+  test("q244: hand-built cells recover DiD = 1; an empty cell NULLs the estimate") {
+    def ev(id: Long, uid: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), uid, "click", v, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_did").toString
+    // treat (uid 1): pre mean 1, post mean 3; control (uid 0): 1 -> 2
+    Seq(ev(1, 1, 1, 1.0), ev(2, 1, 20, 3.0), ev(3, 0, 1, 1.0), ev(4, 0, 20, 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.diffInDiff.fn(spark, dir).collect().head
+    assert(out.getDouble(6) === 1.0, s"DiD, got ${out.getDouble(6)}")
+    assert(out.getDouble(2) === 1.0 && out.getDouble(3) === 3.0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hyg_did2").toString
+    Seq(ev(1, 1, 1, 1.0), ev(3, 0, 1, 1.0), ev(4, 0, 20, 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val out2 = Events.diffInDiff.fn(spark, dir2).collect().head
+    assert(out2.isNullAt(6), "missing treat-post cell must NULL the estimate")
   }
 }
