@@ -15,7 +15,7 @@ object Events {
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
-    bounceRate, decayedPopularity, diffInDiff)
+    bounceRate, decayedPopularity, diffInDiff, holtForecast)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1241,5 +1241,77 @@ object Events {
       round(m("s00", "n00"), 6).as("control_pre"), round(m("s01", "n01"), 6).as("control_post"),
       znorm(round((m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")), 6))
         .as("did_estimate"))
+  }
+
+  // --- q245: Holt linear-trend smoothing + 3-day forecast ------------------
+  // q156's EWMA tracks a level; capacity planning needs the TREND too
+  // — Holt's double exponential smoothing (α = 0.5, β = 0.3) over the
+  // per-type daily mean series, forecasting 3 days out as l + 3b. The
+  // recurrence is inherently sequential, but the sequence is the
+  // DAILY series, not the event stream: the corpus-scale work is one
+  // keyed (type, day) mean aggregate; each type's ≤31-point series
+  // then folds in a bounded per-row HOF (l ← αx + (1−α)(l+b),
+  // b ← β(l−l_prev) + (1−β)b, every state 9-dp requantized — the
+  // q133 trajectory discipline), and DuckDB replays the identical
+  // fold via a RECURSIVE CTE stepping the per-type row_number (NOT
+  // list_reduce: DuckDB 1.0's struct-accumulator lambda mis-binds
+  // fields across steps — measured, not theoretical). Missing days
+  // are absent observations (the fold runs over the observed ordered
+  // series). The trend is a cancelling subtraction → znormed.
+  def holtForecast: Q = Q(
+    "q245_holt_forecast",
+    """WITH RECURSIVE d AS (SELECT event_type,
+      |    datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS day, value
+      |  FROM events),
+      |m AS (SELECT event_type, day,
+      |    round(CAST(sum(CAST(round(value, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*), 9) AS x
+      |  FROM d GROUP BY 1, 2),
+      |o AS (SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn, x
+      |  FROM m),
+      |nn AS (SELECT event_type, max(rn) AS n FROM o GROUP BY 1),
+      |rec AS (
+      |  SELECT event_type, 1 AS rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.rn + 1,
+      |    round(0.5 * o.x + 0.5 * (r.l + r.b), 9),
+      |    round(0.3 * (round(0.5 * o.x + 0.5 * (r.l + r.b), 9) - r.l)
+      |          + 0.7 * r.b, 9)
+      |  FROM rec r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+      |SELECT r.event_type, CAST(nn.n AS BIGINT) AS n_days,
+      |  round(r.l, 6) AS level, round(r.b, 6) + 0.0 AS trend,
+      |  round(r.l + 3 * r.b, 6) + 0.0 AS forecast_3
+      |FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.rn = nn.n
+      |ORDER BY r.event_type""".stripMargin,
+  ) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"),
+        col("value"))
+    val mAgg = d.groupBy("event_type", "day")
+      .agg(round(dsum(round(col("value"), 9), 9) / count(lit(1)), 9).as("x"))
+    val ser = mAgg.groupBy("event_type")
+      .agg(transform(array_sort(collect_list(struct(col("day"), col("x")))),
+        s => s.getField("x")).as("xs"),
+        count(lit(1)).as("n"))
+    // bounded per-row fold over the ≤31-point series — the identical
+    // recurrence DuckDB's list_reduce replays (seed = first element)
+    val hb = aggregate(
+      slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+      struct(element_at(col("xs"), 1).as("a"), lit(0.0).as("b")),
+      (acc, x) => {
+        val lnew = round(lit(0.5) * x + lit(0.5) * (acc.getField("a") + acc.getField("b")), 9)
+        struct(lnew.as("a"),
+          round(lit(0.3) * (lnew - acc.getField("a")) + lit(0.7) * acc.getField("b"), 9)
+            .as("b"))
+      })
+    ser.select(col("event_type"), col("n").cast("long").as("n_days"), hb.as("hb"))
+      .select(col("event_type"), col("n_days"),
+        round(col("hb.a"), 6).as("level"),
+        znorm(round(col("hb.b"), 6)).as("trend"),
+        znorm(round(col("hb.a") + lit(3) * col("hb.b"), 6)).as("forecast_3"))
+      .orderBy("event_type")
   }
 }

@@ -311,4 +311,25 @@ class HygieneSpec extends SparkSpec {
     val out2 = Events.diffInDiff.fn(spark, dir2).collect().head
     assert(out2.isNullAt(6), "missing treat-post cell must NULL the estimate")
   }
+
+  test("q245: a flat series holds level with +0.0 trend; a ramp learns its slope") {
+    def ev(id: Long, day: Int, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, typ, v, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_holt").toString
+    val rows = (1 to 20).map(d => ev(d, d, "flat", 7.5)) ++
+      (1 to 20).map(d => ev(100 + d, d, "ramp", d.toDouble))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.holtForecast.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getDouble(2) === 7.5)
+    assert(out("flat").getDouble(3) === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(out("flat").getDouble(3)) === 0L,
+      "flat trend must be +0.0, not -0.0")
+    assert(out("flat").getDouble(4) === 7.5)
+    // the ramp's learned trend approaches the true slope 1/day and the
+    // 3-day forecast extrapolates ahead of the level
+    assert(out("ramp").getDouble(3) > 0.5, s"trend ${out("ramp").getDouble(3)}")
+    assert(out("ramp").getDouble(4) > out("ramp").getDouble(2))
+  }
 }
