@@ -20,7 +20,7 @@ object Corpus {
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
-    tokenBurstiness, batchNovelty)
+    tokenBurstiness, batchNovelty, sourceMinhash)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -844,5 +844,94 @@ object Corpus {
         round(col("novel_shingles").cast("double") / col("n_distinct"), 4))
       .select("batch", "n_distinct", "novel_shingles", "novelty_rate")
       .orderBy("batch")
+  }
+
+  // --- q249: corpus-level source similarity via MinHash ----------------------
+  // q206 calibrates the estimator on DOC pairs; mixture planning needs
+  // the same answer one level up — how much do whole SOURCES overlap?
+  // Jaccard between the distinct-shingle SETS of each source pair,
+  // alongside its 16-permutation MinHash estimate, because at 100 TB
+  // the exact |A∩B| join over two sources' full shingle inventories is
+  // exactly what you stop running: each source's signature is 16 longs
+  // regardless of size, mergeable map-side, and the estimate's error
+  // is what this query audits. The shingle table reduces to distinct
+  // (source, hash) once; the exact intersection is a keyed self-join
+  // on hash whose fan-out per shingle is bounded by the SOURCE count
+  // (≤ k per key by construction — boilerplate can't blow it up); the
+  // signature join runs on the k-row source table. Hashes are the q43
+  // polynomial family with the seed-42 permutations, so DuckDB
+  // replays signatures bit for bit.
+  def sourceMinhash: Q = {
+    val P = Dedup.PolyPrime
+    val perms = Dedup.minhashPerms.take(16)
+    val minsSql = perms.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $P) AS m$i" }.mkString(", ")
+    val estSql = (0 until 16)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    Q(
+      "q249_source_minhash",
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT source, shingle FROM toks,
+         |    UNNEST(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |  WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (h, b) -> (h * 131 + b) % $P) AS h FROM sh0),
+         |sig AS (SELECT source, $minsSql FROM sh GROUP BY source),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |inter AS (SELECT l.source AS src_a, r.source AS src_b, count(*) AS i
+         |  FROM sh l JOIN sh r ON r.h = l.h AND l.source < r.source
+         |  GROUP BY 1, 2),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(($estSql) AS DOUBLE) / 16 AS est
+         |  FROM sig a JOIN sig b ON a.source < b.source),
+         |j AS (SELECT p.src_a, p.src_b,
+         |    CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+         |    COALESCE(CAST(inter.i AS BIGINT), 0) AS n_inter,
+         |    CAST(COALESCE(inter.i, 0) AS DOUBLE)
+         |      / (za.n + zb.n - COALESCE(inter.i, 0)) AS exact, p.est
+         |  FROM p JOIN sz za ON za.source = p.src_a
+         |         JOIN sz zb ON zb.source = p.src_b
+         |  LEFT JOIN inter ON inter.src_a = p.src_a AND inter.src_b = p.src_b)
+         |SELECT src_a, src_b, n_a, n_b, n_inter,
+         |  round(exact, 6) AS exact_jacc, round(est, 4) AS est_jacc,
+         |  round(abs(est - exact), 4) AS abs_err
+         |FROM j ORDER BY src_a, src_b""".stripMargin,
+    ) { (s, dir) =>
+      val sh = Dedup.persistTracked(
+        Dedup.shingleTable(
+          Tables.documents(s, dir).select(col("source"), col("text")),
+          "source", "text")
+          .select(col("source"), Dedup.polyTokenHash(col("shingle")).as("h"))
+          .distinct())
+      val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$i")
+      }
+      val sigs = sh.groupBy("source").agg(mins.head, mins.tail: _*)
+        .select(col("source"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source").as("src_a"), col("h"))
+        .join(sh.select(col("source").as("src_b"), col("h")), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("i"))
+      val est = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / 16
+      val p = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+        .join(sigs.select(col("source").as("src_b"), col("sig").as("sig_b")),
+          col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), est.as("est"))
+      val exact = coalesce(col("i"), lit(0L)).cast("double") /
+        (col("n_a") + col("n_b") - coalesce(col("i"), lit(0L)))
+      p.join(sz.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("i"), lit(0L)).as("n_inter"),
+          round(exact, 6).as("exact_jacc"), round(col("est"), 4).as("est_jacc"),
+          round(abs(col("est") - exact), 4).as("abs_err"))
+        .orderBy("src_a", "src_b")
+    }
   }
 }

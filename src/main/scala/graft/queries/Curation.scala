@@ -18,7 +18,7 @@ object Curation {
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
-    dataConstrainedEpochs, filterParity, importanceReweight)
+    dataConstrainedEpochs, filterParity, importanceReweight, filterShapley)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1254,6 +1254,89 @@ object Curation {
         lit(1.0).as("obs_share"), lit(null).cast("double").as("weight"),
         round((col("sw") * col("sw") / col("sww")) / col("nd"), 4).as("ess_frac"))
     perSource.union(total).orderBy("source")
+  }
+
+  // --- q250: exact Shapley attribution over quality filters -----------------
+  // q226 (κ) and q237 (parity) audit filters pairwise and per-group;
+  // this answers the budgeting question — how much of the total
+  // removal does each gate actually OWN once overlaps are split
+  // fairly? The coalition game v(S) = docs removed by applying the
+  // filters in S (a doc is removed when it fails ANY filter in S),
+  // over three q230 gopher rules: length in [20,80], ≥2 stopwords,
+  // unique-token fraction ≥ 0.4. With n = 3 the Shapley value is a
+  // closed form over the 2³ pass-count cells — φ_len = [2(N−p_len) +
+  // (p_stop−p_ls) + (p_uniq−p_lu) + 2(p_su−p_lsu)]/6 — so the whole
+  // query is ONE corpus scan reducing to eight integer sums (map-side
+  // combined, nothing wider than a row of counters crosses the
+  // shuffle at any corpus size), then per-filter arithmetic on that
+  // 1-row frame. Every intermediate is an exact integer; the only
+  // division is the final /6 and the share — no float-order or
+  // signed-zero exposure anywhere (a monotone game has φ ≥ 0).
+  // Efficiency (Σφ = v(N)) holds by construction and the oracle
+  // recomputes the identical closed form from the corpus.
+  def filterShapley: Q = Q(
+    "q250_filter_shapley",
+    s"""WITH d AS (SELECT
+       |    CASE WHEN len(t) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN len(list_filter(t, x -> x IN (${TextSqlFragments.stopList}))) >= 2
+       |         THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN 5 * len(list_distinct(t)) >= 2 * len(t) THEN 1 ELSE 0 END AS f3
+       |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(f1) AS BIGINT) AS p1, CAST(sum(f2) AS BIGINT) AS p2,
+       |    CAST(sum(f3) AS BIGINT) AS p3,
+       |    CAST(sum(f1 * f2) AS BIGINT) AS p12,
+       |    CAST(sum(f1 * f3) AS BIGINT) AS p13,
+       |    CAST(sum(f2 * f3) AS BIGINT) AS p23,
+       |    CAST(sum(f1 * f2 * f3) AS BIGINT) AS p123 FROM d),
+       |s AS (
+       |  SELECT 'len' AS filter, n - p1 AS removed_solo, p23 - p123 AS removed_last,
+       |    2 * (n - p1) + (p2 - p12) + (p3 - p13) + 2 * (p23 - p123) AS num,
+       |    n - p123 AS v_all FROM c
+       |  UNION ALL
+       |  SELECT 'stop', n - p2, p13 - p123,
+       |    2 * (n - p2) + (p1 - p12) + (p3 - p23) + 2 * (p13 - p123), n - p123 FROM c
+       |  UNION ALL
+       |  SELECT 'uniq', n - p3, p12 - p123,
+       |    2 * (n - p3) + (p1 - p13) + (p2 - p23) + 2 * (p12 - p123), n - p123 FROM c)
+       |SELECT filter, removed_solo, removed_last,
+       |  round(num / 6.0, 4) AS shapley,
+       |  round(num / (6.0 * v_all), 4) AS shapley_share
+       |FROM s ORDER BY filter""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(
+      when(size(t).between(20, 80), 1).otherwise(0).as("f1"),
+      when(TextAnalysis.stopwordCount(t) >= 2, 1).otherwise(0).as("f2"),
+      when(lit(5) * size(array_distinct(t)) >= lit(2) * size(t), 1).otherwise(0).as("f3"))
+    val c = d.agg(count(lit(1)).as("n"),
+      sum("f1").cast("long").as("p1"), sum("f2").cast("long").as("p2"),
+      sum("f3").cast("long").as("p3"),
+      sum(col("f1") * col("f2")).cast("long").as("p12"),
+      sum(col("f1") * col("f3")).cast("long").as("p13"),
+      sum(col("f2") * col("f3")).cast("long").as("p23"),
+      sum(col("f1") * col("f2") * col("f3")).cast("long").as("p123"))
+    def row(name: String, solo: org.apache.spark.sql.Column,
+        last: org.apache.spark.sql.Column, num: org.apache.spark.sql.Column) =
+      struct(lit(name).as("filter"), solo.as("removed_solo"), last.as("removed_last"),
+        num.as("num"), (col("n") - col("p123")).as("v_all"))
+    val rows = c.select(explode(array(
+        row("len", col("n") - col("p1"), col("p23") - col("p123"),
+          lit(2) * (col("n") - col("p1")) + (col("p2") - col("p12"))
+            + (col("p3") - col("p13")) + lit(2) * (col("p23") - col("p123"))),
+        row("stop", col("n") - col("p2"), col("p13") - col("p123"),
+          lit(2) * (col("n") - col("p2")) + (col("p1") - col("p12"))
+            + (col("p3") - col("p23")) + lit(2) * (col("p13") - col("p123"))),
+        row("uniq", col("n") - col("p3"), col("p12") - col("p123"),
+          lit(2) * (col("n") - col("p3")) + (col("p1") - col("p13"))
+            + (col("p2") - col("p23")) + lit(2) * (col("p12") - col("p123")))))
+        .as("s"))
+      .select(col("s.*"))
+    rows.select(col("filter"), col("removed_solo"), col("removed_last"),
+        round(col("num") / 6.0, 4).as("shapley"),
+        round(try_divide(col("num").cast("double"), lit(6.0) * col("v_all")), 4)
+          .as("shapley_share"))
+      .orderBy("filter")
   }
 }
 

@@ -15,7 +15,7 @@ object Events {
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
-    bounceRate, decayedPopularity, diffInDiff, holtForecast)
+    bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1313,5 +1313,72 @@ object Events {
         znorm(round(col("hb.b"), 6)).as("trend"),
         znorm(round(col("hb.a") + lit(3) * col("hb.b"), 6)).as("forecast_3"))
       .orderBy("event_type")
+  }
+
+  // --- q251: two-sided CUSUM change-point detection -------------------------
+  // q113 flags a spike against a trailing average — a LEVEL test that
+  // misses slow drifts. CUSUM (Page 1954) accumulates small deviations
+  // until they cross a band: S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)),
+  // mirrored downward, alarm when either side exceeds 4σ̂. The
+  // max(0,·) recursion looks inherently sequential, but it equals
+  // C_t − min(0, min_{j≤t} C_j) over the deviation prefix sums C — two
+  // ordinary running-min/max window passes, no recursion. Engine
+  // parity is integer-exact end to end: deviations are scaled to
+  // 1e4·counts minus the 4-dp-scaled mean (one BIGINT per day), so
+  // prefix sums, running extrema, and both CUSUM sides are exact
+  // integer arithmetic until the final /10⁴ render; σ̂ comes from the
+  // (n, Σx, Σx²) integer moments, never a streaming variance. The
+  // corpus-scale work is one (type, day) count; windows then order
+  // report-sized daily series per type — the q245 partitioning.
+  def cusumDrift: Q = Q(
+    "q251_cusum_drift",
+    """WITH daily AS (SELECT event_type,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, count(*) AS nd, CAST(sum(n) AS BIGINT) AS sc,
+      |    CAST(sum(n * n) AS BIGINT) AS scc FROM daily GROUP BY 1),
+      |y AS (SELECT d.event_type, d.day, d.n,
+      |    d.n * 10000 - CAST(round(m.sc * 10000.0 / m.nd, 0) AS BIGINT) AS y,
+      |    round(sqrt((m.nd * m.scc - m.sc * m.sc)
+      |      / (m.nd * (m.nd - 1.0))), 4) AS sd
+      |  FROM daily d JOIN m ON m.event_type = d.event_type),
+      |c AS (SELECT event_type, day, n, sd,
+      |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cs
+      |  FROM y),
+      |r AS (SELECT event_type, day, n, sd, cs,
+      |    min(cs) OVER (PARTITION BY event_type ORDER BY day) AS rmin,
+      |    max(cs) OVER (PARTITION BY event_type ORDER BY day) AS rmax
+      |  FROM c)
+      |SELECT event_type, day, n,
+      |  round((cs - least(0, rmin)) / 10000.0, 4) AS cusum_up,
+      |  round((greatest(0, rmax) - cs) / 10000.0, 4) AS cusum_dn,
+      |  ((cs - least(0, rmin)) / 10000.0 > 4 * sd
+      |   OR (greatest(0, rmax) - cs) / 10000.0 > 4 * sd) AS alarm
+      |FROM r ORDER BY event_type, day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val m = daily.groupBy("event_type").agg(count(lit(1)).as("nd"),
+      sum("n").cast("long").as("sc"),
+      sum(col("n") * col("n")).cast("long").as("scc"))
+    val y = daily.join(broadcast(m), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        (col("n") * lit(10000L)
+          - round(col("sc") * 10000.0 / col("nd"), 0).cast("long")).as("y"),
+        round(sqrt(try_divide(
+          (col("nd") * col("scc") - col("sc") * col("sc")).cast("double"),
+          col("nd") * (col("nd") - lit(1.0)))), 4).as("sd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val r = y.withColumn("cs", sum("y").over(w).cast("long"))
+      .withColumn("rmin", min("cs").over(w))
+      .withColumn("rmax", max("cs").over(w))
+    val up = (col("cs") - least(lit(0L), col("rmin"))) / 10000.0
+    val dn = (greatest(lit(0L), col("rmax")) - col("cs")) / 10000.0
+    r.select(col("event_type"), col("day"), col("n"),
+        round(up, 4).as("cusum_up"), round(dn, 4).as("cusum_dn"),
+        (up > lit(4) * col("sd") || dn > lit(4) * col("sd")).as("alarm"))
+      .orderBy("event_type", "day")
   }
 }

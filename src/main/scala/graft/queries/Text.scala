@@ -20,7 +20,7 @@ object Text {
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
-    gopherRules, fleissKappa)
+    gopherRules, fleissKappa, winnowing)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1900,6 +1900,82 @@ object Text {
         round(col("p"), 4).as("p_pass"), round(col("pbar"), 6).as("p_bar"),
         znorm(round(try_divide(col("pbar") - pe, lit(1) - pe), 4)).as("kappa"))
       .orderBy("lang")
+  }
+
+  // --- q246: winnowing fingerprint selection --------------------------------
+  // The q95/q204 span family hashes EVERY k-gram window; winnowing
+  // (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm)
+  // is how fingerprint indexes stay affordable at 100 TB: per sliding
+  // window of w consecutive k-gram hashes keep only the minimum
+  // (rightmost on ties), which guarantees any shared run of w+k−1
+  // tokens still collides while storing ~2/(w+1) of the hashes. The
+  // rightmost-tie argmin needs no struct fold: hashes are packed as
+  // h·2²⁰ + (2²⁰−1−pos), so one array_min per window IS the tie rule,
+  // and decode is exact because dividing by a power of two is lossless
+  // in doubles. Hashes use the q43 polynomial fold (h < 2³⁰, so the
+  // packing never overflows) — the engine-portable family, letting
+  // DuckDB replay selection bit for bit. All selection is per-row
+  // array arithmetic (zero shuffles); only the winnowed ~n/3
+  // fingerprints explode into the corpus index, which then reduces
+  // by two keyed aggregates — the scan:index ratio a production
+  // fingerprint store banks on. Output per doc: gram/fingerprint
+  // counts, observed density (expected ≈ 2/(w+1) = 0.333), and how
+  // many of its fingerprints appear in ≥2 docs.
+  def winnowing: Q = {
+    val P = Dedup.PolyPrime
+    Q(
+      "q246_winnowing",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8),
+         |g AS (SELECT doc_id, list_transform(range(0, len(t) - 3), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(array_to_string(t[i+1:i+4], ' '), ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, b) -> (h * 131 + b) % $P) * 1048576
+         |    + (1048575 - i)) AS enc FROM d),
+         |f AS (SELECT doc_id, len(enc) AS n_grams,
+         |    list_distinct(list_transform(range(0, len(enc) - 4),
+         |      p -> list_min(enc[p+1:p+5]))) AS fps FROM g),
+         |fph AS (SELECT DISTINCT doc_id, n_grams, e // 1048576 AS h
+         |  FROM (SELECT doc_id, n_grams, UNNEST(fps) AS e FROM f)),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM fph GROUP BY h),
+         |sh AS (SELECT fph.doc_id, count(*) AS n_shared
+         |  FROM fph JOIN dfh ON dfh.h = fph.h AND dfh.df >= 2 GROUP BY fph.doc_id)
+         |SELECT f.doc_id, CAST(f.n_grams AS BIGINT) AS n_grams,
+         |  CAST(len(f.fps) AS BIGINT) AS n_fp,
+         |  round(CAST(len(f.fps) AS DOUBLE) / f.n_grams, 4) AS density,
+         |  COALESCE(CAST(sh.n_shared AS BIGINT), 0) AS n_shared
+         |FROM f LEFT JOIN sh ON sh.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+    ) { (s, dir) =>
+      val K = 4; val W = 5; val M = 1048576L
+      val toks = TextAnalysis.tokens(col("text"))
+      val d = Tables.documents(s, dir)
+        .filter(size(toks) >= K + W - 1)
+        .select(col("doc_id"), toks.as("t"))
+      val enc = transform(sequence(lit(0), size(col("t")) - K),
+        i => Dedup.polyTokenHash(concat_ws(" ", slice(col("t"), i + 1, lit(K)))) * M
+          + (lit(M - 1) - i))
+      val f = Dedup.persistTracked(d
+        .select(col("doc_id"), enc.as("enc"))
+        .select(col("doc_id"), size(col("enc")).as("n_grams"),
+          array_distinct(transform(sequence(lit(0), size(col("enc")) - W),
+            p => array_min(slice(col("enc"), p + 1, lit(W))))).as("fps")))
+      val fph = Dedup.persistTracked(
+        f.select(col("doc_id"), explode(col("fps")).as("e"))
+          .select(col("doc_id"), (col("e") / M).cast("long").as("h"))
+          .distinct())
+      val dfh = fph.groupBy("h").agg(countDistinct("doc_id").as("df"))
+      val sh = fph.join(dfh.filter(col("df") >= 2), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      f.select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"))
+        .join(sh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_fp"),
+          round(col("n_fp").cast("double") / col("n_grams"), 4).as("density"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy("doc_id")
+    }
   }
 }
 
