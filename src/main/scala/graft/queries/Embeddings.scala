@@ -12,7 +12,7 @@ object Embeddings {
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
-    mahalanobisOod)
+    mahalanobisOod, conformalOod, lofOutliers)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1502,5 +1502,138 @@ object Embeddings {
         col("vec_id"), round(col("md2"), 6).as("md2"),
         round(col("md2") / col("d"), 6).as("md2_per_dim"))
       .orderBy("rank")
+  }
+
+  // --- q247: split-conformal OOD calibration ---------------------------------
+  // q239's Mahalanobis score answers "how far out is this vector?";
+  // conformal prediction answers the question a filtering gate
+  // actually needs: "what threshold flags at most α of in-distribution
+  // data, with a finite-sample guarantee?" Split conformal (Vovk;
+  // Papadopoulos et al. 2002): hold out a calibration set (vec_id % 5
+  // < 2 — deterministic, replayable), score = squared distance to the
+  // calibration centroid, threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+  // calibration score (α = 0.1, exact integer ceil), flag test vectors
+  // scoring above it. The k-th order statistic is NOT a global sort:
+  // scores are 6-dp rounded, so selection runs on the (score → count)
+  // histogram — a bounded-domain cumulative window, the q198
+  // quantization trick — while everything corpus-sized stays in keyed
+  // aggregates (per-dim moments, per-vec decimal-exact score sums).
+  // Per-label flag rates audit whether the global gate hits any class
+  // disproportionately.
+  def conformalOod: Q = Q(
+    "q247_conformal_ood",
+    """WITH dims AS (SELECT vec_id, label, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |cent AS (SELECT i,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*) AS c
+      |  FROM dims WHERE vec_id % 5 < 2 GROUP BY i),
+      |sc AS (SELECT vec_id, label, vec_id % 5 < 2 AS is_cal,
+      |    round(CAST(sum(CAST(round((x - c) * (x - c), 9) AS DECIMAL(18,9)))
+      |      AS DOUBLE), 6) AS score
+      |  FROM dims JOIN cent USING (i) GROUP BY vec_id, label),
+      |n AS (SELECT count(*) AS n_cal FROM sc WHERE is_cal),
+      |hist AS (SELECT score, count(*) AS cnt FROM sc WHERE is_cal GROUP BY score),
+      |cum AS (SELECT score,
+      |    sum(cnt) OVER (ORDER BY score) AS cum FROM hist),
+      |thr AS (SELECT min(score) AS q_hat FROM cum CROSS JOIN n
+      |  WHERE cum >= ((n_cal + 1) * 9 + 9) // 10)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN score > q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  round(CAST(sum(CASE WHEN score > q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS flag_rate,
+      |  round(q_hat, 6) AS q_hat, CAST(max(n_cal) AS BIGINT) AS n_cal
+      |FROM sc CROSS JOIN thr CROSS JOIN n
+      |WHERE NOT is_cal GROUP BY label, q_hat ORDER BY label""".stripMargin,
+  ) { (s, dir) =>
+    val dims = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x")))
+    val cent = dims.filter(col("vec_id") % 5 < 2)
+      .groupBy("i").agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("c"))
+    val sc = graft.dedup.Dedup.persistTracked(dims.join(broadcast(cent), "i")
+      .groupBy("vec_id", "label")
+      .agg(round(dsum(round((col("x") - col("c")) * (col("x") - col("c")), 9), 9), 6)
+        .as("score"))
+      .withColumn("is_cal", col("vec_id") % 5 < 2))
+    val n = sc.filter(col("is_cal")).agg(count(lit(1)).as("n_cal"))
+    val cum = sc.filter(col("is_cal")).groupBy("score").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("score")))
+    val thr = cum.crossJoin(broadcast(n))
+      .filter(col("cum") >= floor(((col("n_cal") + 1) * 9 + 9) / 10))
+      .agg(min("score").as("q_hat"))
+    val flagged = sum(when(col("score") > col("q_hat"), 1).otherwise(0))
+    sc.filter(!col("is_cal")).crossJoin(broadcast(thr)).crossJoin(broadcast(n))
+      .groupBy("label", "q_hat")
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        flagged.cast("long").as("n_flagged"),
+        round(flagged.cast("double") / count(lit(1)), 4).as("flag_rate"),
+        max("n_cal").cast("long").as("n_cal"))
+      .select(col("label"), col("n_test"), col("n_flagged"), col("flag_rate"),
+        round(col("q_hat"), 6).as("q_hat"), col("n_cal"))
+      .orderBy("label")
+  }
+
+  // --- q248: LOF-lite relative-density outliers ------------------------------
+  // q239 is parametric (one global Gaussian) and q247 calibrates one
+  // global threshold; LOF (Breunig et al. 2000) catches what both
+  // miss — a point that is normal globally but isolated RELATIVE to
+  // its neighborhood's density. This is the k=5 simplification: score
+  // = own 5-NN distance ÷ mean 5-NN distance of those 5 neighbors
+  // (>1 ⇒ sparser than its neighborhood). Pairs come from label
+  // blocks (the q46 oracle-exact shape; at web scale the block
+  // becomes the capped LSH bucket — q167's candidate law), distances
+  // are 6-dp rounded cosine with id tie-breaks, the per-vector top-5
+  // is a bounded window inside blocks, and the neighbor-mean is a
+  // keyed self-join on the 5-row-per-vector kNN table — decimal-exact
+  // mean, try_divide for the all-duplicates 0/0 block, signed-zero
+  // normalized (1 − cos can round to −0.0 on exact duplicates).
+  def lofOutliers: Q = Q(
+    "q248_lof_outliers",
+    s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       |    round(1 - ${sqlCos("a.embedding", "b.embedding")}, 6) + 0.0 AS d
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |k AS (SELECT id_a, id_b, label, d,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rk FROM p),
+       |d5 AS (SELECT id_a AS vec_id, label, d AS knn_dist FROM k WHERE rk = 5),
+       |nb AS (SELECT k.id_a AS vec_id,
+       |    CAST(sum(CAST(n.knn_dist AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS nb_mean
+       |  FROM k JOIN d5 n ON n.vec_id = k.id_b WHERE k.rk <= 5 GROUP BY k.id_a)
+       |SELECT d5.vec_id, d5.label, d5.knn_dist,
+       |  round(d5.knn_dist / nb.nb_mean, 4) + 0.0 AS lof
+       |FROM d5 JOIN nb ON nb.vec_id = d5.vec_id
+       |ORDER BY lof DESC NULLS LAST, d5.vec_id LIMIT 20""".stripMargin,
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      Similarity.asDouble(col("embedding")).as("v"),
+      Similarity.norm(Similarity.asDouble(col("embedding"))).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val p = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"),
+        znorm(round(lit(1) - Similarity.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6)).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("d"), col("id_b"))
+    val k = graft.dedup.Dedup.persistTracked(
+      p.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5))
+    val d5 = k.filter(col("rk") === 5)
+      .select(col("id_a").as("vec_id"), col("label"), col("d").as("knn_dist"))
+    val nb = k.join(d5.select(col("vec_id").as("id_b"), col("knn_dist").as("nd5")), "id_b")
+      .groupBy(col("id_a").as("vec_id"))
+      .agg((dsum(col("nd5"), 6) / count(lit(1))).as("nb_mean"))
+    d5.join(nb, "vec_id")
+      .select(col("vec_id"), col("label"), col("knn_dist"),
+        znorm(round(try_divide(col("knn_dist"), col("nb_mean")), 4)).as("lof"))
+      .orderBy(col("lof").desc_nulls_last, col("vec_id"))
+      .limit(20)
   }
 }
