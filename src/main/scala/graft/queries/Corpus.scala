@@ -20,7 +20,7 @@ object Corpus {
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
-    tokenBurstiness, batchNovelty, sourceMinhash)
+    tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -844,6 +844,72 @@ object Corpus {
         round(col("novel_shingles").cast("double") / col("n_distinct"), 4))
       .select("batch", "n_distinct", "novel_shingles", "novelty_rate")
       .orderBy("batch")
+  }
+
+  // --- q254: Kneser–Ney smoothed bigram LM scoring ----------------------------
+  // q118's MLE bigram logprob is the raw fluency signal; production
+  // LM-based quality scoring smooths it, and interpolated Kneser–Ney
+  // (Kneser & Ney 1995; Chen & Goodman 1998) is THE n-gram smoother:
+  // P(w₂|w₁) = max(c(w₁w₂)−D,0)/c(w₁·) + λ(w₁)·P_cont(w₂), with
+  // discount D = 0.75, back-off mass λ(w₁) = D·N₁₊(w₁·)/c(w₁·), and
+  // the continuation prior P_cont(w₂) = N₁₊(·w₂)/|bigram types| —
+  // counting how many CONTEXTS a word follows, not how often. All
+  // five statistics are keyed aggregates over the exploded bigram
+  // table (the c₂ table is vocab²-sparse-sized and every join is on
+  // its keys — nothing corpus-wide broadcasts); scoring the corpus's
+  // own bigrams means every count ≥ 1 > D, so the discounted term
+  // never truncates and ln() never sees 0. Per-doc averages follow
+  // the q118 9-dp decimal discipline. Docs ranked by this and by
+  // q118's MLE can disagree exactly where smoothing matters: rare
+  // continuations after frequent contexts.
+  def knBigramLm: Q = {
+    val P = "(greatest(n2 - 0.75, 0.0) / n1 + (0.75 * fo / n1) * (pcn / types))"
+    Q(
+      "q254_kn_bigram_lm",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2 FROM toks,
+         |  UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         |    AS u(bigram)
+         |  WHERE len(t) >= 2),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+         |fo1 AS (SELECT w1, count(*) AS fo FROM c2 GROUP BY 1),
+         |pc AS (SELECT w2, count(*) AS pcn FROM c2 GROUP BY 1),
+         |ty AS (SELECT CAST(count(*) AS DOUBLE) AS types FROM c2),
+         |p AS (SELECT bg.doc_id,
+         |    round(ln($P), 9) AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |    JOIN fo1 USING (w1) JOIN pc USING (w2) CROSS JOIN ty)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         |    AS kn_logprob
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val bg = Dedup.persistTracked(Tables.documents(s, dir)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2")))
+      val c2 = Dedup.persistTracked(
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val fo1 = c2.groupBy("w1").agg(count(lit(1)).as("fo"))
+      val pc = c2.groupBy("w2").agg(count(lit(1)).as("pcn"))
+      val ty = c2.agg(count(lit(1)).cast("double").as("types"))
+      val prob = greatest(col("n2") - 0.75, lit(0.0)) / col("n1") +
+        (lit(0.75) * col("fo") / col("n1")) * (col("pcn") / col("types"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, "w1").join(fo1, "w1").join(pc, "w2")
+        .crossJoin(broadcast(ty))
+        .select(col("doc_id"), round(log(prob), 9).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(dsum(col("lp"), 9) / count(lit(1)), 6).as("kn_logprob"))
+        .orderBy("doc_id")
+    }
   }
 
   // --- q249: corpus-level source similarity via MinHash ----------------------

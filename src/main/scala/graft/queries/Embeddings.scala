@@ -12,7 +12,7 @@ object Embeddings {
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
-    mahalanobisOod, conformalOod, lofOutliers)
+    mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1635,5 +1635,75 @@ object Embeddings {
         znorm(round(try_divide(col("knn_dist"), col("nb_mean")), 4)).as("lof"))
       .orderBy(col("lof").desc_nulls_last, col("vec_id"))
       .limit(20)
+  }
+
+  // --- q256: greedy k-center coreset -----------------------------------------
+  // Diversity-aware data selection: pick k = 8 vectors so every vector
+  // is near some pick — the 2-approximation farthest-point traversal
+  // (Gonzalez 1985), the seeding step behind k-means++ and coreset
+  // pipelines. Each round is ONE distributed pass: a codegen SqDist
+  // against the current centers (broadcast as plan literals — the
+  // KMeansLite discipline), a running per-row min, and a top-1
+  // TakeOrderedAndProject; only the selected row's 64 doubles ever
+  // reach the driver (8 bounded collects — the q219 budget). The
+  // selection distances ARE the coverage story: the rank-r pick's
+  // distance is exactly the covering radius of the first r−1 centers,
+  // so the output doubles as the radius-vs-k curve. The DuckDB oracle
+  // replays all 8 argmax rounds as chained CTEs over the same
+  // 6-dp-rounded fold (q123's unrolled-trajectory rigor): the
+  // data-dependent selection chain itself is hash-checked, not just
+  // the final set. Ties (exact duplicates) break to the smaller
+  // vec_id in both engines.
+  def kcenterCoreset: Q = {
+    val K = 8
+    def sqlSqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    val rounds = (2 to K).map { r =>
+      val prev = if (r == 2) "d1" else s"d${r - 1}"
+      s"""s$r AS (SELECT vec_id, embedding, dmin FROM $prev
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT p.vec_id, p.embedding,
+         |    least(p.dmin, round(${sqlSqd("p.embedding", s"s$r.embedding")}, 6)) AS dmin
+         |  FROM $prev p CROSS JOIN s$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to K).map(r =>
+      s"SELECT $r AS sel_rank, vec_id, dmin AS sel_dist FROM s$r")
+      .mkString("\n  UNION ALL ")
+    Q(
+      "q256_kcenter_coreset",
+      s"""WITH s1 AS (SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.embedding,
+         |    round(${sqlSqd("e.embedding", "s1.embedding")}, 6) AS dmin
+         |  FROM embeddings e CROSS JOIN s1),
+         |$rounds
+         |SELECT sel_rank, vec_id, sel_dist FROM (
+         |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS sel_dist FROM s1
+         |  UNION ALL $sel)
+         |ORDER BY sel_rank""".stripMargin,
+    ) { (s, dir) =>
+      import graft.functions.SqDist
+      val e = graft.dedup.Dedup.persistTracked(Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v")))
+      val seed = e.orderBy("vec_id").limit(1).collect()(0)
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (1, seed.getLong(0), Option.empty[Double]))
+      var cur = seed.getSeq[Double](1).toArray
+      var dmin = e.select(col("vec_id"), col("v"),
+        round(SqDist(col("v"), typedLit(cur)), 6).as("dmin"))
+      for (r <- 2 to K) {
+        val next = dmin.orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()(0)
+        picks += ((r, next.getLong(0), Some(next.getDouble(2))))
+        cur = next.getSeq[Double](1).toArray
+        dmin = dmin.select(col("vec_id"), col("v"),
+          least(col("dmin"), round(SqDist(col("v"), typedLit(cur)), 6)).as("dmin"))
+      }
+      import s.implicits._
+      picks.toSeq.map { case (r, id, d) => (r, id, d) }
+        .toDF("sel_rank", "vec_id", "sel_dist")
+        .orderBy("sel_rank")
+    }
   }
 }

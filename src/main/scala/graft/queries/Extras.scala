@@ -12,7 +12,7 @@ import graft.{Q, Tables}
 object Extras {
 
   val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
-    ewmaSmoothing, revenueForecast, wowGrowth)
+    ewmaSmoothing, revenueForecast, wowGrowth, theilSen)
 
   // --- q189: week-over-week growth ------------------------------------------
   // The simplest trend readout dashboards lead with: weekly revenue,
@@ -95,6 +95,76 @@ object Extras {
           + col("slope") * (datediff(col("d1"), col("d0")) + col("k"))) / 100, 2))
           .as("forecast"))
       .orderBy("day")
+  }
+
+  // --- q253: Theil–Sen robust trend ------------------------------------------
+  // q117/q186 fit by least squares, which one corrupted month (a
+  // backfill gap, a currency bug) can bend arbitrarily; Theil–Sen —
+  // the median of all pairwise slopes — has a 29% breakdown point and
+  // is the robust-regression standard for monitoring series. The
+  // corpus reduces FIRST to monthly revenue in exact integer cents
+  // (the q186 discipline), so the pairwise slope table is
+  // calendar²-sized (~84 months → ~3.5k rows) at ANY fact-table scale;
+  // each slope is an integer-ratio double rounded to 6 dp, the median
+  // is the q11 interpolated percentile on those bit-identical values,
+  // and the OLS slope from integer moments rides along so the output
+  // itself exposes robust-vs-LSQ disagreement. Intercept = median
+  // residual at the fitted slope (the full Theil–Sen estimator).
+  def theilSen: Q = Q(
+    "q253_theil_sen",
+    """WITH monthly AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mx,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |lo AS (SELECT min(mx) AS m0 FROM monthly),
+      |d AS (SELECT mx - m0 AS x, cents FROM monthly, lo),
+      |sl AS (SELECT round((b.cents - a.cents) / CAST(b.x - a.x AS DOUBLE) / 100, 6)
+      |      AS slope
+      |  FROM d a JOIN d b ON a.x < b.x),
+      |ts AS (SELECT quantile_cont(slope, 0.5) AS ts_slope,
+      |    CAST(count(*) AS BIGINT) AS n_pairs FROM sl),
+      |ic AS (SELECT quantile_cont(round(d.cents / 100.0 - ts.ts_slope * d.x, 4), 0.5)
+      |      AS ts_icept, max(ts.ts_slope) AS ts_slope, max(ts.n_pairs) AS n_pairs,
+      |    CAST(count(*) AS BIGINT) AS n_months
+      |  FROM d CROSS JOIN ts),
+      |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(cents) AS BIGINT) AS sy,
+      |    CAST(sum(x * cents) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx FROM d)
+      |SELECT ic.n_months, ic.n_pairs,
+      |  round(ic.ts_slope, 6) + 0.0 AS ts_slope,
+      |  round(ic.ts_icept, 4) + 0.0 AS ts_intercept,
+      |  round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+      |    / (m.n * m.sxx - m.sx * m.sx) / 100, 6) + 0.0 AS ols_slope
+      |FROM ic CROSS JOIN m""".stripMargin,
+  ) { (s, dir) =>
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mx"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+    val lo = monthly.agg(min("mx").as("m0"))
+    val d = graft.dedup.Dedup.persistTracked(monthly.crossJoin(broadcast(lo))
+      .select((col("mx") - col("m0")).as("x"), col("cents")))
+    val sl = d.select(col("x").as("xa"), col("cents").as("ca"))
+      .join(d.select(col("x").as("xb"), col("cents").as("cb")), col("xa") < col("xb"))
+      .select(round((col("cb") - col("ca")) / (col("xb") - col("xa")).cast("double")
+        / 100, 6).as("slope"))
+    val ts = sl.agg(expr("percentile(slope, 0.5)").as("ts_slope"),
+      count(lit(1)).cast("long").as("n_pairs"))
+    val ic = d.crossJoin(broadcast(ts))
+      .agg(expr("percentile(round(cents / 100.0 - ts_slope * x, 4), 0.5)").as("ts_icept"),
+        max("ts_slope").as("ts_slope"), max("n_pairs").as("n_pairs"),
+        count(lit(1)).cast("long").as("n_months"))
+    val m = d.agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+      sum("cents").cast("long").as("sy"),
+      sum(col("x") * col("cents")).cast("long").as("sxy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"))
+    ic.crossJoin(broadcast(m))
+      .select(col("n_months"), col("n_pairs"),
+        znorm(round(col("ts_slope"), 6)).as("ts_slope"),
+        znorm(round(col("ts_icept"), 4)).as("ts_intercept"),
+        znorm(round(try_divide((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double"),
+          col("n") * col("sxx") - col("sx") * col("sx")) / 100, 6)).as("ols_slope"))
   }
 
   // --- q156: EWMA smoothing over the daily revenue series -----------------

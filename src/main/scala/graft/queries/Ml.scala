@@ -12,7 +12,7 @@ object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
-    bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain)
+    bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -687,5 +687,74 @@ object Ml {
         round(avg("mean_intensity"), 2).as("avg_intensity"),
         round(avg("byte_entropy"), 3).as("avg_entropy"))
       .orderBy("media_type")
+  }
+
+  // --- q252: Mann–Whitney rank-sum drift test per source ---------------------
+  // q107 (KS) asks whether a source's quality DISTRIBUTION differs;
+  // q119 computes the AUC form of the U statistic on a binary label.
+  // This is the inferential member: for each source, a tie-corrected
+  // two-sided Mann–Whitney z against the rest of the corpus —
+  // "is this crawl's quality stochastically shifted, beyond what its
+  // sample size explains?" Ranks never sort the corpus: quality is
+  // 4-dp quantized, so mid-ranks come from a cumulative window over
+  // the ≤10⁴-row score histogram (the q198 trick) and every per-source
+  // sum is a keyed aggregate join against that histogram. Rank sums
+  // are decimal-exact (mid-ranks live on a ½ grid); the tie term Σ(t³−t)
+  // accumulates in DECIMAL(38,0) because cube counts overflow BIGINT
+  // long before a 100-TB corpus does; μ/σ move to doubles only in the
+  // closed form, identically in both engines. σ = 0 (a single shared
+  // score) NULLs via try_divide rather than inventing a z.
+  def rankSumDrift: Q = Q(
+    "q252_ranksum_drift",
+    s"""WITH sc AS (SELECT source,
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq
+       |  FROM documents),
+       |hist AS (SELECT sq, count(*) AS c FROM sc GROUP BY sq),
+       |rk AS (SELECT sq, sum(c) OVER (ORDER BY sq) - c + (c + 1) / 2.0 AS r FROM hist),
+       |tie AS (SELECT CAST(sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS DOUBLE) AS t,
+       |    CAST(sum(c) AS BIGINT) AS n FROM hist),
+       |bs AS (SELECT source, sq, count(*) AS cs FROM sc GROUP BY 1, 2),
+       |rs AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n1,
+       |    CAST(sum(CAST(round(cs * r, 1) AS DECIMAL(28,1))) AS DOUBLE) AS rsum
+       |  FROM bs JOIN rk USING (sq) GROUP BY source),
+       |f AS (SELECT source, n1, n - n1 AS n2,
+       |    rsum - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u,
+       |    CAST(n1 AS DOUBLE) * (n - n1) / 2.0 AS mu,
+       |    (CAST(n1 AS DOUBLE) * (n - n1) / 12.0)
+       |      * ((n + 1) - t / (CAST(n AS DOUBLE) * (n - 1))) AS s2
+       |  FROM rs CROSS JOIN tie)
+       |SELECT source, n1 AS n_docs, round(u, 1) AS u_stat,
+       |  round((u - mu) / sqrt(s2), 4) + 0.0 AS z,
+       |  abs((u - mu) / sqrt(s2)) > 1.96 AS significant
+       |FROM f ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val sc = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq")))
+    val hist = graft.dedup.Dedup.persistTracked(
+      sc.groupBy("sq").agg(count(lit(1)).as("c")))
+    val rk = hist.withColumn("r",
+      sum("c").over(Window.orderBy("sq")) - col("c") + (col("c") + 1) / 2.0)
+    val tie = hist.agg(
+      sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
+        .cast("double").as("t"),
+      sum("c").cast("long").as("n"))
+    val bs = sc.groupBy("source", "sq").agg(count(lit(1)).as("cs"))
+    val rs = bs.join(rk.select("sq", "r"), "sq")
+      .groupBy("source").agg(sum("cs").cast("long").as("n1"),
+        dsum(round(col("cs") * col("r"), 1), 1).as("rsum"))
+    val u = col("rsum") - col("n1").cast("double") * (col("n1") + 1) / 2.0
+    val mu = col("n1").cast("double") * (col("n") - col("n1")) / 2.0
+    val s2 = (col("n1").cast("double") * (col("n") - col("n1")) / 12.0) *
+      ((col("n") + 1) - col("t") / (col("n").cast("double") * (col("n") - 1)))
+    val z = try_divide(u - mu, sqrt(s2))
+    rs.crossJoin(broadcast(tie))
+      .select(col("source"), col("n1").as("n_docs"),
+        round(u, 1).as("u_stat"),
+        znorm(round(z, 4)).as("z"),
+        (abs(z) > 1.96).as("significant"))
+      .orderBy("source")
   }
 }

@@ -20,7 +20,7 @@ object Text {
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
-    gopherRules, fleissKappa, winnowing)
+    gopherRules, fleissKappa, winnowing, watermarkDetect)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1974,6 +1974,69 @@ object Text {
         .select(col("doc_id"), col("n_grams"), col("n_fp"),
           round(col("n_fp").cast("double") / col("n_grams"), 4).as("density"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // --- q255: statistical watermark detection ---------------------------------
+  // Corpora increasingly contain machine text, and green-list
+  // watermarks (Kirchenbauer et al. 2023) are the detectable kind: a
+  // watermarking sampler seeds a PRF with the previous token and
+  // boosts a γ-fraction "green" vocabulary subset, so watermarked text
+  // shows a green-token excess a one-proportion z-test exposes:
+  // z = (g − γn)/√(nγ(1−γ)). The detector needs no model — only the
+  // PRF — so it runs as pure per-row arithmetic: both tokens of each
+  // bigram position hash through the q43 polynomial family, the
+  // position is green when (h_prev·A + h_tok·B) mod P < γ·P
+  // (products stay < 2⁶², no overflow in either engine), and per-doc
+  // counts reduce map-side. Natural text sits near γ = 0.25 and
+  // |z| small; z > 4 (the paper's operating point) flags a doc.
+  // Zero shuffles beyond the per-doc aggregate; the whole detector
+  // would stream over 100 TB at scan speed.
+  def watermarkDetect: Q = {
+    val P = Dedup.PolyPrime
+    val GA = 1103578351L // seeded PRF coefficients, documented constants
+    val GB = 2057594173L
+    val T = 250000001L // floor(0.25 · P) + 1 boundary: green ⇔ mix < T
+    val poly = (e: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |      (h, b) -> (h * 131 + b) % $P)""".stripMargin
+    Q(
+      "q255_watermark_detect",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bg AS (SELECT doc_id, ${poly("string_split(bigram, ' ')[1]")} AS h1,
+         |    ${poly("string_split(bigram, ' ')[2]")} AS h2 FROM toks,
+         |  UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         |    AS u(bigram)
+         |  WHERE len(t) >= 2),
+         |g AS (SELECT doc_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN (h1 * $GA + h2 * $GB) % $P < $T THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ng
+         |  FROM bg GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_scored, ng AS n_green,
+         |  round(CAST(ng AS DOUBLE) / n, 4) AS green_frac,
+         |  round((ng - 0.25 * n) / sqrt(n * 0.25 * 0.75), 4) + 0.0 AS z,
+         |  (ng - 0.25 * n) / sqrt(n * 0.25 * 0.75) > 4.0 AS flagged
+         |FROM g ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val bg = Tables.documents(s, dir)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(Dedup.polyTokenHash(element_at(col("t"), i)).as("h1"),
+            Dedup.polyTokenHash(element_at(col("t"), i + 1)).as("h2")))).as("b"))
+        .select(col("doc_id"), col("b.h1"), col("b.h2"))
+      val z = (col("ng") - lit(0.25) * col("n")) /
+        sqrt(col("n") * lit(0.25) * lit(0.75))
+      bg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when((col("h1") * GA + col("h2") * GB) % P < T, 1).otherwise(0))
+            .cast("long").as("ng"))
+        .select(col("doc_id"), col("n").as("n_scored"), col("ng").as("n_green"),
+          round(col("ng").cast("double") / col("n"), 4).as("green_frac"),
+          znorm(round(z, 4)).as("z"), (z > 4.0).as("flagged"))
         .orderBy("doc_id")
     }
   }

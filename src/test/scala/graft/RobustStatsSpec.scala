@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Corpus, Embeddings, Extras, Ml, Text}
+
+/** Semantic pins for the robust-stats/LM family (q252–q256) on crafted
+  * fixtures: Mann–Whitney direction and degenerate-σ behavior,
+  * Theil–Sen's outlier immunity vs OLS, Kneser–Ney probabilities
+  * against hand arithmetic, the watermark detector against a
+  * brute-force PRF replay, and the k-center greedy invariants.
+  */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q252: a quality-shifted source is significant; a uniform corpus NULLs z") {
+    // source hi: long stopword-free docs (quality 1.0); source lo:
+    // stopword-heavy shorts. One-vs-rest ranks must flag both
+    // directions with opposite signs.
+    val hi = (1 to 60).map(i => s"u$i").mkString(" ")
+    val lo = "the a of and the a of and the a"
+    val dir = corpusDir(
+      (1L to 12L).map(i => (i, hi, "en", "hi")) ++
+        (13L to 24L).map(i => (i, lo, "en", "lo")))
+    val out = Ml.rankSumDrift.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("hi").getDouble(3) > 1.96 && out("hi").getBoolean(4))
+    assert(out("lo").getDouble(3) < -1.96 && out("lo").getBoolean(4))
+    assert(out("hi").getDouble(3) === -out("lo").getDouble(3),
+      "two-group one-vs-rest tests mirror each other")
+
+    // all docs identical → every rank ties → σ² = 0 → z is NULL, not ∞
+    val dir2 = corpusDir((1L to 10L).map(i =>
+      (i, hi, "en", if (i <= 5) "a" else "b")))
+    Ml.rankSumDrift.fn(spark, dir2).collect().foreach { r =>
+      assert(r.isNullAt(3), s"z must be NULL on a tie-only corpus: $r")
+    }
+  }
+
+  test("q253: Theil–Sen ignores the spike month that bends OLS") {
+    // 24 months of exactly linear revenue (100 + 10·x dollars) with one
+    // 100× spike: the pairwise-slope median stays on the line.
+    val ts = (0 until 24).map { x =>
+      val dollars = if (x == 12) 50000.0 else 100.0 + 10.0 * x
+      (x.toLong, 1L, "O", dollars,
+        java.sql.Timestamp.valueOf(f"2023-${x % 12 + 1}%02d-15 00:00:00"
+          .replace("2023", (2023 + x / 12).toString)), "1-URGENT")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_ord").toString
+    ts.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = Extras.theilSen.fn(spark, dir).collect()(0)
+    assert(r.getLong(0) === 24 && r.getLong(1) === 276)
+    assert(r.getDouble(2) === 10.0, s"robust slope stays 10: $r")
+    assert(r.getDouble(4) > 20.0, s"OLS must be bent by the spike: $r")
+  }
+
+  test("q254: Kneser–Ney matches hand arithmetic and normalizes over continuations") {
+    // corpus bigrams: (a,b)×2, (a,c)×1 → P(b|a) = (2−.75)/3 + (.75·2/3)·(1/2)
+    // = 2/3; P(c|a) = .25/3 + .5·.5 = 1/3 — the two sum to 1.
+    val dir = corpusDir(Seq(
+      (1L, "a b", "en", "s0"), (2L, "a b", "en", "s0"), (3L, "a c", "en", "s0")))
+    val out = Corpus.knBigramLm.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def kn(p: Double) = {
+      val lp = BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(lp.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L).getLong(1) === 1)
+    assert(out(1L).getDouble(2) === kn(2.0 / 3), s"P(b|a): ${out(1L)}")
+    assert(out(3L).getDouble(2) === kn(1.0 / 3), s"P(c|a): ${out(3L)}")
+  }
+
+  test("q255: green counts match a brute-force PRF replay; natural frac ≈ γ") {
+    val P = 1000000007L
+    def poly(t: String): Long =
+      t.foldLeft(0L)((h, c) => (h * 131 + c.toLong) % P)
+    def green(w1: String, w2: String): Boolean =
+      (poly(w1) * 1103578351L + poly(w2) * 2057594173L) % P < 250000001L
+    val texts = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val dir = corpusDir(texts.map { case (id, t) => (id, t, "en", "s0") })
+    val out = Text.watermarkDetect.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split(" ")
+      val expected = toks.sliding(2).count(p => green(p(0), p(1)))
+      assert(out(id).getLong(2) === expected.toLong,
+        s"doc $id green replay: ${out(id)}")
+      assert(out(id).getLong(1) === (toks.length - 1).toLong)
+      // a ~40-token natural doc can't clear the z > 4 bar unless green
+      // frac is wildly above γ; pin the flag against the replayed z
+      val n = toks.length - 1
+      val z = (expected - 0.25 * n) / math.sqrt(n * 0.25 * 0.75)
+      assert(out(id).getBoolean(5) === (z > 4.0))
+    }
+  }
+
+  test("q256: k-center picks farthest points and selection distances never increase") {
+    // 1-D line embedded in dim 4: seed = id 0 at x = 0; farthest is
+    // x = 100 (id 3), then x = 50 (id 2), then the midpoints.
+    val xs = Seq(0f, 1f, 50f, 100f, 25f, 75f, 99f, 2f, 49f, 51f)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, Array(x, 0f, 0f, 0f), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Embeddings.kcenterCoreset.fn(spark, dir).collect()
+    assert(out.length === 8)
+    assert(out(0).getLong(1) === 0L && out(0).isNullAt(2))
+    assert(out(1).getLong(1) === 3L && out(1).getDouble(2) === 10000.0)
+    assert(out(2).getLong(1) === 2L && out(2).getDouble(2) === 2500.0)
+    // greedy invariant: the covering radius is non-increasing
+    val dists = out.tail.map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      dists.mkString(","))
+  }
+}
