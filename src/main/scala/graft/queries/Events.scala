@@ -15,7 +15,8 @@ object Events {
     trailingWindow, gapFill, transitions, rateSpike, sessionPaths, trendSlope,
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
-    bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift)
+    bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
+    seasonalDecompose)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1380,5 +1381,64 @@ object Events {
         round(up, 4).as("cusum_up"), round(dn, 4).as("cusum_dn"),
         (up > lit(4) * col("sd") || dn > lit(4) * col("sd")).as("alarm"))
       .orderBy("event_type", "day")
+  }
+
+  // --- q258: seasonal-trend decomposition (STL-lite) -------------------------
+  // q168 detects a weekly spike and q245 smooths a trend; this is the
+  // decomposition view monitoring actually plots: daily volume split
+  // into trend + day-of-week seasonality + remainder (classical
+  // additive decomposition — the moving-average core of STL without
+  // the loess robustness loop). Trend = centered 7-day mean (NULL on
+  // the 3-day edges — a partial window would bias the level);
+  // seasonality = per-weekday mean of the detrended series, 4-dp
+  // decimal discipline; remainder = what neither explains, the series
+  // anomaly hunting actually runs on. The corpus reduces to one row
+  // per day FIRST; every window after that is calendar-sized.
+  // Weekday alignment pins Monday = 0 in both engines (Spark weekday
+  // vs DuckDB isodow − 1); all three decomposition outputs are
+  // subtractions → znorm per the signed-zero rule.
+  def seasonalDecompose: Q = Q(
+    "q258_seasonal_decompose",
+    """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |tr AS (SELECT day, n,
+      |    CASE WHEN count(*) OVER w = 7
+      |         THEN round(avg(n) OVER w, 4) ELSE NULL END AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (SELECT day, n, trend, isodow(day) - 1 AS dow,
+      |    round(n - trend, 4) AS detr FROM tr),
+      |se AS (SELECT dow,
+      |    round(CAST(sum(CAST(detr AS DECIMAL(28,4))) AS DOUBLE)
+      |      / count(detr), 4) AS seasonal
+      |  FROM dt WHERE detr IS NOT NULL GROUP BY dow)
+      |SELECT strftime(dt.day, '%Y-%m-%d') AS day, dt.n,
+      |  CAST(dt.dow AS INTEGER) AS dow,
+      |  round(dt.trend, 4) + 0.0 AS trend,
+      |  round(se.seasonal, 4) + 0.0 AS seasonal,
+      |  round(dt.n - dt.trend - se.seasonal, 4) + 0.0 AS remainder
+      |FROM dt JOIN se ON se.dow = dt.dow
+      |ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val tr = graft.dedup.Dedup.persistTracked(daily
+      .select(col("day"), col("n"),
+        when(count(lit(1)).over(w) === 7, round(avg("n").over(w), 4)).as("trend"))
+      .withColumn("dow", weekday(col("day")))
+      .withColumn("detr", round(col("n") - col("trend"), 4)))
+    val se = tr.filter(col("detr").isNotNull)
+      .groupBy("dow")
+      .agg(round(dsum(col("detr"), 4) / count(col("detr")), 4).as("seasonal"))
+    tr.join(broadcast(se), "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("dow").cast("int").as("dow"),
+        znorm(round(col("trend"), 4)).as("trend"),
+        znorm(round(col("seasonal"), 4)).as("seasonal"),
+        znorm(round(col("n") - col("trend") - col("seasonal"), 4)).as("remainder"))
+      .orderBy("day")
   }
 }

@@ -15,7 +15,7 @@ import graft.{Q, Tables}
 object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
-    frequentPairs, labelPropagation)
+    frequentPairs, labelPropagation, clusteringCoefficient)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -410,5 +410,59 @@ object Graph {
         .select(col("lbl").as("community"), col("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
     }
+  }
+
+  // --- q259: local clustering coefficient -------------------------------------
+  // q131 counts triangle MEMBERSHIP; the clustering coefficient turns
+  // it into the local-density ratio community detection and bot/fraud
+  // heuristics actually threshold: C(v) = 2·T(v) / (d(v)·(d(v)−1)) —
+  // how close v's neighborhood is to a clique. Reuses the same
+  // projected supplier graph (≥190 shared customers) and the same
+  // degree-ordered forward counting for T(v); degrees come from the
+  // edge list, isolated-in-no-triangle nodes get coefficient 0, and
+  // degree-1 nodes NULL (0/0 — there is no neighborhood to close).
+  // All joins keyed, all counts exact integers; the only division is
+  // the final ratio.
+  def clusteringCoefficient: Q = Q(
+    "q259_clustering_coefficient",
+    s"""WITH $CustSuppSql,
+      |e AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+      |      GROUP BY 1, 2 HAVING count(*) >= 190),
+      |deg AS (SELECT id, count(*) AS d FROM
+      |        (SELECT sa AS id FROM e UNION ALL SELECT sb AS id FROM e) GROUP BY id),
+      |ord AS (SELECT id, d * 4294967296 + id AS ord FROM deg),
+      |o AS (SELECT CASE WHEN oa.ord < ob.ord THEN e.sa ELSE e.sb END AS u,
+      |        CASE WHEN oa.ord < ob.ord THEN e.sb ELSE e.sa END AS v,
+      |        CASE WHEN oa.ord < ob.ord THEN ob.ord ELSE oa.ord END AS ordv
+      |      FROM e JOIN ord oa ON e.sa = oa.id JOIN ord ob ON e.sb = ob.id),
+      |tri AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
+      |        FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.ordv < w2.ordv
+      |        JOIN o cl ON cl.u = w1.v AND cl.v = w2.v),
+      |pern AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM
+      |         (SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+      |          UNION ALL SELECT c AS id FROM tri) GROUP BY id)
+      |SELECT deg.id, CAST(deg.d AS BIGINT) AS degree,
+      |  COALESCE(pern.n_tri, 0) AS n_tri,
+      |  round(2.0 * COALESCE(pern.n_tri, 0) / (deg.d * (deg.d - 1)), 4)
+      |    AS clustering_coef
+      |FROM deg LEFT JOIN pern ON pern.id = deg.id
+      |ORDER BY deg.id""".stripMargin,
+  ) { (s, dir) =>
+    val cs = custSupp(s, dir)
+    val e = graft.dedup.Dedup.persistTracked(cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
+      .select("sa", "sb"))
+    val deg = e.select(col("sa").as("id")).unionByName(e.select(col("sb").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val pern = graft.operators.Triangles
+      .perNode(e.select(col("sa").as("src"), col("sb").as("dst")))
+    deg.join(pern, Seq("id"), "left")
+      .select(col("id"), col("d").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(try_divide(lit(2.0) * coalesce(col("n_tri"), lit(0L)),
+          col("d") * (col("d") - 1)), 4).as("clustering_coef"))
+      .orderBy("id")
   }
 }

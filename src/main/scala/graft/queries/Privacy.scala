@@ -15,7 +15,7 @@ object Privacy {
 
   val all: Seq[Q] = Seq(kAnonymity, suppress, generalize, ageGeneralize,
     generalizeOrSuppress, lDiversity, tCloseness, auditScore, gdprErasure,
-    userLevelDp, dpMedian)
+    userLevelDp, dpMedian, randomizedResponse)
 
   // --- q160: right-to-erasure cascade accounting ---------------------------
   // The dry-run a GDPR deletion job emits before touching storage:
@@ -373,5 +373,79 @@ object Privacy {
       .orderBy(col("gk").desc, col("i")).limit(1)
       .select((lit(12000.0) * (col("i") + 1)).as("dp_median"),
         lit(1.0).as("epsilon"), lit(1).as("sensitivity"), lit(50).as("n_candidates"))
+  }
+
+  // --- q257: local-DP frequency estimation via randomized response -----------
+  // q34/q233/q236 add noise at the AGGREGATE (central DP); randomized
+  // response (Warner 1965 — the k-ary generalized form behind RAPPOR)
+  // is the LOCAL model: each record perturbs its own category before
+  // it ever reaches the collector, and the collector debiases. Each
+  // event keeps its true type with p = 0.75, else reports a uniform
+  // category; the unbiased estimate inverts the mixing:
+  // π̂ = (f_reported − (1−p)/k)/p. The per-record "randomness" is the
+  // laplaceNoisedKeyed LCG (a pure (event_id, salt) function, two
+  // salts for the two decisions), so both engines replay the exact
+  // perturbed table and the oracle checks mechanism AND estimator.
+  // One scan perturbs; everything else reduces on the k-row category
+  // table. π̂ can round to −0.0 for a rare category (debias
+  // subtraction) — znorm per the signed-zero rule.
+  def randomizedResponse: Q = Q(
+    "q257_randomized_response",
+    """WITH dom AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS r
+      |  FROM (SELECT DISTINCT event_type AS t FROM events)),
+      |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dom),
+      |ev AS (SELECT d.r AS tr,
+      |    ((((event_id % 1000003) * 2654435761 + 7) % 1000003) + 0.5)
+      |      / 1000003.0 AS u1,
+      |    ((((event_id % 1000003) * 2654435761 + 13) % 1000003) + 0.5)
+      |      / 1000003.0 AS u2
+      |  FROM events e JOIN dom d ON d.t = e.event_type),
+      |rep AS (SELECT tr,
+      |    CASE WHEN u1 < 0.75 THEN tr
+      |         ELSE 1 + CAST(floor(u2 * k) AS BIGINT) END AS rr
+      |  FROM ev CROSS JOIN k),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rep),
+      |tc AS (SELECT tr AS r, count(*) AS n_true FROM rep GROUP BY tr),
+      |rc AS (SELECT rr AS r, count(*) AS n_rep FROM rep GROUP BY rr),
+      |est AS (SELECT dom.t AS event_type,
+      |    CAST(coalesce(tc.n_true, 0) AS BIGINT) AS n_true,
+      |    CAST(coalesce(rc.n_rep, 0) AS BIGINT) AS n_reported,
+      |    (CAST(coalesce(rc.n_rep, 0) AS DOUBLE) / n - 0.25 / k) / 0.75 AS pi,
+      |    CAST(coalesce(tc.n_true, 0) AS DOUBLE) / n AS tp
+      |  FROM dom LEFT JOIN tc ON tc.r = dom.r LEFT JOIN rc ON rc.r = dom.r
+      |  CROSS JOIN k CROSS JOIN n)
+      |SELECT event_type, n_true, n_reported,
+      |  round(pi, 4) + 0.0 AS pi_hat,
+      |  round(abs(pi - tp), 4) AS abs_err
+      |FROM est ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def u(salt: Long) =
+      (pmod(pmod(col("event_id"), lit(1000003L)) * lit(2654435761L) + lit(salt),
+        lit(1000003L)).cast("double") + 0.5) / 1000003.0
+    val dom = Tables.events(s, dir).select(col("event_type").as("t")).distinct()
+      .withColumn("r", row_number().over(Window.orderBy("t")).cast("long"))
+    val k = dom.agg(count(lit(1)).cast("long").as("k"))
+    val rep = graft.dedup.Dedup.persistTracked(
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .join(broadcast(dom), col("event_type") === col("t"))
+        .crossJoin(broadcast(k))
+        .select(col("r").as("tr"),
+          when(u(7L) < 0.75, col("r"))
+            .otherwise(lit(1L) + floor(u(13L) * col("k")).cast("long")).as("rr")))
+    val n = rep.agg(count(lit(1)).cast("long").as("n"))
+    val tc = rep.groupBy(col("tr").as("r")).agg(count(lit(1)).as("n_true"))
+    val rc = rep.groupBy(col("rr").as("r")).agg(count(lit(1)).as("n_rep"))
+    val pi = (coalesce(col("n_rep"), lit(0L)).cast("double") / col("n")
+      - lit(0.25) / col("k")) / 0.75
+    val tp = coalesce(col("n_true"), lit(0L)).cast("double") / col("n")
+    dom.join(tc, Seq("r"), "left").join(rc, Seq("r"), "left")
+      .crossJoin(broadcast(k)).crossJoin(broadcast(n))
+      .select(col("t").as("event_type"),
+        coalesce(col("n_true"), lit(0L)).cast("long").as("n_true"),
+        coalesce(col("n_rep"), lit(0L)).cast("long").as("n_reported"),
+        znorm(round(pi, 4)).as("pi_hat"),
+        round(abs(pi - tp), 4).as("abs_err"))
+      .orderBy("event_type")
   }
 }

@@ -20,7 +20,7 @@ object Text {
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
-    gopherRules, fleissKappa, winnowing, watermarkDetect)
+    gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1975,6 +1975,88 @@ object Text {
           round(col("n_fp").cast("double") / col("n_grams"), 4).as("density"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"))
         .orderBy("doc_id")
+    }
+  }
+
+  // --- q260: Kendall τ-b between quality scorers -------------------------------
+  // q198's Spearman ρ measures monotone agreement through ranks; τ-b
+  // is the concordance view (P(concordant) − P(discordant)) with the
+  // tie-corrected denominator — more robust to outlier ranks and the
+  // statistic reviewers usually ask for alongside ρ. Pair counting
+  // never touches doc pairs: both scores are 4-dp quantized, so all
+  // O(n²) pair sums collapse onto the JOINT (sq, se) cell histogram —
+  // concordant/discordant from a cell-pair join bounded by the value
+  // GRID (corpus-size-independent), tie terms from the marginal
+  // histograms. Products of cell counts accumulate in DECIMAL(38,0)
+  // (two 100-TB cells multiply past BIGINT); the closed form moves to
+  // doubles only at the end, identically in both engines, NULLing on
+  // a zero-variance scorer via the 0/0 rule.
+  def kendallTau: Q = {
+    val stop = TextSqlFragments.stopList
+    Q(
+      "q260_kendall_tau",
+      s"""WITH chars AS (
+         |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+         |  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)
+         |  WHERE len(text) >= 1),
+         |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+         |cn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+         |ent AS (SELECT cc.doc_id, round(-CAST(sum(CAST(
+         |    round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE), 4) AS se
+         |  FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id),
+         |qual AS (SELECT doc_id,
+         |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq
+         |  FROM documents),
+         |sc AS (SELECT q.doc_id, q.sq, e.se FROM qual q JOIN ent e USING (doc_id)),
+         |cells AS (SELECT sq, se, count(*) AS c FROM sc GROUP BY sq, se),
+         |cd AS (SELECT
+         |    CAST(sum(CASE WHEN a.se < b.se
+         |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS DOUBLE) AS conc,
+         |    CAST(sum(CASE WHEN a.se > b.se
+         |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS DOUBLE) AS disc
+         |  FROM cells a JOIN cells b ON a.sq < b.sq),
+         |mx AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1) / 2) AS DOUBLE) AS tx
+         |  FROM (SELECT sq, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY sq)),
+         |my AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1) / 2) AS DOUBLE) AS ty
+         |  FROM (SELECT se, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY se)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT (sq, se)) AS BIGINT) AS n_cells FROM sc)
+         |SELECT n AS n_docs, n_cells, conc AS concordant, disc AS discordant,
+         |  round((conc - disc) / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tx)
+         |    * (CAST(n AS DOUBLE) * (n - 1) / 2 - ty)), 4) + 0.0 AS tau_b
+         |FROM cd CROSS JOIN mx CROSS JOIN my CROSS JOIN nn""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sc = Dedup.persistTracked(docs.filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+          round(-graft.functions.CharEntropy(col("text")).getField("negent"), 4)
+            .as("se")))
+      val cells = Dedup.persistTracked(
+        sc.groupBy("sq", "se").agg(count(lit(1)).as("c")))
+      def dprod(cond: org.apache.spark.sql.Column) =
+        sum(when(cond, col("ca").cast("decimal(19,0)") * col("cb").cast("decimal(19,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double")
+      val cd = cells.select(col("sq").as("qa"), col("se").as("ea"), col("c").as("ca"))
+        .join(cells.select(col("sq").as("qb"), col("se").as("eb"), col("c").as("cb")),
+          col("qa") < col("qb"))
+        .agg(dprod(col("ea") < col("eb")).as("conc"),
+          dprod(col("ea") > col("eb")).as("disc"))
+      def tieTerm(keyCol: String, out: String) =
+        cells.groupBy(keyCol).agg(sum("c").cast("long").as("c"))
+          .agg(sum((col("c").cast("decimal(19,0)") * (col("c") - 1) / 2)
+            .cast("decimal(38,0)")).cast("double").as(out))
+      val nn = sc.agg(count(lit(1)).cast("long").as("n"),
+        countDistinct(col("sq"), col("se")).cast("long").as("n_cells"))
+      val n0 = col("n").cast("double") * (col("n") - 1) / 2
+      cd.crossJoin(broadcast(tieTerm("sq", "tx")))
+        .crossJoin(broadcast(tieTerm("se", "ty")))
+        .crossJoin(broadcast(nn))
+        .select(col("n").as("n_docs"), col("n_cells"),
+          col("conc").as("concordant"), col("disc").as("discordant"),
+          znorm(round(try_divide(col("conc") - col("disc"),
+            sqrt((n0 - col("tx")) * (n0 - col("ty")))), 4)).as("tau_b"))
     }
   }
 

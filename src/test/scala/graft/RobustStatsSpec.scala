@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Corpus, Embeddings, Extras, Ml, Text}
+import graft.queries.{Corpus, Embeddings, Events, Extras, Ml, Privacy, Text}
 
 /** Semantic pins for the robust-stats/LM family (q252–q256) on crafted
   * fixtures: Mann–Whitney direction and degenerate-σ behavior,
@@ -124,5 +124,96 @@ class RobustStatsSpec extends SparkSpec {
     val dists = out.tail.map(_.getDouble(2))
     assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
       dists.mkString(","))
+  }
+
+  test("q257: the perturbed table matches an LCG replay and the estimator debiases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_ev").toString
+    val types = Seq("a", "b", "c", "d")
+    // skewed truth: 40 a, 30 b, 20 c, 10 d
+    val rows = (1L to 100L).map { id =>
+      val t = if (id <= 40) "a" else if (id <= 70) "b" else if (id <= 90) "c" else "d"
+      (id, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), id % 9, t, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    def u(id: Long, salt: Long): Double =
+      (((id % 1000003L) * 2654435761L + salt) % 1000003L + 0.5) / 1000003.0
+    val trueRank = rows.map { case (id, _, _, t, _, _) => id -> (types.indexOf(t) + 1) }
+    val reported = trueRank.map { case (id, tr) =>
+      if (u(id, 7) < 0.75) tr else 1 + math.floor(u(id, 13) * 4).toInt
+    }
+    val expRep = types.indices.map(i => reported.count(_ == i + 1).toLong)
+    val out = Privacy.randomizedResponse.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    types.zipWithIndex.foreach { case (t, i) =>
+      assert(out(t).getLong(2) === expRep(i), s"replayed report count for $t")
+      // estimator replay: π̂ = (f − 0.25/k)/0.75 at 4 dp
+      val pi = (expRep(i) / 100.0 - 0.25 / 4) / 0.75
+      val exp = BigDecimal(pi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(t).getDouble(3) === (if (exp == 0.0) 0.0 else exp))
+    }
+    // the debiased estimates sum to 1 exactly (before rounding)
+    val s = types.map(t => out(t).getDouble(3)).sum
+    assert(math.abs(s - 1.0) < 5e-4, s"estimates sum to 1: $s")
+  }
+
+  test("q258: a pure weekly pattern decomposes to zero remainder") {
+    // 28 days: Mondays get 17 events, other days 10 → trend = 11
+    // (every 7-day window holds one Monday), seasonal = +6/−1,
+    // remainder = 0 away from the 3-day edges.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_stl").toString
+    var id = 0L
+    val rows = (1 to 28).flatMap { d =>
+      val date = java.time.LocalDate.of(2024, 1, d) // 2024-01-01 is a Monday
+      val n = if (date.getDayOfWeek.getValue == 1) 17 else 10
+      (1 to n).map { _ =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 06:00:00"), id % 5, "a", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.seasonalDecompose.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 28)
+    assert(out("2024-01-01").isNullAt(3), "edge days have no trend")
+    (4 to 25).foreach { d =>
+      val r = out(f"2024-01-$d%02d")
+      assert(r.getDouble(3) === 11.0, s"trend day $d: $r")
+      assert(r.getDouble(4) === (if (r.getInt(2) == 0) 6.0 else -1.0), s"seasonal: $r")
+      assert(r.getDouble(5) === 0.0, s"remainder must vanish on day $d: $r")
+    }
+  }
+
+  test("q260: the histogram algebra matches a brute-force O(n²) tau-b") {
+    val texts = Seq(
+      "the a of short", "alpha beta gamma delta epsilon zeta",
+      (1 to 30).map(i => s"w$i").mkString(" "),
+      "the the the the the", "mixed bag of a few tokens here",
+      (1 to 30).map(i => s"w$i").mkString(" ")) // duplicate scores on purpose
+    val dir = corpusDir(texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, t, "en", "s0")
+    })
+    // brute force from the same per-doc scores the engine computes
+    val sc = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+        round(-graft.functions.CharEntropy(col("text")).getField("negent"), 4).as("se"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- sc.indices; j <- i + 1 until sc.length) {
+      val dx = java.lang.Double.compare(sc(i)._1, sc(j)._1)
+      val dy = java.lang.Double.compare(sc(i)._2, sc(j)._2)
+      if (dx == 0) tx += 1
+      if (dy == 0) ty += 1
+      if (dx != 0 && dy != 0) { if (dx == dy) conc += 1 else disc += 1 }
+    }
+    val n0 = sc.length.toLong * (sc.length - 1) / 2
+    val expTau = (conc - disc).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    val r = Text.kendallTau.fn(spark, dir).collect()(0)
+    assert(r.getLong(0) === sc.length.toLong)
+    assert(r.getDouble(2) === conc.toDouble && r.getDouble(3) === disc.toDouble)
+    assert(r.getDouble(4) ===
+      BigDecimal(expTau).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 }
