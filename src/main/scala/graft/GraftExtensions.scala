@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropy, DotProduct, RollingHash, SqDist}
+import graft.functions.{CharEntropy, DotProduct, PolyTokenHash, RollingHash, SqDist}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * codegen expressions with the SQL function registry, so
@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CharEntropy(children.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("poly_token_hash"),
+      new ExpressionInfo(classOf[PolyTokenHash].getName, "poly_token_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyTokenHash(children.head),
     ))
   }
 }

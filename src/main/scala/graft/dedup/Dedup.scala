@@ -470,9 +470,17 @@ object Dedup {
   }
 
   /** Polynomial token hash (ASCII corpus contract, like q43: ascii(c)
-    * equals the UTF-8 byte).
+    * equals the UTF-8 byte). Native codegen expression — bit-equal to
+    * the HOF fold `aggregate(split(t, ""), 0L, pmod(h·131+ascii(c), P))`
+    * (DedupSpec pins the equality incl. empty strings) but one local
+    * loop instead of a regex split into a materialized char array per
+    * token; measured 1.7× on the winnowing gram path.
     */
-  def polyTokenHash(t: Column): Column =
+  def polyTokenHash(t: Column): Column = graft.functions.PolyTokenHash(t)
+
+  /** The original HOF formulation, kept as the cross-checkable
+    * reference for [[polyTokenHash]]'s equality pin. */
+  private[graft] def polyTokenHashHof(t: Column): Column =
     aggregate(split(t, ""), lit(0L),
       (h, c) => pmod(h * lit(131L) + ascii(c).cast("long"), lit(PolyPrime)))
 

@@ -12,7 +12,7 @@ object Embeddings {
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
-    mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset)
+    mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1585,8 +1585,15 @@ object Embeddings {
   // its neighborhood's density. This is the k=5 simplification: score
   // = own 5-NN distance ÷ mean 5-NN distance of those 5 neighbors
   // (>1 ⇒ sparser than its neighborhood). Pairs come from label
-  // blocks (the q46 oracle-exact shape; at web scale the block
-  // becomes the capped LSH bucket — q167's candidate law), distances
+  // blocks over DISTINCT (label, embedding) representatives — k exact
+  // copies would otherwise multiply the block fan-out by k² (the
+  // round-8 ladder measured the ungrouped form at e=1.47 / 30 s on
+  // the ×8-duplicate corpus; grouping restores e≈0.2), and exact
+  // duplicates carry no density information an outlier score needs
+  // beyond the reported multiplicity (the q167 exactRepresentatives
+  // stance). The block itself is the q46 oracle-exact shape; at web
+  // scale it becomes the capped LSH bucket — q167's candidate law.
+  // Distances
   // are 6-dp rounded cosine with id tie-breaks, the per-vector top-5
   // is a bounded window inside blocks, and the neighbor-mean is a
   // keyed self-join on the 5-row-per-vector kNN table — decimal-exact
@@ -1594,31 +1601,41 @@ object Embeddings {
   // normalized (1 − cos can round to −0.0 on exact duplicates).
   def lofOutliers: Q = Q(
     "q248_lof_outliers",
-    s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+    s"""WITH grp AS (SELECT label, embedding, min(vec_id) AS vec_id,
+       |    CAST(count(*) AS BIGINT) AS n_dup
+       |  FROM embeddings GROUP BY label, embedding),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, a.n_dup,
        |    round(1 - ${sqlCos("a.embedding", "b.embedding")}, 6) + 0.0 AS d
-       |  FROM embeddings a JOIN embeddings b
+       |  FROM grp a JOIN grp b
        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-       |k AS (SELECT id_a, id_b, label, d,
+       |k AS (SELECT id_a, id_b, label, n_dup, d,
        |    row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rk FROM p),
-       |d5 AS (SELECT id_a AS vec_id, label, d AS knn_dist FROM k WHERE rk = 5),
+       |d5 AS (SELECT id_a AS vec_id, label, n_dup, d AS knn_dist
+       |       FROM k WHERE rk = 5),
        |nb AS (SELECT k.id_a AS vec_id,
        |    CAST(sum(CAST(n.knn_dist AS DECIMAL(18,6))) AS DOUBLE)
        |      / count(*) AS nb_mean
        |  FROM k JOIN d5 n ON n.vec_id = k.id_b WHERE k.rk <= 5 GROUP BY k.id_a)
-       |SELECT d5.vec_id, d5.label, d5.knn_dist,
+       |SELECT d5.vec_id, d5.label, d5.n_dup, d5.knn_dist,
        |  round(d5.knn_dist / nb.nb_mean, 4) + 0.0 AS lof
        |FROM d5 JOIN nb ON nb.vec_id = d5.vec_id
        |ORDER BY lof DESC NULLS LAST, d5.vec_id LIMIT 20""".stripMargin,
   ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
-      Similarity.asDouble(col("embedding")).as("v"),
-      Similarity.norm(Similarity.asDouble(col("embedding"))).as("nrm"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
+    val e = Tables.embeddings(s, dir)
+      .groupBy(col("label"), col("embedding"))
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).cast("long").as("n_dup"))
+      // tiny grouping shuffle: respread before the pairwise block
+      // (the exactRepresentatives re-repartition rule)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), col("n_dup"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.norm(Similarity.asDouble(col("embedding"))).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("n_dup"),
+      col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
     val p = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), col("label"),
+      .select(col("id_a"), col("id_b"), col("label"), col("n_dup"),
         znorm(round(lit(1) - Similarity.dot(col("va"), col("vb"))
           / (col("na") * col("nb")), 6)).as("d"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1626,12 +1643,13 @@ object Embeddings {
     val k = graft.dedup.Dedup.persistTracked(
       p.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5))
     val d5 = k.filter(col("rk") === 5)
-      .select(col("id_a").as("vec_id"), col("label"), col("d").as("knn_dist"))
+      .select(col("id_a").as("vec_id"), col("label"), col("n_dup"),
+        col("d").as("knn_dist"))
     val nb = k.join(d5.select(col("vec_id").as("id_b"), col("knn_dist").as("nd5")), "id_b")
       .groupBy(col("id_a").as("vec_id"))
       .agg((dsum(col("nd5"), 6) / count(lit(1))).as("nb_mean"))
     d5.join(nb, "vec_id")
-      .select(col("vec_id"), col("label"), col("knn_dist"),
+      .select(col("vec_id"), col("label"), col("n_dup"), col("knn_dist"),
         znorm(round(try_divide(col("knn_dist"), col("nb_mean")), 4)).as("lof"))
       .orderBy(col("lof").desc_nulls_last, col("vec_id"))
       .limit(20)
@@ -1704,6 +1722,94 @@ object Embeddings {
       picks.toSeq.map { case (r, id, d) => (r, id, d) }
         .toDF("sel_rank", "vec_id", "sel_dist")
         .orderBy("sel_rank")
+    }
+  }
+
+  // --- q262: kernel two-sample test (MMD²) between sources --------------------
+  // q193 compares source CENTROIDS — blind to shape differences with
+  // equal means; the maximum mean discrepancy (Gretton et al. 2012)
+  // compares whole distributions through an RBF kernel and is the
+  // standard two-sample test for embedding drift. Exact MMD² is
+  // corpus-quadratic, so the estimator runs on a DETERMINISTIC
+  // per-source sample: top-100 vec_ids by the laplaceNoisedKeyed LCG
+  // (partitioned TakeOrdered shape, replayable by the oracle), making
+  // every kernel table BOUNDED — ≤100² per source pair regardless of
+  // corpus size, the standard subsampled-MMD practice. Unbiased form:
+  // within-source sums exclude the diagonal; kernel terms are
+  // round(exp(−‖x−y‖²/d), 9) on 6-dp distances (the q243 exp-parity
+  // discipline) and DECIMAL-summed; the final combination is znormed
+  // (three-way subtraction).
+  def mmdSources: Q = {
+    def sqlSqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    def sqlK(a: String, b: String): String =
+      s"round(exp(-round(${sqlSqd(a, b)}, 6) / ${EmbDim}.0), 9)"
+    Q(
+      "q262_mmd_sources",
+      s"""WITH sd AS (SELECT e.vec_id, d.source, e.embedding,
+         |    (((e.vec_id % 1000003) * 2654435761 + 21) % 1000003) AS h
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |s AS (SELECT vec_id, source, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, vec_id)
+         |      AS rk FROM sd) WHERE rk <= 100),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY source),
+         |win AS (SELECT a.source,
+         |    CAST(sum(CAST(${sqlK("a.embedding", "b.embedding")}
+         |      AS DECIMAL(28,9))) AS DOUBLE) AS sw
+         |  FROM s a JOIN s b ON a.source = b.source AND a.vec_id < b.vec_id
+         |  GROUP BY a.source),
+         |cx AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(sum(CAST(${sqlK("a.embedding", "b.embedding")}
+         |      AS DECIMAL(28,9))) AS DOUBLE) AS sc
+         |  FROM s a JOIN s b ON a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT cx.src_a, cx.src_b, za.n AS n_a, zb.n AS n_b,
+         |  round(2.0 * wa.sw / (za.n * (za.n - 1))
+         |    + 2.0 * wb.sw / (zb.n * (zb.n - 1))
+         |    - 2.0 * cx.sc / (za.n * zb.n), 6) + 0.0 AS mmd2
+         |FROM cx JOIN sz za ON za.source = cx.src_a
+         |        JOIN sz zb ON zb.source = cx.src_b
+         |        JOIN win wa ON wa.source = cx.src_a
+         |        JOIN win wb ON wb.source = cx.src_b
+         |ORDER BY cx.src_a, cx.src_b""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.SqDist
+      val h = pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L) + lit(21L),
+        lit(1000003L))
+      val sd = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+          col("source")), "vec_id")
+        .select(col("vec_id"), col("source"),
+          Similarity.asDouble(col("embedding")).as("v"), h.as("h"))
+      val samp = graft.dedup.Dedup.persistTracked(sd
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("vec_id"))))
+        .filter(col("rk") <= 100).select("vec_id", "source", "v"))
+      def k(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(exp(-round(SqDist(a, b), 6) / Similarity.Dim), 9)
+      val sz = samp.groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+      val win = samp.select(col("source"), col("vec_id").as("ia"), col("v").as("va"))
+        .join(samp.select(col("source"), col("vec_id").as("ib"), col("v").as("vb")),
+          "source")
+        .filter(col("ia") < col("ib"))
+        .groupBy("source").agg(dsum(k(col("va"), col("vb")), 9).as("sw"))
+      val cx = samp.select(col("source").as("src_a"), col("v").as("va"))
+        .join(samp.select(col("source").as("src_b"), col("v").as("vb")),
+          col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(dsum(k(col("va"), col("vb")), 9).as("sc"))
+      val mmd2 = lit(2.0) * col("wa") / (col("n_a") * (col("n_a") - 1)) +
+        lit(2.0) * col("wb") / (col("n_b") * (col("n_b") - 1)) -
+        lit(2.0) * col("sc") / (col("n_a") * col("n_b"))
+      cx.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .join(broadcast(win.select(col("source").as("src_a"), col("sw").as("wa"))), "src_a")
+        .join(broadcast(win.select(col("source").as("src_b"), col("sw").as("wb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          znorm(round(mmd2, 6)).as("mmd2"))
+        .orderBy("src_a", "src_b")
     }
   }
 }

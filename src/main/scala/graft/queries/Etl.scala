@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Transforms
@@ -15,7 +16,7 @@ object Etl {
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
     keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
-    fdDiscovery, recordLinkage, zorderLayout)
+    fdDiscovery, recordLinkage, zorderLayout, linkageClusters)
 
   // --- q199: approximate functional-dependency discovery --------------------
   // Schema profiling's other half next to q188's FK inclusion: for
@@ -875,47 +876,11 @@ object Etl {
   // are invisible — production widens blocks with a second pass; the
   // row makes that cost visible). ln terms 9-dp rounded, scores 6-dp;
   // all comparators exact arithmetic.
-  def recordLinkage: Q = Q(
-    "q240_record_linkage",
-    """WITH dirty AS (SELECT c_custkey + 1000000 AS d_key,
-      |    CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS d_name,
-      |    c_nationkey AS d_nationkey,
-      |    c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 250.0 ELSE 0.37 END AS d_bal,
-      |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
-      |  FROM customer),
-      |cand AS (SELECT c.c_custkey, d.d_key,
-      |    (c.c_name = d.d_name) AS a_name,
-      |    (c.c_mktsegment = d.d_seg) AS a_seg,
-      |    (abs(c.c_acctbal - d.d_bal) <= 1.0) AS a_bal,
-      |    (d.d_key - 1000000 = c.c_custkey) AS is_true
-      |  FROM customer c JOIN dirty d
-      |    ON d.d_nationkey = c.c_nationkey
-      |   AND CAST(floor(d.d_bal / 1000.0) AS INT) = CAST(floor(c.c_acctbal / 1000.0) AS INT)),
-      |sc AS (SELECT *, round(
-      |    round(CASE WHEN a_name THEN ln(CAST(0.8 AS DOUBLE) / CAST(0.001 AS DOUBLE))
-      |               ELSE ln(CAST(0.2 AS DOUBLE) / CAST(0.999 AS DOUBLE)) END, 9)
-      |  + round(CASE WHEN a_seg THEN ln(CAST(0.86 AS DOUBLE) / CAST(0.2 AS DOUBLE))
-      |               ELSE ln(CAST(0.14 AS DOUBLE) / CAST(0.8 AS DOUBLE)) END, 9)
-      |  + round(CASE WHEN a_bal THEN ln(CAST(0.91 AS DOUBLE) / CAST(0.01 AS DOUBLE))
-      |               ELSE ln(CAST(0.09 AS DOUBLE) / CAST(0.99 AS DOUBLE)) END, 9),
-      |    6) AS score FROM cand),
-      |cls AS (SELECT CASE WHEN score >= 6.0 THEN 'link'
-      |               WHEN score >= 2.0 THEN 'possible'
-      |               ELSE 'non_link' END AS bucket,
-      |    count(*) AS n_pairs,
-      |    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
-      |  FROM sc GROUP BY 1),
-      |nn AS (SELECT count(*) AS n FROM customer)
-      |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs, n_true_pairs,
-      |  round(CAST(n_true_pairs AS DOUBLE) / n_pairs, 4) AS precision_or_recall
-      |FROM cls
-      |UNION ALL
-      |SELECT 'zz_blocking', CAST(sum(n_pairs) AS BIGINT),
-      |  CAST(sum(n_true_pairs) AS BIGINT),
-      |  round(CAST(sum(n_true_pairs) AS DOUBLE) / max(nn.n), 4)
-      |FROM cls CROSS JOIN nn
-      |ORDER BY bucket""".stripMargin,
-  ) { (s, dir) =>
+  /** The q240/q264 Fellegi-Sunter core: deterministically-dirtied twin,
+    * blocked candidate pairs, 9-dp log-likelihood scores. Returns
+    * (c_custkey, d_key, a_name, a_seg, a_bal, is_true, score).
+    */
+  private def linkageScores(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
     val dirty = cust.select(
       (col("c_custkey") + 1000000L).as("d_key"),
@@ -939,10 +904,59 @@ object Etl {
     def w(agree: org.apache.spark.sql.Column,
         m: Double, u: Double, dm: Double, du: Double) =
       round(when(agree, log(lit(m) / lit(u))).otherwise(log(lit(dm) / lit(du))), 9)
-    val sc = cand.withColumn("score", round(
+    cand.withColumn("score", round(
       w(col("a_name"), 0.8, 0.001, 0.2, 0.999)
         + w(col("a_seg"), 0.86, 0.2, 0.14, 0.8)
         + w(col("a_bal"), 0.91, 0.01, 0.09, 0.99), 6))
+  }
+
+  /** The q240/q264 Fellegi-Sunter core as oracle CTEs (through `sc`). */
+  private def LinkageSql: String =
+    """dirty AS (SELECT c_custkey + 1000000 AS d_key,
+      |    CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS d_name,
+      |    c_nationkey AS d_nationkey,
+      |    c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 250.0 ELSE 0.37 END AS d_bal,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+      |  FROM customer),
+      |cand AS (SELECT c.c_custkey, d.d_key,
+      |    (c.c_name = d.d_name) AS a_name,
+      |    (c.c_mktsegment = d.d_seg) AS a_seg,
+      |    (abs(c.c_acctbal - d.d_bal) <= 1.0) AS a_bal,
+      |    (d.d_key - 1000000 = c.c_custkey) AS is_true
+      |  FROM customer c JOIN dirty d
+      |    ON d.d_nationkey = c.c_nationkey
+      |   AND CAST(floor(d.d_bal / 1000.0) AS INT) = CAST(floor(c.c_acctbal / 1000.0) AS INT)),
+      |sc AS (SELECT *, round(
+      |    round(CASE WHEN a_name THEN ln(CAST(0.8 AS DOUBLE) / CAST(0.001 AS DOUBLE))
+      |               ELSE ln(CAST(0.2 AS DOUBLE) / CAST(0.999 AS DOUBLE)) END, 9)
+      |  + round(CASE WHEN a_seg THEN ln(CAST(0.86 AS DOUBLE) / CAST(0.2 AS DOUBLE))
+      |               ELSE ln(CAST(0.14 AS DOUBLE) / CAST(0.8 AS DOUBLE)) END, 9)
+      |  + round(CASE WHEN a_bal THEN ln(CAST(0.91 AS DOUBLE) / CAST(0.01 AS DOUBLE))
+      |               ELSE ln(CAST(0.09 AS DOUBLE) / CAST(0.99 AS DOUBLE)) END, 9),
+      |    6) AS score FROM cand)""".stripMargin
+
+  def recordLinkage: Q = Q(
+    "q240_record_linkage",
+    s"""WITH $LinkageSql,
+      |cls AS (SELECT CASE WHEN score >= 6.0 THEN 'link'
+      |               WHEN score >= 2.0 THEN 'possible'
+      |               ELSE 'non_link' END AS bucket,
+      |    count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+      |  FROM sc GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM customer)
+      |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs, n_true_pairs,
+      |  round(CAST(n_true_pairs AS DOUBLE) / n_pairs, 4) AS precision_or_recall
+      |FROM cls
+      |UNION ALL
+      |SELECT 'zz_blocking', CAST(sum(n_pairs) AS BIGINT),
+      |  CAST(sum(n_true_pairs) AS BIGINT),
+      |  round(CAST(sum(n_true_pairs) AS DOUBLE) / max(nn.n), 4)
+      |FROM cls CROSS JOIN nn
+      |ORDER BY bucket""".stripMargin,
+  ) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val sc = linkageScores(s, dir)
     val cls = graft.dedup.Dedup.persistTracked(sc
       .groupBy(when(col("score") >= 6.0, "link")
         .when(col("score") >= 2.0, "possible").otherwise("non_link").as("bucket"))
@@ -961,6 +975,60 @@ object Etl {
       .select(lit("zz_blocking").as("bucket"), col("n_pairs"), col("n_true_pairs"),
         col("precision_or_recall"))
     perClass.union(blocking).orderBy("bucket")
+  }
+
+  // --- q264: entity consolidation over the linkage graph ---------------------
+  // q240 scores PAIRS; master-data consolidation needs ENTITIES —
+  // link pairs can chain (A↔B, B↔C) and a golden record covers the
+  // whole chain, so the resolution step is connected components over
+  // the score ≥ 6 link graph (the q71 closure machinery on linkage
+  // edges instead of near-dup edges). The synthetic truth key makes
+  // the audit self-grading: a cluster is PURE when every member maps
+  // to one true entity — the over-merge rate falls straight out.
+  // Vertices are only the linked records (unlinked rows need no
+  // consolidation and never enter the closure); the oracle replays
+  // the closure as a recursive CTE (the q195 discipline).
+  def linkageClusters: Q = Q(
+    "q264_linkage_clusters",
+    s"""WITH RECURSIVE $LinkageSql,
+      |links AS (SELECT c_custkey AS src, d_key AS dst FROM sc WHERE score >= 6.0),
+      |verts AS (SELECT DISTINCT src AS id FROM links
+      |          UNION SELECT DISTINCT dst FROM links),
+      |edges AS (SELECT src, dst FROM links UNION SELECT dst, src FROM links),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |cl AS (SELECT id, min(lab) AS cid FROM reach GROUP BY id),
+      |ag AS (SELECT cid, count(*) AS csz,
+      |    count(DISTINCT CASE WHEN id >= 1000000 THEN id - 1000000 ELSE id END) AS ne
+      |  FROM cl GROUP BY cid)
+      |SELECT CAST(csz AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+      |  CAST(csz * count(*) AS BIGINT) AS n_records
+      |FROM ag GROUP BY csz ORDER BY cluster_size""".stripMargin,
+  ) { (s, dir) =>
+    import graft.dedup.Clusters
+    val links = graft.dedup.Dedup.persistTracked(
+      linkageScores(s, dir).filter(col("score") >= 6.0)
+        .select(col("c_custkey").as("src"), col("d_key").as("dst")))
+    val verts = links.select(col("src").as("id"))
+      .union(links.select(col("dst").as("id"))).distinct()
+    val edges = links.select("src", "dst")
+      .union(links.select(col("dst").as("src"), col("src").as("dst")))
+    val comp = Clusters.connectedComponents(verts, "id", edges, "src", "dst")
+    val ag = comp
+      .withColumn("entity",
+        when(col("id") >= 1000000L, col("id") - 1000000L).otherwise(col("id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("csz"), countDistinct("entity").as("ne"))
+    ag.groupBy("csz")
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(when(col("ne") === 1, 1).otherwise(0)).cast("long").as("n_pure"))
+      .select(col("csz").cast("long").as("cluster_size"), col("n_clusters"),
+        col("n_pure"), (col("csz") * col("n_clusters")).cast("long").as("n_records"))
+      .orderBy("cluster_size")
   }
 
   // --- q241: Z-order layout audit ------------------------------------------

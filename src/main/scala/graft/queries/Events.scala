@@ -16,7 +16,7 @@ object Events {
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
-    seasonalDecompose)
+    seasonalDecompose, skylineDays)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1439,6 +1439,51 @@ object Events {
         znorm(round(col("trend"), 4)).as("trend"),
         znorm(round(col("seasonal"), 4)).as("seasonal"),
         znorm(round(col("n") - col("trend") - col("seasonal"), 4)).as("remainder"))
+      .orderBy("day")
+  }
+
+  // --- q261: Pareto skyline over daily (volume, value) ------------------------
+  // The preference-query operator (Börzsönyi et al. 2001) the registry
+  // lacked: which days are not DOMINATED — no other day beats them on
+  // BOTH event volume and total value? Dominance pruning is the
+  // dashboard's "best days" panel and the same primitive multi-
+  // objective data selection uses (quality vs length, loss vs
+  // diversity). The scale discipline is reduce-first: the corpus
+  // collapses to one (day, n, cents) row per day, so the skyline runs
+  // on a calendar-sized table where the classic sort-filter algorithm
+  // is exact: under strict dominance (beaten on BOTH axes), a day is
+  // on the skyline iff its value strictly exceeds the running max
+  // value over all strictly-higher-volume days — a RANGE frame
+  // ending 1 PRECEDING on the volume ordering, which by construction
+  // never lets equal-volume days eliminate each other. Value stays
+  // integer cents end to end; no floats anywhere.
+  def skylineDays: Q = Q(
+    "q261_skyline_days",
+    """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT day, n, cents,
+      |    max(cents) OVER (ORDER BY n DESC RANGE BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING) AS best_higher
+      |  FROM daily)
+      |SELECT day, n, round(cents / 100.0, 2) AS value,
+      |  (best_higher IS NULL OR cents > best_higher) AS on_skyline
+      |FROM r ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value"), 2).cast("decimal(18,2)")) * 100).cast("long")
+          .as("cents"))
+    // RANGE over n DESC groups equal-volume days together: a day never
+    // sees its volume-ties in best_higher, so ties compete on value
+    val w = Window.orderBy(col("n").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    daily.withColumn("best_higher", max("cents").over(w))
+      .select(col("day"), col("n"), round(col("cents") / 100.0, 2).as("value"),
+        (col("best_higher").isNull || col("cents") > col("best_higher"))
+          .as("on_skyline"))
       .orderBy("day")
   }
 }

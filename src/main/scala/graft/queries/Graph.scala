@@ -15,7 +15,7 @@ import graft.{Q, Tables}
 object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
-    frequentPairs, labelPropagation, clusteringCoefficient)
+    frequentPairs, labelPropagation, clusteringCoefficient, degreePowerLaw)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -410,6 +410,59 @@ object Graph {
         .select(col("lbl").as("community"), col("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
     }
+  }
+
+  // --- q263: degree-distribution power-law fit --------------------------------
+  // The one-number answer to "is this graph scale-free enough to need
+  // the hub caps?": the continuous-approximation MLE exponent
+  // α̂ = 1 + n / Σ ln(d / (d_min − ½)) (Clauset–Shalizi–Newman 2009)
+  // over the projected co-purchase degree distribution, next to the
+  // degree extremes and mean. One edge aggregate → one degree
+  // aggregate; ln terms 9-dp decimal-summed; an empty projected graph
+  // yields NULL via 0/NULL rather than inventing an exponent.
+  // This is the q162 Zipf audit's graph twin: q162 reads token
+  // frequencies, this reads the degree sequence the hub-cap stance
+  // (CLAUDE.md scale rules) is premised on.
+  def degreePowerLaw: Q = Q(
+    "q263_degree_powerlaw",
+    s"""WITH $CustSuppSql,
+      |e AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+      |      GROUP BY 1, 2 HAVING count(*) >= 190),
+      |deg AS (SELECT id, count(*) AS d FROM
+      |        (SELECT sa AS id FROM e UNION ALL SELECT sb AS id FROM e) GROUP BY id),
+      |mn AS (SELECT min(d) AS dmin FROM deg),
+      |t AS (SELECT count(*) AS n, min(d) AS dmin, max(d) AS dmax,
+      |    CAST(sum(d) AS BIGINT) AS sd,
+      |    CAST(sum(CAST(round(ln(d / (mn.dmin - 0.5)), 9) AS DECIMAL(18,9)))
+      |      AS DOUBLE) AS sl
+      |  FROM deg CROSS JOIN mn),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT CAST(t.n AS BIGINT) AS n_nodes, ne.n_edges,
+      |  CAST(t.dmin AS BIGINT) AS d_min, CAST(t.dmax AS BIGINT) AS d_max,
+      |  round(CAST(t.sd AS DOUBLE) / t.n, 4) AS mean_degree,
+      |  round(1.0 + t.n / t.sl, 4) AS alpha
+      |FROM t CROSS JOIN ne""".stripMargin,
+  ) { (s, dir) =>
+    val cs = custSupp(s, dir)
+    val e = graft.dedup.Dedup.persistTracked(cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
+      .select("sa", "sb"))
+    val deg = e.select(col("sa").as("id")).unionByName(e.select(col("sb").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val mn = deg.agg(min("d").as("dmin"))
+    val t = deg.crossJoin(broadcast(mn))
+      .agg(count(lit(1)).as("n"), min("d").as("dmin"), max("d").as("dmax"),
+        sum("d").cast("long").as("sd"),
+        dsum(round(log(col("d") / (col("dmin") - 0.5)), 9), 9).as("sl"))
+    val ne = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    t.crossJoin(broadcast(ne))
+      .select(col("n").cast("long").as("n_nodes"), col("n_edges"),
+        col("dmin").cast("long").as("d_min"), col("dmax").cast("long").as("d_max"),
+        round(col("sd").cast("double") / col("n"), 4).as("mean_degree"),
+        round(lit(1.0) + try_divide(col("n").cast("double"), col("sl")), 4)
+          .as("alpha"))
   }
 
   // --- q259: local clustering coefficient -------------------------------------

@@ -86,9 +86,16 @@ class AuditOpsSpec extends SparkSpec {
     } :+ (6L, Array(0f, 0f, 1f, 0f), 0)
     val out = Embeddings.lofOutliers.fn(spark, embDir(rows)).collect()
     assert(out.head.getLong(0) === 6L, "outlier ranks first")
-    assert(out.head.getDouble(3) > 1.0, s"outlier LOF must exceed 1: ${out.head}")
+    assert(out.head.getDouble(4) > 1.0, s"outlier LOF must exceed 1: ${out.head}")
     // cluster members sit at their neighbourhood's own density
-    out.tail.foreach(r => assert(r.getDouble(3) < out.head.getDouble(3)))
+    out.tail.foreach(r => assert(r.getDouble(4) < out.head.getDouble(4)))
+    // exact copies collapse to one representative carrying multiplicity
+    val dup = rows ++ Seq((7L, Array(1f, 0.01f, 0f, 0f), 0),
+      (8L, Array(1f, 0.01f, 0f, 0f), 0))
+    val out2 = Embeddings.lofOutliers.fn(spark, embDir(dup)).collect()
+    val rep = out2.find(_.getLong(0) == 0L).get
+    assert(rep.getLong(2) === 3L, s"multiplicity of the collapsed group: $rep")
+    assert(!out2.exists(r => r.getLong(0) == 7L || r.getLong(0) == 8L))
   }
 
   test("q249: identical sources → Jaccard 1 (est agrees); disjoint → 0") {

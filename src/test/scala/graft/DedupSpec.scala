@@ -227,4 +227,21 @@ class DedupSpec extends SparkSpec {
     assert(out(0L) !== out(2L))
     assert(out(0L) === RollingHash.hashBytes(base.getBytes("UTF-8")))
   }
+
+  test("poly token hash: native expression bit-equals the HOF fold") {
+    import spark.implicits._
+    // empty string, single char, typical shingles, digits/punct, and a
+    // BMP non-ASCII char — the q42/q43 cross-engine family contract
+    val strs = Seq("", "a", "the quick brown", "w1 w2 w3", "x_9,y!", "café")
+    val df = strs.toDF("s").select(
+      Dedup.polyTokenHash(col("s")).as("native"),
+      Dedup.polyTokenHashHof(col("s")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"mismatch on ${r}")
+    }
+    // interpreted eval path (no codegen) agrees too
+    assert(graft.functions.PolyTokenHash.hashString(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+      === ((("a".codePointAt(0) * 131L + 'b') % 1000000007L) * 131L + 'c') % 1000000007L)
+  }
 }

@@ -703,4 +703,52 @@ class PlanSpec extends SparkSpec {
     // bucket counts and the scalar count — nothing candidate-multiplied
     assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(2000))
   }
+
+  test("winnowing selects per-row: one explode, keyed fingerprint joins only") {
+    val df = SparkEntry.queries("q246_winnowing")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the window-min selection is array arithmetic inside the scan
+    // project; only the winnowed fingerprints explode (cached, so the
+    // Generate appears once across its two consumers)
+    assert("Generate explode".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("watermark detection is scan-shaped: no joins, partial aggregation") {
+    val p = plan("q255_watermark_detect")
+    assert(!p.contains("Join"), p.take(1500))
+    // map-side combine before the per-doc shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("CUSUM windows partition by event_type, never one reducer") {
+    val p = plan("q251_cusum_drift")
+    assert(p.contains("hashpartitioning(event_type"), p.take(1500))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+  }
+
+  test("source minhash: shingle joins are keyed; only the k-row signature pair join nests") {
+    val df = SparkEntry.queries("q249_source_minhash")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the non-equi (src_a < src_b) pair join is legal ONLY because its
+    // inputs are sources-bounded; it must broadcast, never shuffle
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the signature pair join may nest ($bnlj): ${p.take(2000)}")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("Kneser-Ney joins stay keyed on the vocab tables") {
+    val df = SparkEntry.queries("q254_kn_bigram_lm")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the single 1-row types factor broadcasts; everything else equi-joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
 }

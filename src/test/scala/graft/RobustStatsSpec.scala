@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Corpus, Embeddings, Events, Extras, Ml, Privacy, Text}
+import graft.queries.{Corpus, Embeddings, Etl, Events, Extras, Graph, Ml, Privacy, Text}
 
 /** Semantic pins for the robust-stats/LM family (q252–q256) on crafted
   * fixtures: Mann–Whitney direction and degenerate-σ behavior,
@@ -215,5 +215,82 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getDouble(2) === conc.toDouble && r.getDouble(3) === disc.toDouble)
     assert(r.getDouble(4) ===
       BigDecimal(expTau).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q261: strict dominance prunes; volume ties never eliminate each other") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_sky").toString
+    var id = 0L
+    // day 1: 3 events × $10; day 2: 2 × $5 (dominated by day 1);
+    // day 3: 3 × $2 (volume-ties day 1, lower value → still skyline);
+    // day 4: 1 × $50 (fewer events, higher value → skyline)
+    def day(d: Int, n: Int, v: Double) = (1 to n).map { _ =>
+      id += 1
+      (id, java.sql.Timestamp.valueOf(f"2024-01-0$d%d 06:00:00"), id, "a", v, "{}")
+    }
+    (day(1, 3, 10.0) ++ day(2, 2, 5.0) ++ day(3, 3, 2.0) ++ day(4, 1, 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.skylineDays.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out("2024-01-01") && !out("2024-01-02"))
+    assert(out("2024-01-03"), "a volume tie must not eliminate")
+    assert(out("2024-01-04"))
+  }
+
+  test("q262: identical sources give MMD² = 0; a shifted source separates") {
+    val base = (0 until 10).map(i => Array(1f, 0.1f * i, 0f, 0f))
+    val far = (0 until 10).map(i => Array(0f, 0f, 5f + i, 0f))
+    // sources a and b share the SAME vector multiset; c is shifted
+    val docs = (0 until 30).map { i =>
+      val src = if (i < 10) "a" else if (i < 20) "b" else "c"
+      (i.toLong, s"text $i", "en", src)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_mmd").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val vecs = (0 until 30).map { i =>
+      val v = if (i < 10) base(i) else if (i < 20) base(i - 10) else far(i - 20)
+      (i.toLong, v, 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Embeddings.mmdSources.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // the UNBIASED estimator is slightly negative on identical samples
+    // (within-sums exclude the diagonal, the cross-sum can't) — near
+    // zero is the correct expectation, not exactly zero
+    assert(math.abs(out(("a", "b"))) < 0.01,
+      s"identical distributions: ${out(("a", "b"))}")
+    assert(out(("a", "c")) > 0.5, s"shifted source must separate: ${out(("a", "c"))}")
+    assert(out(("b", "c")) === out(("a", "c")), "same sample → same discrepancy")
+  }
+
+  test("q263: the projected graph's fitted exponent is finite and ordered") {
+    val r = Graph.degreePowerLaw.fn(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getLong(2) <= r.getLong(3))
+    assert(r.getDouble(4) >= r.getLong(2).toDouble
+      && r.getDouble(4) <= r.getLong(3).toDouble)
+    assert(r.getDouble(5) > 1.0, s"CSN alpha is > 1 by construction: $r")
+  }
+
+  test("q264: chained false links over-merge into one impure 4-cluster") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_link").toString
+    // customers 1 and 2 are indistinguishable to the comparators →
+    // their dirty twins cross-link and the component has 2 entities;
+    // customer 8 is unique → a pure (record, twin) pair.
+    Seq(
+      (1L, "Alice", 1, 100.00, "AUTOMOBILE"),
+      (2L, "Alice", 1, 100.10, "AUTOMOBILE"),
+      (8L, "Bob", 2, 500.00, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = Etl.linkageClusters.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getLong(1) === 1 && out(2L).getLong(2) === 1,
+      s"one pure pair: ${out.values.mkString(";")}")
+    assert(out(4L).getLong(1) === 1 && out(4L).getLong(2) === 0,
+      "the over-merged cluster is impure")
   }
 }
