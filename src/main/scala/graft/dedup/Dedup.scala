@@ -474,7 +474,8 @@ object Dedup {
     * the HOF fold `aggregate(split(t, ""), 0L, pmod(h·131+ascii(c), P))`
     * (DedupSpec pins the equality incl. empty strings) but one local
     * loop instead of a regex split into a materialized char array per
-    * token; measured 1.7× on the winnowing gram path.
+    * token; measured ~1.4× on the q246/q255 scan paths (min-of-3 A/B
+    * at sf0.1; the join-dominated q206/q249 shapes sit within noise).
     */
   def polyTokenHash(t: Column): Column = graft.functions.PolyTokenHash(t)
 
