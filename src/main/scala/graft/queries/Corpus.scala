@@ -20,7 +20,7 @@ object Corpus {
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
-    tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm)
+    tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -844,6 +844,58 @@ object Corpus {
         round(col("novel_shingles").cast("double") / col("n_distinct"), 4))
       .select("batch", "n_distinct", "novel_shingles", "novelty_rate")
       .orderBy("batch")
+  }
+
+  // --- q268: capture–recapture distinct-content estimate ----------------------
+  // "How many distinct documents does the full crawl hold?" is a
+  // question you answer BEFORE scanning 100 TB: sample twice, count
+  // the overlap, and the Chapman estimator
+  // N̂ = (n_A+1)(n_B+1)/(m+1) − 1 (the bias-corrected Lincoln–Petersen
+  // mark-recapture form) estimates the distinct-text population from
+  // two small samples. Samples are disjoint halves by the
+  // laplaceNoisedKeyed LCG on doc_id (independent of content, as the
+  // estimator requires); "marked" = the same TEXT appears in both
+  // halves, so what is being estimated is distinct content mass —
+  // dedup capacity planning from samples. Everything reduces to
+  // distinct-text counts and one intersection join on the text key;
+  // at real scale the key is the (hash, len) pair (the q39 stance).
+  // The truth rides along: true distinct count and the estimator's
+  // signed relative error (znormed — it can cancel to −0.0).
+  def captureRecapture: Q = Q(
+    "q268_capture_recapture",
+    """WITH u AS (SELECT doc_id, text,
+      |    ((((doc_id % 1000003) * 2654435761 + 5) % 1000003) + 0.5)
+      |      / 1000003.0 AS u
+      |  FROM documents),
+      |a AS (SELECT DISTINCT text FROM u WHERE u < 0.5),
+      |b AS (SELECT DISTINCT text FROM u WHERE u >= 0.5),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM a JOIN b USING (text)),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM a),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b),
+      |tr AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_true FROM documents)
+      |SELECT na.na AS n_a, nb.nb AS n_b, m.m AS n_both,
+      |  round((na.na + 1.0) * (nb.nb + 1.0) / (m.m + 1.0) - 1.0, 2) AS chapman_est,
+      |  tr.n_true,
+      |  round(((na.na + 1.0) * (nb.nb + 1.0) / (m.m + 1.0) - 1.0 - tr.n_true)
+      |    / tr.n_true, 4) + 0.0 AS rel_err
+      |FROM na CROSS JOIN nb CROSS JOIN m CROSS JOIN tr""".stripMargin,
+  ) { (s, dir) =>
+    val u = ((pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(5L),
+      lit(1000003L)).cast("double") + 0.5) / 1000003.0).as("u")
+    val base = Dedup.persistTracked(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), u))
+    val a = base.filter(col("u") < 0.5).select("text").distinct()
+    val b = base.filter(col("u") >= 0.5).select("text").distinct()
+    val m = a.join(b, "text").agg(count(lit(1)).cast("long").as("m"))
+    val na = a.agg(count(lit(1)).cast("long").as("na"))
+    val nb = b.agg(count(lit(1)).cast("long").as("nb"))
+    val tr = Tables.documents(s, dir)
+      .agg(countDistinct("text").cast("long").as("n_true"))
+    val est = (col("na") + 1.0) * (col("nb") + 1.0) / (col("m") + 1.0) - 1.0
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m)).crossJoin(broadcast(tr))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("m").as("n_both"),
+        round(est, 2).as("chapman_est"), col("n_true"),
+        znorm(round((est - col("n_true")) / col("n_true"), 4)).as("rel_err"))
   }
 
   // --- q254: Kneser–Ney smoothed bigram LM scoring ----------------------------

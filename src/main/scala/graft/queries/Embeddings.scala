@@ -12,7 +12,8 @@ object Embeddings {
     semDedup, incrementalEmbeddingDedup, semanticDecontaminate, negativeSampling,
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
-    mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources)
+    mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
+    twoNnDimension)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1810,6 +1811,96 @@ object Embeddings {
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
           znorm(round(mmd2, 6)).as("mmd2"))
         .orderBy("src_a", "src_b")
+    }
+  }
+
+  // --- q265: TwoNN intrinsic-dimension estimate per source --------------------
+  // 64 ambient dimensions say nothing about how much of the space the
+  // data actually uses; the TwoNN estimator (Facco et al. 2017) reads
+  // intrinsic dimension off nothing but each point's two nearest
+  // neighbors: μ = d₂/d₁ follows a Pareto with shape = ID, so
+  // ÎD = n / Σ ln μ. A collapsed source (templated text, mode-collapsed
+  // encoder) shows a much lower ID than its ambient width — the
+  // embedding-store health check next to q225's dispersion and q210's
+  // spectrum. Runs on the q262 deterministic 100-per-source LCG sample
+  // (bounded 100² per source at any corpus size); distances are 6-dp
+  // SqDist with id tie-breaks; exact-duplicate pairs (d₁ = 0) are
+  // discarded as the estimator prescribes and reported; ln terms 9-dp
+  // decimal-summed; a source with no usable points NULLs via 0/NULL.
+  def twoNnDimension: Q = {
+    def sqlSqd(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    Q(
+      "q265_twonn_dimension",
+      s"""WITH sd AS (SELECT e.vec_id, d.source, e.embedding,
+         |    (((e.vec_id % 1000003) * 2654435761 + 21) % 1000003) AS h
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |s AS (SELECT vec_id, source, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, vec_id)
+         |      AS rk FROM sd) WHERE rk <= 100),
+         |p AS (SELECT a.source, a.vec_id,
+         |    round(${sqlSqd("a.embedding", "b.embedding")}, 6) AS d2,
+         |    b.vec_id AS id_b
+         |  FROM s a JOIN s b ON a.source = b.source AND a.vec_id <> b.vec_id),
+         |k AS (SELECT source, vec_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, id_b) AS rk
+         |  FROM p),
+         |nn AS (SELECT source, vec_id,
+         |    max(CASE WHEN rk = 1 THEN d2 END) AS dn1,
+         |    max(CASE WHEN rk = 2 THEN d2 END) AS dn2
+         |  FROM k WHERE rk <= 2 GROUP BY source, vec_id),
+         |mu AS (SELECT source, vec_id, dn1,
+         |    round(ln(sqrt(dn2) / sqrt(dn1)), 9) AS lmu
+         |  FROM nn WHERE dn1 > 0),
+         |agg AS (SELECT source,
+         |    CAST(sum(CAST(lmu AS DECIMAL(18,9))) AS DOUBLE) AS sl,
+         |    CAST(count(*) AS BIGINT) AS n_used FROM mu GROUP BY source),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sample
+         |  FROM s GROUP BY source)
+         |SELECT tot.source, tot.n_sample, COALESCE(agg.n_used, 0) AS n_used,
+         |  round(agg.n_used / agg.sl, 4) AS intrinsic_dim
+         |FROM tot LEFT JOIN agg ON agg.source = tot.source
+         |ORDER BY tot.source""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.SqDist
+      val h = pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L) + lit(21L),
+        lit(1000003L))
+      val sd = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+          col("source")), "vec_id")
+        .select(col("vec_id"), col("source"),
+          Similarity.asDouble(col("embedding")).as("v"), h.as("h"))
+      val samp = graft.dedup.Dedup.persistTracked(sd
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("vec_id"))))
+        .filter(col("rk") <= 100).select("vec_id", "source", "v"))
+      val p = samp.select(col("source"), col("vec_id"), col("v").as("va"))
+        .join(samp.select(col("source"), col("vec_id").as("id_b"), col("v").as("vb")),
+          Seq("source"))
+        .filter(col("vec_id") =!= col("id_b"))
+        .select(col("source"), col("vec_id"), col("id_b"),
+          round(SqDist(col("va"), col("vb")), 6).as("d2"))
+      val k = p.withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("id_b"))))
+        .filter(col("rk") <= 2)
+      val nn = k.groupBy("source", "vec_id")
+        .agg(max(when(col("rk") === 1, col("d2"))).as("dn1"),
+          max(when(col("rk") === 2, col("d2"))).as("dn2"))
+      val agg = nn.filter(col("dn1") > 0)
+        .select(col("source"),
+          round(log(sqrt(col("dn2")) / sqrt(col("dn1"))), 9).as("lmu"))
+        .groupBy("source")
+        .agg(dsum(col("lmu"), 9).as("sl"), count(lit(1)).cast("long").as("n_used"))
+      val tot = samp.groupBy("source").agg(count(lit(1)).cast("long").as("n_sample"))
+      tot.join(agg, Seq("source"), "left")
+        .select(col("source"), col("n_sample"),
+          coalesce(col("n_used"), lit(0L)).as("n_used"),
+          round(try_divide(col("n_used").cast("double"), col("sl")), 4)
+            .as("intrinsic_dim"))
+        .orderBy("source")
     }
   }
 }

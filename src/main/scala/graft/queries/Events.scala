@@ -16,7 +16,7 @@ object Events {
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
-    seasonalDecompose, skylineDays)
+    seasonalDecompose, skylineDays, gapRegularity, markovPerplexity)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1485,5 +1485,121 @@ object Events {
         (col("best_higher").isNull || col("cents") > col("best_higher"))
           .as("on_skyline"))
       .orderBy("day")
+  }
+
+  // --- q266: inter-event gap regularity (bot detection) -----------------------
+  // Scraper/bot traffic is too REGULAR: a human's inter-event gaps
+  // have a coefficient of variation near 1 (memoryless arrivals),
+  // a cron job's is near 0. Per user with ≥5 gaps: CV of the gap
+  // distribution from exact integer microsecond moments — gaps are
+  // BIGINT µs, squares accumulate in DECIMAL(38,0) (a day-long gap
+  // squared already eats 2⁶³ after ~200 events), and the only doubles
+  // are the closed-form mean/sd. The corpus-scale work is one lag
+  // window inside (user) partitions — the q49 sessionize shape — then
+  // a per-user aggregate. Top-20 most-robotic users by (cv, user_id);
+  // a constant-gap user hits cv = 0 exactly (integer arithmetic, no
+  // ±ulp residue to normalize — but the subtraction-shaped sd is
+  // znormed anyway per the rule).
+  def gapRegularity: Q = Q(
+    "q266_gap_regularity",
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS gap
+      |  FROM events),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(gap) AS BIGINT) AS sg,
+      |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sgg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      |  HAVING count(*) >= 5),
+      |c AS (SELECT user_id, n_gaps,
+      |    round(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 4) AS mean_gap_s,
+      |    round(sqrt((n_gaps * sgg - CAST(sg AS DOUBLE) * sg)
+      |      / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+      |      / (CAST(sg AS DOUBLE) / n_gaps), 4) + 0.0 AS cv
+      |  FROM m)
+      |SELECT user_id, n_gaps, mean_gap_s, cv, cv < 0.1 AS robotic
+      |FROM c ORDER BY cv, user_id LIMIT 20""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = expr("unix_micros(ts)")
+    val g = Tables.events(s, dir)
+      .select(col("user_id"), (us - lag(us, 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val m = g.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum("gap").cast("long").as("sg"),
+        sum(col("gap").cast("decimal(19,0)") * col("gap").cast("decimal(19,0)"))
+          .cast("double").as("sgg"))
+      .filter(col("n_gaps") >= 5)
+    val meanUs = col("sg").cast("double") / col("n_gaps")
+    val sd = sqrt((col("n_gaps") * col("sgg") - col("sg").cast("double") * col("sg"))
+      / (col("n_gaps").cast("double") * (col("n_gaps") - 1)))
+    m.select(col("user_id"), col("n_gaps"),
+        round(meanUs / 1000000.0, 4).as("mean_gap_s"),
+        znorm(round(sd / meanUs, 4)).as("cv"))
+      .withColumn("robotic", col("cv") < 0.1)
+      .orderBy("cv", "user_id").limit(20)
+  }
+
+  // --- q267: held-out next-event perplexity of the session LM -----------------
+  // q109 reports the transition MATRIX; this asks the eval question a
+  // sequence model asks of its data: how predictable is the next
+  // event, measured properly on HELD-OUT traffic? Train = even
+  // user_ids, eval = odd (the q213 deterministic-split discipline):
+  // add-1-smoothed transition probabilities fit on training
+  // transitions only, scored on eval transitions; per current-state
+  // row: mean held-out logprob (9-dp decimal) and its perplexity.
+  // Both passes are one lag window + keyed aggregates; the model
+  // table is |types|²-bounded and broadcast. Smoothing means unseen
+  // eval transitions score ln(1/(row+K)) instead of −∞.
+  def markovPerplexity: Q = Q(
+    "q267_markov_perplexity",
+    """WITH seq AS (SELECT user_id, event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |types AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+      |tcnt AS (SELECT cur, nxt, count(*) AS c FROM seq
+      |         WHERE nxt IS NOT NULL AND user_id % 2 = 0 GROUP BY cur, nxt),
+      |trow AS (SELECT cur, CAST(sum(c) AS BIGINT) AS rn FROM tcnt GROUP BY cur),
+      |ev AS (SELECT s.cur, s.nxt FROM seq s
+      |       WHERE s.nxt IS NOT NULL AND s.user_id % 2 = 1),
+      |sc AS (SELECT ev.cur,
+      |    round(ln((COALESCE(tc.c, 0) + 1.0)
+      |      / (COALESCE(tr2.rn, 0) + tt.k)), 9) AS lp
+      |  FROM ev LEFT JOIN tcnt tc ON tc.cur = ev.cur AND tc.nxt = ev.nxt
+      |          LEFT JOIN trow tr2 ON tr2.cur = ev.cur
+      |          CROSS JOIN types tt)
+      |SELECT cur AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |  round(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+      |    AS mean_logprob,
+      |  round(exp(-(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / count(*))), 4)
+      |    AS perplexity
+      |FROM sc GROUP BY cur ORDER BY cur""".stripMargin,
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq0 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+    val seq = graft.dedup.Dedup.persistTracked(seq0)
+    val types = Tables.events(s, dir)
+      .agg(countDistinct("event_type").cast("long").as("k"))
+    val tcnt = seq.filter(col("user_id") % 2 === 0)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+    val trow = tcnt.groupBy("cur").agg(sum("c").cast("long").as("rn"))
+    val lp = round(log((coalesce(col("c"), lit(0L)) + 1.0)
+      / (coalesce(col("rn"), lit(0L)) + col("k"))), 9)
+    val sc = seq.filter(col("user_id") % 2 === 1).select("cur", "nxt")
+      .join(broadcast(tcnt), Seq("cur", "nxt"), "left")
+      .join(broadcast(trow), Seq("cur"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("cur"), lp.as("lp"))
+    sc.groupBy("cur")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        round(dsum(col("lp"), 9) / count(lit(1)), 6).as("mean_logprob"),
+        round(exp(-(dsum(col("lp"), 9) / count(lit(1)))), 4).as("perplexity"))
+      .select(col("cur").as("event_type"), col("n_eval"), col("mean_logprob"),
+        col("perplexity"))
+      .orderBy("event_type")
   }
 }

@@ -275,6 +275,93 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getDouble(5) > 1.0, s"CSN alpha is > 1 by construction: $r")
   }
 
+  test("q265: a line scores lower intrinsic dimension than a plane") {
+    val rnd = new scala.util.Random(7)
+    // irregular spacing (a uniform grid has d1 = d2 → degenerate μ)
+    val docsRows = (0 until 60).map { i =>
+      (i.toLong, s"text $i", "en", if (i < 30) "line" else "plane")
+    }
+    val vecs = (0 until 60).map { i =>
+      val v =
+        if (i < 30) Array(rnd.nextFloat() * 10, 0f, 0f, 0f)
+        else Array(rnd.nextFloat() * 10, rnd.nextFloat() * 10, 0f, 0f)
+      (i.toLong, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_twonn").toString
+    docsRows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    vecs.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val out = Embeddings.twoNnDimension.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val line = out("line").getDouble(3)
+    val plane = out("plane").getDouble(3)
+    assert(line < plane, s"line ID $line must be below plane ID $plane")
+    assert(line > 0.5 && line < 2.0, s"1-D manifold: $line")
+    assert(out("line").getLong(1) === 30)
+  }
+
+  test("q266: a metronome user is robotic; an irregular one is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_gap").toString
+    var id = 0L
+    def ev(u: Long, sec: Long) = {
+      id += 1
+      (id, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(sec)), u, "a", 1.0, "{}")
+    }
+    val metronome = (0 until 10).map(i => ev(1L, i * 60L))        // exact 60 s
+    val human = Seq(0L, 7L, 110L, 145L, 530L, 600L, 1800L, 1913L, 2000L, 3600L)
+      .map(sec => ev(2L, sec))
+    (metronome ++ human)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.gapRegularity.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) === 0.0 && out(1L).getBoolean(4),
+      s"constant gaps → cv 0: ${out(1L)}")
+    assert(out(2L).getDouble(3) > 0.1 && !out(2L).getBoolean(4))
+    assert(out(1L).getDouble(2) === 60.0)
+  }
+
+  test("q267: a deterministic session grammar is predictable on held-out users") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_mkv").toString
+    var id = 0L
+    // every user walks a->b->a->b...; user 9 injects one unseen a->c
+    val rows = (1L to 10L).flatMap { u =>
+      val types = (0 until 8).map(i => if (i % 2 == 0) "a" else "b") ++
+        (if (u == 9L) Seq("c") else Seq())
+      types.zipWithIndex.map { case (t, i) =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-01 0${i}%d:00:00"), u, t, 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.markovPerplexity.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // b->a is near-deterministic in training → low held-out perplexity
+    assert(out("a").getDouble(3) < 3.0, s"a's successors predictable: ${out("a")}")
+    assert(out("b").getDouble(3) < 3.0)
+    // the unseen b->c transition is finite-scored (smoothing), no NULLs
+    out.values.foreach(r => assert(!r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
+  test("q268: Chapman estimates the duplicated corpus's distinct mass") {
+    val texts = (0 until 50).map(i => s"unique document number $i body")
+    val dir = corpusDir((0 until 100).map(i =>
+      ((i + 1).toLong, texts(i % 50), "en", "s0")))
+    val r = Corpus.captureRecapture.fn(spark, dir).collect()(0)
+    assert(r.getLong(4) === 50, "true distinct")
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+    val est = r.getDouble(3)
+    assert(est > 20 && est < 200, s"estimate in a sane band: $est")
+    // replay the estimator from the reported sample counts (unrounded)
+    val raw = (r.getLong(0) + 1.0) * (r.getLong(1) + 1.0) / (r.getLong(2) + 1.0) - 1.0
+    assert(est === BigDecimal(raw).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) === BigDecimal((raw - 50) / 50)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q264: chained false links over-merge into one impure 4-cluster") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rs_link").toString
     // customers 1 and 2 are indistinguishable to the comparators →
