@@ -18,7 +18,8 @@ object Curation {
     quantileNormalize, curationFunnel, mixtureAllocation, dupClusterSizes,
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
-    dataConstrainedEpochs, filterParity, importanceReweight, filterShapley)
+    dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
+    otsuThreshold, ebShrinkage)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1337,6 +1338,128 @@ object Curation {
         round(try_divide(col("num").cast("double"), lit(6.0) * col("v_all")), 4)
           .as("shapley_share"))
       .orderBy("filter")
+  }
+
+  // --- q272: Otsu threshold selection on the quality histogram ---------------
+  // Every fixed quality cutoff in this registry (q67's 0.5, q207's
+  // bands) is a hand-picked constant; Otsu's criterion picks the
+  // cutoff FROM the data — the threshold maximizing between-class
+  // variance ω₀ω₁(μ₀−μ₁)², the two-class separation a bimodal
+  // quality distribution (boilerplate vs natural text) exhibits.
+  // Quality is 4-dp quantized onto the 1e-4 integer grid, so the
+  // whole curve reduces to cumulative integer moments over the score
+  // histogram: σ²_b = (cumS·N − S·cumN)² / (N²·cumN·(N−cumN)), with
+  // the cancelling numerator kept EXACT in DECIMAL(38,0) before the
+  // one double division. Windows run over the ≤10⁴-row histogram,
+  // never the corpus. The argmax is emitted as a flag on 6-dp-rounded
+  // variance (ties flag both rows in both engines) rather than a
+  // float argmax that could pick different rows cross-engine.
+  def otsuThreshold: Q = Q(
+    "q272_otsu_threshold",
+    s"""WITH sc AS (SELECT CAST(round((${CurationSqlFragments.qualitySql}) * 10000)
+       |    AS BIGINT) AS qi FROM documents),
+       |hist AS (SELECT qi, count(*) AS c FROM sc GROUP BY qi),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(qi * c) AS BIGINT) AS s FROM hist),
+       |cum AS (SELECT qi,
+       |    CAST(sum(c) OVER (ORDER BY qi) AS BIGINT) AS cn,
+       |    CAST(sum(qi * c) OVER (ORDER BY qi) AS BIGINT) AS cs
+       |  FROM hist),
+       |v AS (SELECT qi, cn, n,
+       |    CAST(CAST(cs AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * cn
+       |      AS DOUBLE) AS dnum
+       |  FROM cum CROSS JOIN tot WHERE cn < n),
+       |sb AS (SELECT qi, round(dnum * dnum /
+       |    (CAST(n AS DOUBLE) * n * cn * (n - cn)) / 100000000.0, 6) AS sigma_b
+       |  FROM v),
+       |mx AS (SELECT max(sigma_b) AS m FROM sb)
+       |SELECT round(qi / 10000.0, 4) AS threshold, sigma_b,
+       |  sigma_b = m AS is_best
+       |FROM sb CROSS JOIN mx ORDER BY threshold""".stripMargin,
+  ) { (s, dir) =>
+    val sc = Tables.documents(s, dir)
+      .select(round(TextAnalysis.qualityScore(col("text")) * 10000)
+        .cast("long").as("qi"))
+    val hist = Dedup.persistTracked(sc.groupBy("qi").agg(count(lit(1)).as("c")))
+    val tot = hist.agg(sum("c").cast("long").as("n"),
+      sum(col("qi") * col("c")).cast("long").as("s"))
+    val w = Window.orderBy("qi")
+    val cum = hist
+      .withColumn("cn", sum("c").over(w).cast("long"))
+      .withColumn("cs", sum(col("qi") * col("c")).over(w).cast("long"))
+      .select("qi", "cn", "cs")
+    val dnum = (col("cs").cast("decimal(38,0)") * col("n") -
+      col("s").cast("decimal(38,0)") * col("cn")).cast("double")
+    val v = cum.crossJoin(broadcast(tot)).filter(col("cn") < col("n"))
+      .select(col("qi"), col("cn"), col("n"), dnum.as("dnum"))
+    val sb = Dedup.persistTracked(v.select(col("qi"),
+      round(col("dnum") * col("dnum") /
+        (col("n").cast("double") * col("n") * col("cn") * (col("n") - col("cn")))
+        / 100000000.0, 6).as("sigma_b")))
+    val mx = sb.agg(max("sigma_b").as("m"))
+    sb.crossJoin(broadcast(mx))
+      .select(round(col("qi") / 10000.0, 4).as("threshold"), col("sigma_b"),
+        (col("sigma_b") === col("m")).as("is_best"))
+      .orderBy("threshold")
+  }
+
+  // --- q273: empirical-Bayes shrinkage of per-source pass rates --------------
+  // Small sources produce noisy quality-pass rates; ranking or
+  // quota-ing on the raw rate rewards luck. The beta-binomial
+  // empirical-Bayes fix: fit (α, β) to the across-source rate spread
+  // by method of moments (K = m(1−m)/v − 1, α = mK), then shrink each
+  // source toward the prior mean with weight n/(n+K) — exactly the
+  // estimator a mixture planner should feed q169/q83. Per-source
+  // rates are 6-dp-rounded before the 20-row moment pass so the
+  // across-source mean/variance are DECIMAL-exact; the prior solve
+  // and the shrunk rates are closed-form doubles with identical
+  // shapes in both engines. A degenerate corpus (all sources equal →
+  // v = 0) NULLs K via try_divide rather than inventing a prior.
+  def ebShrinkage: Q = Q(
+    "q273_eb_shrinkage",
+    s"""WITH d AS (SELECT source,
+       |    CASE WHEN round(${CurationSqlFragments.qualitySql}, 4) >= 0.75
+       |         THEN 1 ELSE 0 END AS pass
+       |  FROM documents),
+       |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pass) AS BIGINT) AS x,
+       |    CAST(round(CAST(sum(pass) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS rr
+       |  FROM d GROUP BY source),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS k_src,
+       |    CAST(sum(rr) AS DOUBLE) / count(*) AS m,
+       |    CAST(sum(rr * rr) AS DOUBLE) / count(*)
+       |      - (CAST(sum(rr) AS DOUBLE) / count(*))
+       |        * (CAST(sum(rr) AS DOUBLE) / count(*)) AS v
+       |  FROM r),
+       |pri AS (SELECT m, (m * (1.0 - m)) / v - 1.0 AS kk FROM mom)
+       |SELECT source, n AS n_docs, x AS n_pass,
+       |  round(CAST(x AS DOUBLE) / n, 6) AS raw_rate,
+       |  round((x + m * kk) / (n + kk), 6) AS shrunk_rate,
+       |  round(CAST(n AS DOUBLE) / (n + kk), 6) AS weight
+       |FROM r CROSS JOIN pri ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"),
+        when(round(TextAnalysis.qualityScore(col("text")), 4) >= 0.75, 1)
+          .otherwise(0).as("pass"))
+    val r = Dedup.persistTracked(d.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"), sum("pass").cast("long").as("x"))
+      .withColumn("rr", round(col("x").cast("double") / col("n"), 6)
+        .cast("decimal(18,6)")))
+    val m = sum("rr").cast("double") / count(lit(1))
+    val mom = r.agg(count(lit(1)).cast("long").as("k_src"), m.as("m"),
+      (sum(col("rr") * col("rr")).cast("double") / count(lit(1)) -
+        m * m).as("v"))
+    val pri = mom.select(col("m"),
+      (try_divide(col("m") * (lit(1.0) - col("m")), col("v")) - 1.0).as("kk"))
+    r.crossJoin(broadcast(pri))
+      .select(col("source"), col("n").as("n_docs"), col("x").as("n_pass"),
+        round(col("x").cast("double") / col("n"), 6).as("raw_rate"),
+        round(try_divide(col("x") + col("m") * col("kk"), col("n") + col("kk")), 6)
+          .as("shrunk_rate"),
+        round(try_divide(col("n").cast("double"), col("n") + col("kk")), 6)
+          .as("weight"))
+      .orderBy("source")
   }
 }
 

@@ -12,7 +12,8 @@ object Ml {
 
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
-    bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift)
+    bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift,
+    wassersteinDrift, averagePrecision, permutationTest)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -756,5 +757,216 @@ object Ml {
         znorm(round(z, 4)).as("z"),
         (abs(z) > 1.96).as("significant"))
       .orderBy("source")
+  }
+
+  // --- q270: 1-D Wasserstein (earth-mover) drift per source ------------------
+  // The drift family's third lens: KS (q107) reports the sup ECDF gap,
+  // rank-sum (q252) a location shift's significance; W₁ = ∫|F_s − F_r|
+  // reports HOW MUCH quality mass must move to turn a source's
+  // distribution into the rest of the corpus — the magnitude a
+  // mixture-rebalancing decision actually needs. Quality is 4-dp
+  // quantized, so everything reduces to the score histogram: the
+  // source×value grid is sources × ≤10⁴ rows, cumulative counts come
+  // from histogram-sized windows, and the integral is an EXACT integer
+  // sum — |cums·(n−ns) − cumr·ns| · gap, with the gap lifted to the
+  // 1e-4 integer grid — divided once at the end by ns·(n−ns)·10⁴.
+  // Nothing touches corpus-sized windows; the one ORDER BY sq window
+  // runs over the bounded histogram (the q252/q119 stance).
+  def wassersteinDrift: Q = Q(
+    "q270_wasserstein_drift",
+    s"""WITH sc AS (SELECT source,
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq
+       |  FROM documents),
+       |hist AS (SELECT source, sq, count(*) AS c FROM sc GROUP BY 1, 2),
+       |vals AS (SELECT sq, CAST(sum(c) AS BIGINT) AS ct FROM hist GROUP BY sq),
+       |vg AS (SELECT sq, ct, lead(sq) OVER (ORDER BY sq) AS nxt FROM vals),
+       |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM hist GROUP BY source),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM vals),
+       |grid AS (SELECT s.source, s.ns, v.sq, v.nxt, v.ct, coalesce(h.c, 0) AS cs
+       |  FROM srcs s CROSS JOIN vg v
+       |  LEFT JOIN hist h ON h.source = s.source AND h.sq = v.sq),
+       |cum AS (SELECT source, ns, sq, nxt,
+       |    CAST(sum(cs) OVER (PARTITION BY source ORDER BY sq) AS BIGINT) AS cums,
+       |    CAST(sum(ct) OVER (PARTITION BY source ORDER BY sq) AS BIGINT) AS cumt
+       |  FROM grid),
+       |w AS (SELECT source, ns, n,
+       |    CAST(sum(abs(cums * (n - ns) - (cumt - cums) * ns)
+       |      * CAST(round((nxt - sq) * 10000) AS BIGINT)) AS BIGINT) AS num
+       |  FROM cum CROSS JOIN tot WHERE nxt IS NOT NULL GROUP BY source, ns, n)
+       |SELECT source, ns AS n_docs,
+       |  round(CAST(num AS DOUBLE) /
+       |    (CAST(ns AS DOUBLE) * (n - ns) * 10000.0), 6) AS w1
+       |FROM w ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val sc = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq")))
+    val hist = graft.dedup.Dedup.persistTracked(
+      sc.groupBy("source", "sq").agg(count(lit(1)).as("c")))
+    val vals = hist.groupBy("sq").agg(sum("c").cast("long").as("ct"))
+    val vg = vals.withColumn("nxt", lead(col("sq"), 1).over(Window.orderBy("sq")))
+    val srcs = hist.groupBy("source").agg(sum("c").cast("long").as("ns"))
+    val tot = vals.agg(sum("ct").cast("long").as("n"))
+    val grid = srcs.crossJoin(broadcast(vg))
+      .join(hist, Seq("source", "sq"), "left")
+      .select(col("source"), col("ns"), col("sq"), col("nxt"), col("ct"),
+        coalesce(col("c"), lit(0)).as("cs"))
+    val win = Window.partitionBy("source").orderBy("sq")
+    val cum = grid
+      .withColumn("cums", sum("cs").over(win).cast("long"))
+      .withColumn("cumt", sum("ct").over(win).cast("long"))
+    val num = abs(col("cums") * (col("n") - col("ns")) -
+      (col("cumt") - col("cums")) * col("ns")) *
+      round((col("nxt") - col("sq")) * 10000).cast("long")
+    val w = cum.crossJoin(broadcast(tot)).filter(col("nxt").isNotNull)
+      .groupBy("source", "ns", "n").agg(sum(num).cast("long").as("num"))
+    w.select(col("source"), col("ns").as("n_docs"),
+        round(try_divide(col("num").cast("double"),
+          col("ns").cast("double") * (col("n") - col("ns")) * 10000.0), 6).as("w1"))
+      .orderBy("source")
+  }
+
+  // --- q271: average precision of the quality ranking, per language ----------
+  // AUC (q119) scores pairwise ordering; curation thresholds live at
+  // the TOP of the ranking, which is what average precision weights:
+  // AP = (1/P)·Σ_{rel k} precision@k under the quality-desc ordering
+  // (doc_id tiebreak), with relevance = the independent unique-token
+  // gate (≥½ distinct — the boilerplate-free signal from q232's third
+  // rater). Windows are PARTITION BY lang (the q73 per-group stance);
+  // ranking metrics inherently need the group's order — at extreme
+  // scale the fallback is q119's quantize-and-bin shape or per-shard
+  // sampling. Each precision@k is rounded to 8 dp and summed in
+  // DECIMAL, so the order-sensitive float sum can't diverge between
+  // engines.
+  def averagePrecision: Q = Q(
+    "q271_average_precision",
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq,
+       |    CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+       |              >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS rel
+       |  FROM documents),
+       |r AS (SELECT lang, rel,
+       |    row_number() OVER (PARTITION BY lang ORDER BY sq DESC, doc_id) AS k,
+       |    CAST(sum(rel) OVER (PARTITION BY lang ORDER BY sq DESC, doc_id) AS BIGINT)
+       |      AS cumpos
+       |  FROM d)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(rel) AS BIGINT) AS n_pos,
+       |  round(
+       |    CAST(sum(CASE WHEN rel = 1
+       |      THEN CAST(round(CAST(cumpos AS DOUBLE) / k, 8) AS DECIMAL(18,8))
+       |      END) AS DOUBLE) / CAST(sum(rel) AS DOUBLE), 6) AS ap
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+        when(lit(2) * size(array_distinct(t)) >= size(t), 1).otherwise(0).as("rel"))
+    val win = Window.partitionBy("lang").orderBy(col("sq").desc, col("doc_id"))
+    val r = d
+      .withColumn("k", row_number().over(win))
+      .withColumn("cumpos", sum("rel").over(win).cast("long"))
+    r.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("rel").cast("long").as("n_pos"),
+        round(try_divide(
+          sum(when(col("rel") === 1,
+            round(col("cumpos").cast("double") / col("k"), 8)
+              .cast("decimal(18,8)"))).cast("double"),
+          sum("rel").cast("double")), 6).as("ap"))
+      .orderBy("lang")
+  }
+
+  // --- q274: seeded permutation test for the en-vs-rest quality gap ----------
+  // The nonparametric inferential check on a group contrast: is the
+  // observed mean-quality gap between English and the rest larger than
+  // random relabelings produce? 64 pseudo-permutations are pure
+  // functions of (doc_id, salt) through the portable md5 split (the
+  // q72 sampling hash), so both engines enumerate the identical null
+  // ensemble — no RNG, rerun-stable. One thin (doc_id, sq) projection
+  // fans out ×64 and collapses straight into a 64-row aggregate
+  // (map-side combined); at extreme scale the same statistic folds
+  // into one pass of 64 conditional aggregates with zero fan-out. All
+  // group sums are DECIMAL-exact; the p-value compares 6-dp-rounded
+  // |gaps|, so a float boundary can't flip a count across engines.
+  def permutationTest: Q = Q(
+    "q274_permutation_test",
+    s"""WITH d AS (SELECT doc_id,
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |obs AS (SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN CAST(sq AS DECIMAL(18,4)) END) AS DOUBLE) AS sa,
+       |    CAST(sum(y) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN y = 0 THEN CAST(sq AS DECIMAL(18,4)) END) AS DOUBLE) AS sb,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS nb
+       |  FROM d),
+       |p AS (SELECT s.salt, d.sq,
+       |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+       |      CAST(s.salt AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END AS py
+       |  FROM d CROSS JOIN (SELECT unnest(range(64)) AS salt) s),
+       |ps AS (SELECT salt,
+       |    CAST(sum(CASE WHEN py = 1 THEN CAST(sq AS DECIMAL(18,4)) END) AS DOUBLE) AS sa,
+       |    CAST(sum(py) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN py = 0 THEN CAST(sq AS DECIMAL(18,4)) END) AS DOUBLE) AS sb,
+       |    CAST(count(*) - sum(py) AS BIGINT) AS nb
+       |  FROM p GROUP BY salt),
+       |pd AS (SELECT salt,
+       |    round(abs(sa / CAST(na AS DOUBLE)
+       |      - sb / CAST(nb AS DOUBLE)), 6) AS adiff
+       |  FROM ps)
+       |SELECT na AS n_en, nb AS n_rest,
+       |  round(sa / CAST(na AS DOUBLE)
+       |    - sb / CAST(nb AS DOUBLE), 6) + 0.0 AS obs_diff,
+       |  CAST(64 AS BIGINT) AS n_perm,
+       |  CAST((SELECT count(*) FROM pd WHERE adiff >=
+       |    round(abs(sa / CAST(na AS DOUBLE)
+       |      - sb / CAST(nb AS DOUBLE)), 6)) AS BIGINT) AS n_exceed,
+       |  round((1.0 + (SELECT count(*) FROM pd WHERE adiff >=
+       |    round(abs(sa / CAST(na AS DOUBLE)
+       |      - sb / CAST(nb AS DOUBLE)), 6))) / 65.0, 4) AS p_value
+       |FROM obs""".stripMargin,
+  ) { (s, dir) =>
+    import graft.text.TextAnalysis
+    def dmean(v: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) = (
+      sum(when(g, v.cast("decimal(18,4)"))).cast("double"),
+      sum(when(g, 1).otherwise(0)).cast("long"))
+    val d = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+        when(col("lang") === "en", 1).otherwise(0).as("y")))
+    val (osa, _) = dmean(col("sq"), col("y") === 1)
+    val (osb, _) = dmean(col("sq"), col("y") === 0)
+    val obs = d.agg(osa.as("sa"), sum("y").cast("long").as("na"),
+      osb.as("sb"), (count(lit(1)) - sum("y")).cast("long").as("nb"))
+    val py = when(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("salt").cast("string"))), 1, 1) < "8", 1).otherwise(0)
+    val (psa, _) = dmean(col("sq"), col("py") === 1)
+    val (psb, _) = dmean(col("sq"), col("py") === 0)
+    val ps = d.crossJoin(broadcast(
+        s.range(0, 64).toDF("salt").select(col("salt").cast("int").as("salt"))))
+      .withColumn("py", py)
+      .groupBy("salt")
+      .agg(psa.as("sa"), sum("py").cast("long").as("na"),
+        psb.as("sb"), (count(lit(1)) - sum("py")).cast("long").as("nb"))
+    def gap(sa: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+            sb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+      try_divide(sa, na.cast("double")) - try_divide(sb, nb.cast("double"))
+    val pd = ps.select(round(abs(gap(col("sa"), col("na"), col("sb"), col("nb"))), 6)
+      .as("adiff"))
+    val og = gap(col("sa"), col("na"), col("sb"), col("nb"))
+    obs.crossJoin(broadcast(pd.agg(collect_list("adiff").as("adiffs"))))
+      .select(col("na").as("n_en"), col("nb").as("n_rest"),
+        znorm(round(og, 6)).as("obs_diff"),
+        lit(64L).as("n_perm"),
+        size(filter(col("adiffs"), a => a >= round(abs(og), 6)))
+          .cast("long").as("n_exceed"),
+        round((lit(1.0) + size(filter(col("adiffs"), a => a >= round(abs(og), 6))))
+          / 65.0, 4).as("p_value"))
   }
 }

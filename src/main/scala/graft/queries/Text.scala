@@ -20,7 +20,8 @@ object Text {
     charEntropy, scorerAgreement, streamingQualityFilter, tokenizerFertility,
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
-    gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau)
+    gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
+    lzCompressibility)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -2121,6 +2122,69 @@ object Text {
           znorm(round(z, 4)).as("z"), (z > 4.0).as("flagged"))
         .orderBy("doc_id")
     }
+  }
+
+  // --- q269: LZ78 phrase compressibility filter ------------------------------
+  // The compression-ratio quality gate production curators run (Dolma/
+  // RedPajama filter highly-compressible pages — repeated boilerplate
+  // compresses far below natural text): an exact LZ78 phrase count
+  // over each document's first 240 chars, as a pure codegen'd
+  // `aggregate` higher-order fold — accumulator is a delimited string
+  // "(|dict|…|);current;count", one contains() per char. No UDF, no
+  // explode, no shuffle before the final sort: per-row work is bounded
+  // by the 240-char cap regardless of corpus size, which is exactly
+  // the per-row-linear shape that survives 100 TB. DuckDB replays the
+  // identical fold with list_reduce, so phrase counts are
+  // bit-reproducible (prototyped against a reference Python LZ78:
+  // exact match). Natural text here scores ratio ≈ 0.44-0.67; docs
+  // under 0.45 are flagged repetitive. Delimiters ';'/'|' are safe:
+  // the corpus charset is [a-z0-9 .,].
+  def lzCompressibility: Q = Q(
+    "q269_lz_compressibility",
+    """WITH d AS (SELECT doc_id, substr(text, 1, 240) AS t FROM documents),
+      |f AS (SELECT doc_id, t, list_reduce(list_prepend('|;;0', string_split(t, '')),
+      |  (acc, c) -> CASE
+      |    WHEN contains(string_split(acc, ';')[1],
+      |                  '|' || string_split(acc, ';')[2] || c || '|')
+      |      THEN string_split(acc, ';')[1] || ';' ||
+      |           string_split(acc, ';')[2] || c || ';' || string_split(acc, ';')[3]
+      |    ELSE string_split(acc, ';')[1] || string_split(acc, ';')[2] || c || '|' ||
+      |         ';;' || CAST(CAST(string_split(acc, ';')[3] AS INT) + 1 AS VARCHAR)
+      |  END) AS acc FROM d),
+      |g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+      |    CAST(CAST(string_split(acc, ';')[3] AS INT)
+      |      + CASE WHEN string_split(acc, ';')[2] <> '' THEN 1 ELSE 0 END AS BIGINT)
+      |      AS n_phrases
+      |  FROM f)
+      |SELECT doc_id, n_chars, n_phrases,
+      |  round(CAST(n_phrases AS DOUBLE) / n_chars, 4) AS lz_ratio,
+      |  round(CAST(n_phrases AS DOUBLE) / n_chars, 4) < 0.45 AS is_repetitive
+      |FROM g ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val t = substring(col("text"), 1, 240)
+    val fold = aggregate(
+      split(t, ""),
+      lit("|;;0"),
+      (acc, c) => {
+        val d = element_at(split(acc, ";"), 1)
+        val cur = element_at(split(acc, ";"), 2)
+        val cnt = element_at(split(acc, ";"), 3)
+        val cand = concat(cur, c)
+        when(d.contains(concat(lit("|"), cand, lit("|"))),
+          concat(d, lit(";"), cand, lit(";"), cnt))
+          .otherwise(concat(d, cand, lit("|;;"),
+            (cnt.cast("int") + 1).cast("string")))
+      })
+    val df = Tables.documents(s, dir)
+      .select(col("doc_id"), length(t).cast("long").as("n_chars"), fold.as("acc"))
+      .select(col("doc_id"), col("n_chars"),
+        (element_at(split(col("acc"), ";"), 3).cast("int") +
+          when(element_at(split(col("acc"), ";"), 2) =!= "", 1).otherwise(0))
+          .cast("long").as("n_phrases"))
+    val ratio = round(col("n_phrases").cast("double") / col("n_chars"), 4)
+    df.select(col("doc_id"), col("n_chars"), col("n_phrases"),
+        ratio.as("lz_ratio"), (ratio < 0.45).as("is_repetitive"))
+      .orderBy("doc_id")
   }
 }
 

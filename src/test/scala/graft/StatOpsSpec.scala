@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Curation, Ml, Text}
+
+/** Semantic pins for the round-8 statistics/curation wave (q269–q274)
+  * on crafted fixtures. The driver oracle pins cross-engine equality;
+  * these pin the math itself: the LZ78 fold against a from-scratch
+  * reference, W₁ on point-mass distributions, a hand-computed average
+  * precision, Otsu's closed form on a two-level histogram, shrinkage
+  * monotonicity in n, and the permutation test's null behavior
+  * (including the +0.0 canonical zero).
+  */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stat").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Reference LZ78 phrase count (the q269 contract, independently). */
+  private def lz78(t: String): Int = {
+    val dict = scala.collection.mutable.Set[String]()
+    var cur = ""; var n = 0
+    t.foreach { c =>
+      val cand = cur + c
+      if (dict.contains(cand)) cur = cand
+      else { dict += cand; n += 1; cur = "" }
+    }
+    n + (if (cur.nonEmpty) 1 else 0)
+  }
+
+  test("q269: fold matches reference LZ78; repetition is flagged, prose is not") {
+    val rep = Seq.fill(60)("ab").mkString(" ")         // highly compressible
+    val prose = "the quick brown fox jumps over a lazy dog near the old riverbank " +
+      "while seven wizards boxed quietly in 1942 watching pale dusk settle"
+    val dir = corpusDir(Seq(
+      (1L, rep, "en", "s0"), (2L, prose, "en", "s0"),
+      (3L, "abcabcabc", "en", "s0")))
+    val out = Text.lzCompressibility.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(1L -> rep, 2L -> prose, 3L -> "abcabcabc").foreach { case (id, t) =>
+      val scored = t.take(240)
+      assert(out(id).getLong(1) === scored.length.toLong)
+      assert(out(id).getLong(2) === lz78(scored).toLong, s"doc $id phrase count")
+    }
+    assert(out(1L).getBoolean(4), "repetitive doc must be flagged")
+    assert(!out(2L).getBoolean(4), "natural prose must not be flagged")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q270: W1 between point masses is their quality gap; identical sources → 0") {
+    // sA docs: 50 distinct non-stop tokens → q = 1.0; sB docs: 25 → q = 0.75.
+    val hi = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val lo = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, hi, "en", "sA"), (2L, hi, "en", "sA"),
+      (3L, lo, "en", "sB"), (4L, lo, "en", "sB")))
+    val out = Ml.wassersteinDrift.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // each source vs the other point mass: W1 = |1.0 − 0.75|
+    assert(math.abs(out("sA") - 0.25) < 1e-9)
+    assert(math.abs(out("sB") - 0.25) < 1e-9)
+    // a third source identical to the pooled rest of itself: single-value corpus
+    val dir2 = corpusDir(Seq(
+      (1L, hi, "en", "sA"), (2L, hi, "en", "sB")))
+    val out2 = Ml.wassersteinDrift.fn(spark, dir2).collect()
+    out2.foreach(r => assert(r.getDouble(2) === 0.0))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q271: hand-computed AP on a 4-doc ranking") {
+    def distinctToks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def repeated(d: Int, reps: Int, p: String) =
+      (1 to d).flatMap(i => Seq.fill(reps)(s"$p$i")).mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, distinctToks(50, "a"), "xx", "s0"),  // q=1.0, rel=1
+      (2L, repeated(10, 4, "b"), "xx", "s0"),   // q=0.9, rel=0 (frac .25)
+      (3L, distinctToks(30, "c"), "xx", "s0"),  // q=0.8, rel=1
+      (4L, repeated(5, 4, "d"), "xx", "s0")))   // q=0.7, rel=0
+    val r = Ml.averagePrecision.fn(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 4L && r(0).getLong(2) === 2L)
+    // ranking rel pattern 1,0,1,0 → AP = (1/2)(1/1 + 2/3)
+    assert(math.abs(r(0).getDouble(3) - 0.833333) < 1e-6)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q272: two-level histogram gives Otsu's closed form at the split") {
+    val hi = (1 to 50).map(i => s"tok$i").mkString(" ")      // q = 1.0
+    val lo = Seq.fill(50)("the").mkString(" ")               // q = 0.5
+    val dir = corpusDir(
+      (1L to 5L).map(i => (i, hi, "en", "s0")) ++
+        (6L to 10L).map(i => (i, lo, "en", "s0")))
+    val rows = Curation.otsuThreshold.fn(spark, dir).collect()
+    assert(rows.length === 1) // the cn<n frontier of a 2-value histogram
+    assert(rows(0).getDouble(0) === 0.5)
+    // σ²_b = ω0·ω1·(μ0−μ1)² = 0.5·0.5·0.25
+    assert(math.abs(rows(0).getDouble(1) - 0.0625) < 1e-9)
+    assert(rows(0).getBoolean(2))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q273: shrinkage pulls small sources harder and stays between raw and prior") {
+    val pass = (1 to 50).map(i => s"tok$i").mkString(" ")    // q = 1.0 ≥ .75
+    val fail = Seq.fill(50)("the").mkString(" ")             // q = 0.5 < .75
+    def docs(src: String, nPass: Int, nFail: Int, base: Long) =
+      (0 until nPass).map(i => (base + i, pass, "en", src)) ++
+        (0 until nFail).map(i => (base + nPass + i, fail, "en", src))
+    val dir = corpusDir(
+      docs("s1", 5, 5, 0L) ++ docs("s2", 9, 1, 100L) ++ docs("s3", 2, 0, 200L))
+    val out = Curation.ebShrinkage.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = (0.5 + 0.9 + 1.0) / 3.0
+    out.values.foreach { r =>
+      val raw = r.getDouble(3); val shrunk = r.getDouble(4)
+      assert(shrunk >= math.min(raw, m) - 1e-6 && shrunk <= math.max(raw, m) + 1e-6,
+        s"shrunk between raw and prior mean: $r")
+    }
+    // smaller n → smaller weight on own data
+    assert(out("s3").getDouble(5) < out("s1").getDouble(5))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q274: identical groups give obs_diff +0.0 and p-value 1") {
+    val t = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dir = corpusDir(
+      (1L to 8L).map(i => (i, t, if (i % 2 == 0) "en" else "de", "s0")))
+    val r = Ml.permutationTest.fn(spark, dir).collect()(0)
+    val obs = r.getDouble(2)
+    assert(obs === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(obs) === 0L, "canonical +0.0")
+    assert(r.getLong(3) === 64L)
+    assert(r.getLong(4) === 64L)  // every null gap |d| ≥ 0 = obs
+    assert(r.getDouble(5) === 1.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+}
