@@ -20,7 +20,8 @@ object Corpus {
   val all: Seq[Q] = Seq(chunkOverlap, boilerplateNgrams, ngramVocab, prefixGroups,
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
-    tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture)
+    tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
+    hillTailIndex, selfOverlapDiversity)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1051,5 +1052,115 @@ object Corpus {
           round(abs(col("est") - exact), 4).as("abs_err"))
         .orderBy("src_a", "src_b")
     }
+  }
+
+  // --- q275: Hill tail-index estimator of the token frequency law ------------
+  // q162 fits the whole top-100 rank-frequency line by OLS; the Hill
+  // estimator answers the tail question directly — the maximum-
+  // likelihood Pareto exponent α̂ = k / Σᵢ ln(fᵢ/f₍ₖ₊₁₎) over the k
+  // largest frequencies. Natural-language tails run α ≈ 1 (Zipf);
+  // a vocabulary whose head is artificially flat (template spam) or
+  // spiked (token collapse) moves α̂ far from 1, and unlike the OLS
+  // slope it has a known standard error (α̂/√k). k adapts to
+  // min(100, |vocab|−1) so a small-vocabulary corpus still yields an
+  // estimate (the test corpora have ~31 types). Order statistics come
+  // from a bounded top-101 TakeOrderedAndProject (the q162 stance) —
+  // the corpus-sized work is one term-frequency aggregate; every log
+  // is 9-dp rounded into DECIMAL before summing. A degenerate corpus
+  // (top 101 frequencies all equal) nulls α̂ via try_divide.
+  def hillTailIndex: Q = Q(
+    "q275_hill_tail_index",
+    """WITH tf AS (SELECT tok, count(*) AS c FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |top AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 101),
+      |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM top),
+      |mx AS (SELECT max(r) AS m FROM rk),
+      |kp1 AS (SELECT CAST(c AS BIGINT) AS x_min, m FROM rk CROSS JOIN mx WHERE r = m),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS k, x_min,
+      |    CAST(sum(CAST(round(ln(CAST(c AS DOUBLE) / x_min), 9) AS DECIMAL(18,9)))
+      |      AS DOUBLE) AS slog
+      |  FROM rk CROSS JOIN kp1 WHERE r < m GROUP BY x_min)
+      |SELECT k, x_min,
+      |  round(CAST(k AS DOUBLE) / slog, 6) AS hill_alpha,
+      |  round(CAST(k AS DOUBLE) / slog / sqrt(CAST(k AS DOUBLE)), 6) AS alpha_se
+      |FROM s""".stripMargin,
+  ) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("tok")).limit(101)
+    val rk = top.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val rkP = graft.dedup.Dedup.persistTracked(rk)
+    val mx = rkP.agg(max("r").as("m"))
+    val kp1 = rkP.crossJoin(broadcast(mx)).filter(col("r") === col("m"))
+      .select(col("c").cast("long").as("x_min"), col("m"))
+    val st = rkP.crossJoin(broadcast(kp1)).filter(col("r") < col("m"))
+      .groupBy("x_min")
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(round(log(col("c").cast("double") / col("x_min")), 9)
+          .cast("decimal(18,9)")).cast("double").as("slog"))
+    val alpha = try_divide(col("k").cast("double"), col("slog"))
+    st.select(col("k"), col("x_min"),
+      round(alpha, 6).as("hill_alpha"),
+      round(alpha / sqrt(col("k").cast("double")), 6).as("alpha_se"))
+  }
+
+  // --- q276: per-source self-overlap (Self-BLEU-style diversity audit) -------
+  // Generated or templated sources repeat THEMSELVES: for each doc,
+  // the share of its distinct trigrams that also occur in at least
+  // one OTHER doc of the same source; per source, the mean share and
+  // the fraction of docs above ½ ("templated"). This is the corpus-
+  // diversity number a synthetic-data pipeline watches (Self-BLEU's
+  // n-gram core without the BLEU brevity machinery). Everything is
+  // one trigram explode + a (source, shingle) document-frequency
+  // aggregate joined back — linear keyed work, no pair generation, so
+  // none of the dedup family's cap machinery is needed. df ≥ 2 uses
+  // doc-distinct shingles, so a phrase repeated inside ONE doc does
+  // not count as self-overlap (q82 already measures intra-doc
+  // repetition).
+  def selfOverlapDiversity: Q = Q(
+    "q276_self_overlap",
+    """WITH dd AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source, shingle FROM dd,
+      |    UNNEST(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |  WHERE len(t) >= 3),
+      |df AS (SELECT source, shingle, count(*) AS df FROM sh GROUP BY 1, 2),
+      |pd AS (SELECT s.doc_id, s.source, count(*) AS n_sh,
+      |    CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |  FROM sh s JOIN df ON s.source = df.source AND s.shingle = df.shingle
+      |  GROUP BY 1, 2),
+      |fr AS (SELECT source, round(CAST(n_shared AS DOUBLE) / n_sh, 6) AS frac FROM pd)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+      |  round(CAST(sum(CAST(frac AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      |    AS mean_self_overlap,
+      |  round(CAST(sum(CASE WHEN frac > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS templated_share
+      |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val sh = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("shingle"))
+      .distinct())
+    val df = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+    val pd = sh.join(df, Seq("source", "shingle"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
+    val fr = pd.select(col("source"),
+      round(col("n_shared").cast("double") / col("n_sh"), 6).as("frac"))
+    fr.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs_scored"),
+        round(dsum(col("frac"), 6) / count(lit(1)), 6).as("mean_self_overlap"),
+        round(sum(when(col("frac") > 0.5, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("templated_share"))
+      .orderBy("source")
   }
 }

@@ -19,7 +19,7 @@ object Curation {
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
-    otsuThreshold, ebShrinkage)
+    otsuThreshold, ebShrinkage, facilityLocation)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1460,6 +1460,76 @@ object Curation {
         round(try_divide(col("n").cast("double"), col("n") + col("kk")), 6)
           .as("weight"))
       .orderBy("source")
+  }
+
+  // --- q280: greedy max-coverage (facility-location) doc selection ------------
+  // The diversity-subset selector dual to q256's k-center: pick K
+  // docs that together COVER the most distinct trigrams — the
+  // submodular facility-location objective whose greedy is
+  // (1−1/e)-optimal, used to seed eval sets / dedup exemplars with
+  // maximum n-gram coverage. Per round the plan is one anti-join
+  // against the covered-shingle set plus one doc-keyed count — K
+  // corpus passes total, all keyed, covered shingles never leave the
+  // cluster; only the per-round argmax row reaches the driver (the
+  // q256 scalar-collect budget). Ties break on doc_id; the oracle
+  // unrolls the identical K rounds as (gain, argmax, cover) CTE
+  // triples, so the data-dependent greedy chain is replayed
+  // independently.
+  def facilityLocation: Q = {
+    val K = 5
+    val roundCtes = (2 to K).map { r =>
+      val exclude = (1 until r).map(i => s"SELECT doc_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""g$r AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM sh LEFT JOIN c${r - 1} cc ON sh.shingle = cc.shingle
+         |  WHERE cc.shingle IS NULL AND sh.doc_id NOT IN ($exclude)
+         |  GROUP BY sh.doc_id),
+         |s$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS (SELECT shingle FROM c${r - 1}
+         |  UNION SELECT sh.shingle FROM sh JOIN s$r USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to K).map(r =>
+      s"SELECT $r AS sel_rank, doc_id, gain FROM s$r").mkString(" UNION ALL ")
+    Q(
+      "q280_facility_location",
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM dd,
+         |    UNNEST(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |  WHERE len(t) >= 3),
+         |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh GROUP BY doc_id),
+         |s1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+         |c1 AS (SELECT DISTINCT sh.shingle FROM sh JOIN s1 USING (doc_id)),
+         |$roundCtes
+         |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id, gain FROM ($sel)
+         |ORDER BY sel_rank""".stripMargin,
+    ) { (s, dir) =>
+      val t = TextAnalysis.tokens(col("text"))
+      val sh = Dedup.persistTracked(Tables.documents(s, dir)
+        .filter(size(t) >= 3)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))).as("shingle"))
+        .distinct())
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var uncovered = sh
+      for (r <- 1 to K) {
+        val gains = if (picks.isEmpty) uncovered
+          else uncovered.filter(!col("doc_id").isin(picks.map(_._2).toSeq: _*))
+        val best = gains.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+        if (best.nonEmpty) {
+          val row = best(0)
+          picks += ((r.toLong, row.getLong(0), row.getLong(1)))
+          val cov = sh.filter(col("doc_id") === row.getLong(0)).select("shingle")
+          uncovered = uncovered.join(cov, Seq("shingle"), "left_anti")
+        }
+      }
+      import s.implicits._
+      picks.toSeq.toDF("sel_rank", "doc_id", "gain").orderBy("sel_rank")
+    }
   }
 }
 

@@ -16,7 +16,8 @@ object Events {
     kaplanMeier, lastTouchAttribution, cohortLtv, streamingLeftOuterJoin,
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
-    seasonalDecompose, skylineDays, gapRegularity, markovPerplexity)
+    seasonalDecompose, skylineDays, gapRegularity, markovPerplexity,
+    sprtMonitor)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1601,5 +1602,52 @@ object Events {
       .select(col("cur").as("event_type"), col("n_eval"), col("mean_logprob"),
         col("perplexity"))
       .orderBy("event_type")
+  }
+
+  // --- q279: SPRT sequential conversion monitor -------------------------------
+  // The anytime-valid cousin of q116/q129: Wald's sequential
+  // probability ratio test over the daily purchase share, H₀ p=0.15
+  // vs H₁ p=0.20 at α=β=0.05. Each day contributes
+  // x·ln(p₁/p₀) + (n−x)·ln((1−p₁)/(1−p₀)); the cumulative LLR crosses
+  // ±ln 19 the moment the data decide — the monitoring shape that
+  // stops an experiment early instead of waiting for a fixed horizon.
+  // Per-day terms are 8-dp rounded into DECIMAL before the cumulative
+  // window (days-sized, the bounded-window stance), and the decision
+  // compares 6-dp-rounded values so an engine ULP on ln can't flip a
+  // boundary day. One scan → days-row aggregate → 30-row window.
+  def sprtMonitor: Q = Q(
+    "q279_sprt_monitor",
+    """WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS x
+      |  FROM ev GROUP BY day),
+      |l AS (SELECT day, n, x,
+      |    round(x * ln(0.20 / 0.15) + (n - x) * ln(0.80 / 0.85), 8) AS llr FROM d),
+      |c AS (SELECT day, n, x,
+      |    CAST(sum(CAST(llr AS DECIMAL(18,8))) OVER (ORDER BY day) AS DOUBLE) AS cum
+      |  FROM l)
+      |SELECT day, n, x, round(cum, 6) + 0.0 AS cum_llr,
+      |  CASE WHEN round(cum, 6) >= round(ln(19.0), 6) THEN 'accept_h1'
+      |       WHEN round(cum, 6) <= -round(ln(19.0), 6) THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM c ORDER BY day""".stripMargin,
+  ) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      .groupBy("day")
+      .agg(count(lit(1)).cast("long").as("n"), sum("y").cast("long").as("x"))
+    val llr = round(col("x") * log(lit(0.20) / 0.15) +
+      (col("n") - col("x")) * log(lit(0.80) / 0.85), 8)
+    val c = d.withColumn("cum",
+      sum(llr.cast("decimal(18,8)")).over(Window.orderBy("day")).cast("double"))
+    val bound = round(log(lit(19.0)), 6)
+    c.select(col("day"), col("n"), col("x"),
+        znorm(round(col("cum"), 6)).as("cum_llr"),
+        when(round(col("cum"), 6) >= bound, "accept_h1")
+          .when(round(col("cum"), 6) <= -bound, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("day")
   }
 }

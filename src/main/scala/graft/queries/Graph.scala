@@ -15,7 +15,8 @@ import graft.{Q, Tables}
 object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
-    frequentPairs, labelPropagation, clusteringCoefficient, degreePowerLaw)
+    frequentPairs, labelPropagation, clusteringCoefficient, degreePowerLaw,
+    textrankKeywords)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -517,5 +518,83 @@ object Graph {
         round(try_divide(lit(2.0) * coalesce(col("n_tri"), lit(0L)),
           col("d") * (col("d") - 1)), 4).as("clustering_coef"))
       .orderBy("id")
+  }
+
+  // --- q278: TextRank keyword extraction --------------------------------------
+  // TF-IDF (q108) ranks terms by counting; TextRank ranks them by
+  // STRUCTURE — PageRank over the token co-occurrence graph, where a
+  // token matters because it neighbors tokens that matter. Nodes are
+  // the top-100 non-stopword types (bounded TakeOrdered, the q162
+  // stance); edges are adjacent-token pairs between two node tokens,
+  // symmetrized; then 4 power iterations through the SAME
+  // operators.PageRank used by q125 — one keyed join + one
+  // decimal-exact aggregate per iteration over a vocabulary-bounded
+  // graph. The corpus-sized work is one term-frequency aggregate and
+  // one bigram projection; everything after is ≤100 nodes. The oracle
+  // unrolls the identical 4 iterations (the q125 CTE pattern).
+  def textrankKeywords: Q = {
+    val iterCtes = (1 to 4).map { i =>
+      s"""r$i AS (SELECT g.dst AS id,
+         |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM n)
+         |    + CAST(0.85 AS DOUBLE)
+         |      * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(28,18))) AS DOUBLE) AS pr
+         |FROM g JOIN r${i - 1} r ON g.src = r.id JOIN deg d ON g.src = d.id
+         |GROUP BY g.dst)""".stripMargin
+    }.mkString(",\n")
+    val stopList = graft.text.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    Q(
+      "q278_textrank_keywords",
+      s"""WITH tf AS (SELECT tok, count(*) AS c FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |top AS (SELECT tok, c FROM tf WHERE tok NOT IN ($stopList)
+         |  ORDER BY c DESC, tok LIMIT 100),
+         |ids AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id FROM top),
+         |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |       UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |e AS (SELECT DISTINCT ia.id AS src, ib.id AS dst
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  JOIN ids ia ON a.tok = ia.tok JOIN ids ib ON b.tok = ib.tok
+         |  WHERE ia.id <> ib.id),
+         |g AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM g GROUP BY src),
+         |n AS (SELECT count(*) AS nn FROM deg),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT nn FROM n) AS pr FROM deg),
+         |$iterCtes
+         |SELECT i.tok AS keyword, round(r.pr, 12) AS pr
+         |FROM r4 r JOIN ids i ON r.id = i.id
+         |ORDER BY pr DESC, keyword LIMIT 15""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextAnalysis
+      val toks = TextAnalysis.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = tf.filter(!col("tok").isInCollection(TextAnalysis.Stopwords))
+        .orderBy(col("c").desc, col("tok")).limit(100)
+      val ids = graft.dedup.Dedup.persistTracked(top.withColumn("id",
+          row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+        .select("tok", "id"))
+      val bg = docs.filter(size(toks) >= 2)
+        .select(toks.as("t"))
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+        .select(col("p.a"), col("p.b"))
+      val edges = bg
+        .join(broadcast(ids.withColumnRenamed("tok", "a")
+          .withColumnRenamed("id", "src")), "a")
+        .join(broadcast(ids.withColumnRenamed("tok", "b")
+          .withColumnRenamed("id", "dst")), "b")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val ranks = graft.operators.PageRank.run(
+        graft.operators.PageRank.undirected(edges), iters = 4)
+      ranks.join(broadcast(ids), ranks("id") === ids("id"))
+        .select(col("tok").as("keyword"), round(col("pr"), 12).as("pr"))
+        .orderBy(col("pr").desc, col("keyword")).limit(15)
+    }
   }
 }

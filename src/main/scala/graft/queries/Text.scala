@@ -21,7 +21,7 @@ object Text {
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
-    lzCompressibility)
+    lzCompressibility, readability)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -2185,6 +2185,56 @@ object Text {
     df.select(col("doc_id"), col("n_chars"), col("n_phrases"),
         ratio.as("lz_ratio"), (ratio < 0.45).as("is_repetitive"))
       .orderBy("doc_id")
+  }
+
+  // --- q277: Flesch reading-ease profile per source ---------------------------
+  // The readability member of the quality family: Flesch reading ease
+  // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+  // the standard machine proxy syllables ≈ vowel groups (maximal
+  // [aeiou]+ runs, counted by collapsing each run to one '@' and
+  // diffing lengths — '@' is outside the corpus charset) and
+  // sentences = '.' count floored at 1. Everything per-row integer
+  // counting inside codegen — one scan, one sources-row aggregate.
+  // Per-doc scores are 4-dp rounded into DECIMAL before the mean (the
+  // dsum rule: the subtraction-built score must not be float-summed),
+  // and the mean is znorm'd because the cancelling form can land on
+  // ±0 for a degenerate corpus.
+  def readability: Q = Q(
+    "q277_readability",
+    """WITH m AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |    greatest(CAST(len(text) - len(replace(text, '.', '')) AS BIGINT), 1) AS sents,
+      |    CAST(len(regexp_replace(text, '[aeiou]+', '@', 'g'))
+      |      - len(replace(regexp_replace(text, '[aeiou]+', '@', 'g'), '@', ''))
+      |      AS BIGINT) AS syls
+      |  FROM documents),
+      |f AS (SELECT source,
+      |    round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+      |      - 84.6 * (CAST(syls AS DOUBLE) / words), 4) AS flesch
+      |  FROM m)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(CAST(flesch AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) + 0.0
+      |    AS mean_flesch,
+      |  round(CAST(sum(CASE WHEN flesch < 30.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS hard_share
+      |FROM f GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val vg = regexp_replace(col("text"), "[aeiou]+", "@")
+    val m = Tables.documents(s, dir).select(col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("words"),
+      greatest((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.", ""))).cast("long"), lit(1L))
+        .as("sents"),
+      (length(vg) - length(regexp_replace(vg, "@", ""))).cast("long").as("syls"))
+    val f = m.select(col("source"),
+      round(lit(206.835) - lit(1.015) * (col("words").cast("double") / col("sents"))
+        - lit(84.6) * (col("syls").cast("double") / col("words")), 4).as("flesch"))
+    f.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        znorm(round(dsum(col("flesch"), 4) / count(lit(1)), 4)).as("mean_flesch"),
+        round(sum(when(col("flesch") < 30.0, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("hard_share"))
+      .orderBy("source")
   }
 }
 

@@ -126,6 +126,90 @@ class StatOpsSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("q275: Hill alpha on a known geometric frequency ladder") {
+    // counts a:8 b:4 c:2 d:1 → m=4, x_min=1, k=3, slog = ln8+ln4+ln2 = 6·ln2
+    val text = (Seq.fill(8)("aaa") ++ Seq.fill(4)("bbb") ++
+      Seq.fill(2)("ccc") ++ Seq("ddd")).mkString(" ")
+    val dir = corpusDir(Seq((1L, text, "en", "s0")))
+    val r = queries.Corpus.hillTailIndex.fn(spark, dir).collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 1L)
+    val slog = BigDecimal(math.log(8.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.log(4.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.log(2.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(r.getDouble(2) - 3.0 / slog.toDouble) < 1e-6)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q276: twin docs read as full self-overlap, disjoint docs as zero") {
+    val twin = "a1 a2 a3 a4 a5"
+    val dir = corpusDir(Seq(
+      (1L, twin, "en", "sT"), (2L, twin, "en", "sT"),
+      (3L, "b1 b2 b3 b4", "en", "sD"), (4L, "c1 c2 c3 c4", "en", "sD")))
+    val out = queries.Corpus.selfOverlapDiversity.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("sT").getDouble(2) === 1.0 && out("sT").getDouble(3) === 1.0)
+    assert(out("sD").getDouble(2) === 0.0 && out("sD").getDouble(3) === 0.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q277: Flesch closed form on a two-word sentence") {
+    // "aa bb." → words=2, sents=1, vowel groups=1
+    // flesch = 206.835 − 1.015·2 − 84.6·0.5 = 162.505
+    val dir = corpusDir(Seq((1L, "aa bb.", "en", "s0")))
+    val r = Text.readability.fn(spark, dir).collect()(0)
+    assert(r.getLong(1) === 1L)
+    assert(math.abs(r.getDouble(2) - 162.505) < 1e-9)
+    assert(r.getDouble(3) === 0.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q278: symmetric components give uniform PageRank mass") {
+    // two disjoint symmetric pairs → 4 nodes, PR = 1/4 each
+    val dir = corpusDir(Seq(
+      (1L, "alpha beta alpha beta", "en", "s0"),
+      (2L, "gamma delta gamma delta", "en", "s0")))
+    val out = queries.Graph.textrankKeywords.fn(spark, dir).collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(math.abs(r.getDouble(1) - 0.25) < 1e-9, s"row $r"))
+    // deterministic tiebreak: alphabetical within equal pr
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("alpha", "beta", "delta", "gamma"))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q279: cumulative LLR and decisions recompute from the emitted day counts") {
+    val rows = queries.Events.sprtMonitor.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val lnUp = math.log(0.20 / 0.15); val lnDn = math.log(0.80 / 0.85)
+    var cum = BigDecimal(0)
+    rows.foreach { r =>
+      val n = r.getLong(1); val x = r.getLong(2)
+      val llr = BigDecimal(x * lnUp + (n - x) * lnDn)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      cum += llr
+      val rounded = cum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - rounded) < 1e-9, s"cum at ${r.getString(0)}")
+      val bound = BigDecimal(math.log(19.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = if (rounded >= bound) "accept_h1"
+        else if (rounded <= -bound) "accept_h0" else "continue"
+      assert(r.getString(4) === expect)
+    }
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q280: greedy covers the big doc first, skips dominated docs") {
+    val dir = corpusDir(Seq(
+      (1L, "a b c d e f g", "en", "s0"),  // 5 trigrams
+      (2L, "a b c d e f", "en", "s0"),    // 4 trigrams, subset of doc 1
+      (3L, "p q r", "en", "s0")))         // 1 disjoint trigram
+    val out = queries.Curation.facilityLocation.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 5L), (2L, 3L, 1L)),
+      "dominated doc 2 contributes nothing once doc 1 is in")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("q274: identical groups give obs_diff +0.0 and p-value 1") {
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")
     val dir = corpusDir(
