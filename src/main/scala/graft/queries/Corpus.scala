@@ -21,7 +21,7 @@ object Corpus {
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
-    hillTailIndex, selfOverlapDiversity)
+    hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1162,5 +1162,140 @@ object Corpus {
         round(sum(when(col("frac") > 0.5, 1).otherwise(0)).cast("double")
           / count(lit(1)), 4).as("templated_share"))
       .orderBy("source")
+  }
+
+  // --- q284: pairwise Jensen-Shannon divergence between sources ---------------
+  // q196 reports each batch's ASYMMETRIC KL against a reference; the
+  // mixture-design question is symmetric and pairwise — which sources
+  // are interchangeable and which bring genuinely different token
+  // mass? JS(p,q) = ½KL(p‖m)+½KL(q‖m) ∈ [0, ln 2], finite even on
+  // disjoint vocabularies. Scale stance: distributions are projected
+  // onto the top-500 corpus tokens + one '<other>' bucket (bounded
+  // TakeOrdered), so the per-pair term table is sources²-bounded ×
+  // ≤501 regardless of vocabulary size; one-sided tokens enter
+  // through a dense source×token grid (their q=0 half contributes
+  // p·ln 2 — NOT skippable). Terms are 9-dp rounded into DECIMAL;
+  // identical sources land on znorm'd +0.
+  def jsDivergencePairs: Q = Q(
+    "q284_js_divergence",
+    """WITH tc0 AS (SELECT source, tok, count(*) AS c FROM
+      |    (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |top AS (SELECT tok FROM (SELECT tok, sum(c) AS tc FROM tc0 GROUP BY tok
+      |  ORDER BY tc DESC, tok LIMIT 500)),
+      |tc AS (SELECT source,
+      |    CASE WHEN tok IN (SELECT tok FROM top) THEN tok ELSE '<other>' END AS tok,
+      |    CAST(sum(c) AS BIGINT) AS c
+      |  FROM tc0 GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY source),
+      |toks AS (SELECT DISTINCT tok FROM tc),
+      |grid AS (SELECT s.source, s.n, t.tok, coalesce(c.c, 0) AS c
+      |  FROM ns s CROSS JOIN toks t
+      |  LEFT JOIN tc c ON c.source = s.source AND c.tok = t.tok),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+      |  FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+      |  WHERE a.c + b.c > 0),
+      |terms AS (SELECT src_a, src_b,
+      |    round(
+      |      (CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+      |        * ln((CAST(ca AS DOUBLE) / na)
+      |          / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+      |        ELSE 0.0 END)
+      |      + (CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+      |        * ln((CAST(cb AS DOUBLE) / nb)
+      |          / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+      |        ELSE 0.0 END), 9) AS term
+      |  FROM pairs)
+      |SELECT src_a, src_b,
+      |  round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0 AS js
+      |FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+  ) { (s, dir) =>
+    val tc0 = Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val top = tc0.groupBy("tok").agg(sum("c").as("tc"))
+      .orderBy(col("tc").desc, col("tok")).limit(500).select("tok")
+    val tc = graft.dedup.Dedup.persistTracked(tc0
+      .join(broadcast(top.withColumn("istop", lit(1))), Seq("tok"), "left")
+      .select(col("source"),
+        when(col("istop") === 1, col("tok")).otherwise("<other>").as("tok"),
+        col("c"))
+      .groupBy("source", "tok").agg(sum("c").cast("long").as("c")))
+    val ns = tc.groupBy("source").agg(sum("c").cast("long").as("n"))
+    val toksD = tc.select("tok").distinct()
+    val grid = ns.crossJoin(broadcast(toksD))
+      .join(tc, Seq("source", "tok"), "left")
+      .select(col("source"), col("n"), col("tok"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("source").as("src_a"), col("tok"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = grid.select(col("source").as("src_b"), col("tok"),
+      col("c").as("cb"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .filter(col("ca") + col("cb") > 0)
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    val m = (pa + pb) / 2
+    val term = round(
+      when(col("ca") > 0, lit(0.5) * pa * log(pa / m)).otherwise(0.0) +
+        when(col("cb") > 0, lit(0.5) * pb * log(pb / m)).otherwise(0.0), 9)
+    pairs.select(col("src_a"), col("src_b"), term.as("term"))
+      .groupBy("src_a", "src_b")
+      .agg(znorm(round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6))
+        .as("js"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // --- q293: Lorenz deciles of token mass over documents ------------------------
+  // The packing/skew audit in Lorenz form: sort docs by length
+  // (longest first), carve into deciles, and report each decile's
+  // share of total corpus TOKENS — "the top 10% of docs hold X% of
+  // the tokens" is the number that sizes context-window packing
+  // (q73/q153) and flags length-skewed crawls. No corpus sort: the
+  // decile carve runs on the token-count HISTOGRAM's cumulative doc
+  // counts with integer division (the q288 trick — tie lengths land
+  // whole in one decile), and every share is a ratio of exact BIGINT
+  // token sums.
+  def tokenLorenz: Q = Q(
+    "q293_token_lorenz",
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |hist AS (SELECT nt, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY nt),
+      |cum AS (SELECT nt, c,
+      |    CAST(sum(c) OVER (ORDER BY nt DESC) AS BIGINT) AS cumn FROM hist),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(nt * c) AS BIGINT) AS toks FROM hist),
+      |dec AS (SELECT least((cumn - 1) * 10 // n, 9) AS decile, c, nt * c AS tk
+      |  FROM cum CROSS JOIN tot),
+      |g AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n_docs,
+      |    CAST(sum(tk) AS BIGINT) AS tokens FROM dec GROUP BY decile),
+      |gc AS (SELECT decile, n_docs, tokens,
+      |    CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_docs, tokens,
+      |  round(CAST(tokens AS DOUBLE) / toks, 6) AS token_share,
+      |  round(CAST(cum_tokens AS DOUBLE) / toks, 6) AS cum_token_share
+      |FROM gc CROSS JOIN tot ORDER BY decile""".stripMargin,
+  ) { (s, dir) =>
+    val hist = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("nt").agg(count(lit(1)).cast("long").as("c")))
+    val cum = hist.withColumn("cumn",
+      sum("c").over(Window.orderBy(col("nt").desc)).cast("long"))
+    val tot = hist.agg(sum("c").cast("long").as("n"),
+      sum(col("nt") * col("c")).cast("long").as("toks"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .select(least(expr("(cumn - 1) * 10 div n"), lit(9L)).as("decile"),
+        col("c"), (col("nt") * col("c")).as("tk"))
+    val g = dec.groupBy("decile")
+      .agg(sum("c").cast("long").as("n_docs"), sum("tk").cast("long").as("tokens"))
+    val gc = g.withColumn("cum_tokens",
+      sum("tokens").over(Window.orderBy("decile")).cast("long"))
+    gc.crossJoin(broadcast(tot))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("toks"), 6).as("token_share"),
+        round(col("cum_tokens").cast("double") / col("toks"), 6)
+          .as("cum_token_share"))
+      .orderBy("decile")
   }
 }

@@ -19,7 +19,7 @@ object Curation {
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
-    otsuThreshold, ebShrinkage, facilityLocation)
+    otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1530,6 +1530,100 @@ object Curation {
       import s.implicits._
       picks.toSeq.toDF("sel_rank", "doc_id", "gain").orderBy("sel_rank")
     }
+  }
+
+  // --- q290: best-of-n sampling yield per source -------------------------------
+  // The BoN question a preference/rejection-sampling pipeline asks of
+  // each source: if I draw n docs and keep the best by quality, what
+  // score do I expect? E[max of n] has the exact order-statistic form
+  // Σ_v v·(F(v)ⁿ − F(v⁻)ⁿ) on the 4-dp score histogram — no sampling,
+  // no corpus sort, just per-source cumulative counts over the
+  // bounded histogram and 9-dp decimal term sums. Reported for
+  // n = 1 (the mean — a built-in sanity check), 4, and 16: the spread
+  // between them is the selection headroom curation can still buy.
+  def bestOfN: Q = Q(
+    "q290_best_of_n",
+    s"""WITH sc AS (SELECT source,
+       |    round(${CurationSqlFragments.qualitySql}, 4) AS sq FROM documents),
+       |hist AS (SELECT source, sq, CAST(count(*) AS BIGINT) AS c
+       |  FROM sc GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY source),
+       |cum AS (SELECT h.source, h.sq, h.c, ns.n,
+       |    CAST(sum(h.c) OVER (PARTITION BY h.source ORDER BY h.sq) AS BIGINT) AS cc
+       |  FROM hist h JOIN ns ON ns.source = h.source),
+       |terms AS (SELECT source, n,
+       |    round(sq * (pow(CAST(cc AS DOUBLE) / n, 1)
+       |      - pow(CAST(cc - c AS DOUBLE) / n, 1)), 9) AS t1,
+       |    round(sq * (pow(CAST(cc AS DOUBLE) / n, 4)
+       |      - pow(CAST(cc - c AS DOUBLE) / n, 4)), 9) AS t4,
+       |    round(sq * (pow(CAST(cc AS DOUBLE) / n, 16)
+       |      - pow(CAST(cc - c AS DOUBLE) / n, 16)), 9) AS t16
+       |  FROM cum)
+       |SELECT source, max(n) AS n_docs,
+       |  round(CAST(sum(CAST(t1 AS DECIMAL(18,9))) AS DOUBLE), 6) AS e_best_of_1,
+       |  round(CAST(sum(CAST(t4 AS DECIMAL(18,9))) AS DOUBLE), 6) AS e_best_of_4,
+       |  round(CAST(sum(CAST(t16 AS DECIMAL(18,9))) AS DOUBLE), 6) AS e_best_of_16
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val sc = Tables.documents(s, dir)
+      .select(col("source"), round(TextAnalysis.qualityScore(col("text")), 4).as("sq"))
+    val hist = sc.groupBy("source", "sq").agg(count(lit(1)).cast("long").as("c"))
+    val ns = hist.groupBy("source").agg(sum("c").cast("long").as("n"))
+    val cum = hist.join(ns, "source")
+      .withColumn("cc", sum("c")
+        .over(Window.partitionBy("source").orderBy("sq")).cast("long"))
+    def term(nn: Int) = round(col("sq") *
+      (pow(col("cc").cast("double") / col("n"), nn) -
+        pow((col("cc") - col("c")).cast("double") / col("n"), nn)), 9)
+    cum.select(col("source"), col("n"),
+        term(1).as("t1"), term(4).as("t4"), term(16).as("t16"))
+      .groupBy("source")
+      .agg(max("n").as("n_docs"),
+        round(sum(col("t1").cast("decimal(18,9)")).cast("double"), 6)
+          .as("e_best_of_1"),
+        round(sum(col("t4").cast("decimal(18,9)")).cast("double"), 6)
+          .as("e_best_of_4"),
+        round(sum(col("t16").cast("decimal(18,9)")).cast("double"), 6)
+          .as("e_best_of_16"))
+      .orderBy("source")
+  }
+
+  // --- q294: leave-one-source-out influence on corpus quality ------------------
+  // The source-ablation readout: how much does dropping each source
+  // move the corpus mean quality? All 20 leave-outs from ONE
+  // aggregate pass via the sum-minus-group identity (the q285
+  // jackknife trick on means): mean₋ₛ = (S−sₛ)/(N−nₛ) from
+  // DECIMAL-exact per-source sums. influence > 0 ⇒ the source pulls
+  // the corpus mean UP. The cancelling subtraction is znorm'd.
+  def sourceInfluence: Q = Q(
+    "q294_source_influence",
+    s"""WITH sc AS (SELECT source,
+       |    round(${CurationSqlFragments.qualitySql}, 4) AS sq FROM documents),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(sq AS DECIMAL(18,4))) AS DOUBLE) AS sm
+       |  FROM sc GROUP BY source),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(CAST(round(sm, 4) AS DECIMAL(18,4))) AS DOUBLE) AS ss FROM g)
+       |SELECT source, n AS n_docs,
+       |  round(sm / n, 6) AS mean_source,
+       |  round((ss - sm) / (nn - n), 6) AS mean_without,
+       |  round(ss / nn - (ss - sm) / (nn - n), 6) + 0.0 AS influence
+       |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val sc = Tables.documents(s, dir)
+      .select(col("source"), round(TextAnalysis.qualityScore(col("text")), 4).as("sq"))
+    val g = Dedup.persistTracked(sc.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"), dsum(col("sq"), 4).as("sm")))
+    val tot = g.agg(sum("n").cast("long").as("nn"),
+      dsum(round(col("sm"), 4), 4).as("ss"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("sm") / col("n"), 6).as("mean_source"),
+        round((col("ss") - col("sm")) / (col("nn") - col("n")), 6)
+          .as("mean_without"),
+        znorm(round(col("ss") / col("nn") -
+          (col("ss") - col("sm")) / (col("nn") - col("n")), 6)).as("influence"))
+      .orderBy("source")
   }
 }
 

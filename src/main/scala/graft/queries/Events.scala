@@ -17,7 +17,7 @@ object Events {
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
     seasonalDecompose, skylineDays, gapRegularity, markovPerplexity,
-    sprtMonitor)
+    sprtMonitor, spectralGap)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1649,5 +1649,98 @@ object Events {
           .when(round(col("cum"), 6) <= -bound, "accept_h0")
           .otherwise("continue").as("decision"))
       .orderBy("day")
+  }
+
+  // --- q289: spectral gap / mixing time of the session Markov chain ------------
+  // q109 gives the transition matrix, q267 its predictive quality;
+  // this asks the DYNAMICS question — how fast does the chain forget
+  // its start state? |λ₂| (the SLEM) via 8 power iterations on the
+  // zero-sum complement of the stationary direction: start from
+  // e_first − 1/k (orthogonal to the all-ones right eigenvector),
+  // repeatedly apply xᵀP with L1 renormalization; the last norm
+  // before normalizing estimates |λ₂| and mixing ≈ ln 10 / −ln |λ₂|.
+  // Everything stays relational and types-bounded: the matrix is a
+  // k²-row table (k = event types), each iteration is one keyed join
+  // + one k-row aggregate with 12-dp decimal discipline, and the
+  // oracle unrolls the identical 8 (matvec, norm, rescale) CTE
+  // triples. A chain with λ₂ = 0 nulls out via try_divide.
+  def spectralGap: Q = {
+    // Each CTE is referenced exactly ONCE downstream (the L1 norm is a
+    // window over y_i, never a scalar subquery): a y→l→x triple where
+    // x reads y twice doubles the inlined plan per iteration — 2⁸ copies
+    // of the corpus window by x8 (measured: the oracle ran minutes
+    // instead of ms before this shape).
+    val iterCtes = (1 to 7).map { i =>
+      s"""y$i AS (SELECT p.to_type AS state,
+         |    CAST(sum(CAST(round(x.val * p.p, 12) AS DECIMAL(28,12))) AS DOUBLE) AS val
+         |  FROM x${i - 1} x JOIN pm p ON p.from_type = x.state GROUP BY p.to_type),
+         |x$i AS (SELECT state, round(val / CAST(sum(CAST(round(abs(val), 12)
+         |    AS DECIMAL(28,12))) OVER () AS DOUBLE), 12) AS val FROM y$i)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q289_spectral_gap",
+      s"""WITH pairs AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS n
+         |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |pm AS (SELECT from_type, to_type,
+         |    round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 9) AS p
+         |  FROM c),
+         |states AS (SELECT from_type AS state,
+         |    row_number() OVER (ORDER BY from_type) AS rn,
+         |    count(*) OVER () AS k FROM
+         |    (SELECT DISTINCT from_type FROM pm)),
+         |x0 AS (SELECT state, CAST(k AS BIGINT) AS k,
+         |    CASE WHEN rn = 1 THEN 1.0 - 1.0 / k ELSE -1.0 / k END AS val
+         |  FROM states),
+         |$iterCtes,
+         |y8 AS (SELECT max(x.k) AS k,
+         |    CAST(sum(CAST(round(abs(yy.val), 12) AS DECIMAL(28,12))) AS DOUBLE) AS l
+         |  FROM (SELECT p.to_type AS state,
+         |      CAST(sum(CAST(round(x.val * p.p, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         |        AS val
+         |    FROM x7 x JOIN pm p ON p.from_type = x.state GROUP BY p.to_type) yy
+         |  CROSS JOIN (SELECT max(k) AS k FROM x0) x)
+         |SELECT CAST(k AS BIGINT) AS n_states,
+         |  round(l, 6) AS slem,
+         |  round(ln(10.0) / (-ln(l)), 4) AS mixing_steps
+         |FROM y8""".stripMargin,
+    ) { (s, dir) =>
+      val pairs = Tables.events(s, dir)
+        .select(col("event_type").as("from_type"),
+          lead("event_type", 1).over(Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val pm = graft.dedup.Dedup.persistTracked(cnt.select(col("from_type"),
+        col("to_type"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 9).as("p")))
+      val states = pm.select(col("from_type").as("state")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("state")))
+      val k = states.agg(count(lit(1)).cast("long").as("k"))
+      var x = states.crossJoin(broadcast(k))
+        .select(col("state"),
+          when(col("rn") === 1, lit(1.0) - lit(1.0) / col("k"))
+            .otherwise(lit(-1.0) / col("k")).as("val"))
+      var lastL: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 8) {
+        val y = x.join(pm, x("state") === pm("from_type"))
+          .select(col("to_type").as("state"),
+            round(col("val") * col("p"), 12).as("t"))
+          .groupBy("state")
+          .agg(sum(col("t").cast("decimal(28,12)")).cast("double").as("val"))
+        lastL = y.agg(sum(round(abs(col("val")), 12).cast("decimal(28,12)"))
+          .cast("double").as("l"))
+        x = y.crossJoin(broadcast(lastL))
+          .select(col("state"), round(try_divide(col("val"), col("l")), 12).as("val"))
+      }
+      lastL.crossJoin(broadcast(k))
+        .select(col("k").as("n_states"), round(col("l"), 6).as("slem"),
+          round(try_divide(log(lit(10.0)), -log(col("l"))), 4).as("mixing_steps"))
+    }
   }
 }

@@ -12,7 +12,7 @@ import graft.{Q, Tables}
 object Extras {
 
   val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
-    ewmaSmoothing, revenueForecast, wowGrowth, theilSen)
+    ewmaSmoothing, revenueForecast, wowGrowth, theilSen, jackknifeRatio)
 
   // --- q189: week-over-week growth ------------------------------------------
   // The simplest trend readout dashboards lead with: weekly revenue,
@@ -363,5 +363,67 @@ object Extras {
         col("c_name").like("%1%").as("has_one"),
         concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_nation"))
       .orderBy("c_custkey")
+  }
+
+  // --- q285: jackknife standard error of a ratio metric -------------------------
+  // Ratio metrics (revenue per unit here) have no closed-form SE; the
+  // delete-one-group jackknife over nations gives one without
+  // resampling the corpus: R₍ᵢ₎ = (Sy−yᵢ)/(Sx−xᵢ) from per-nation
+  // DECIMAL-exact totals (the "sum minus group" trick — 25 leave-outs
+  // cost ONE aggregate pass, not 25), then
+  // var = (g−1)/g · Σ(R₍ᵢ₎−R̄)². Group moments run over the 25-row
+  // nation table; leave-out ratios are 9-dp rounded into DECIMAL
+  // before the across-group moments, squares 12-dp. The CI bounds are
+  // cancelling subtractions → znorm'd.
+  def jackknifeRatio: Q = Q(
+    "q285_jackknife_ratio",
+    """WITH g AS (SELECT n_name,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS DOUBLE) AS y,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+      |    CAST(sum(CAST(round(y, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx FROM g),
+      |lo AS (SELECT n_name, round((sy - y) / (sx - x), 9) AS ri
+      |  FROM g CROSS JOIN tot),
+      |mo AS (SELECT CAST(sum(CAST(ri AS DECIMAL(18,9))) AS DOUBLE)
+      |    / (SELECT gn FROM tot) AS rbar FROM lo),
+      |vv AS (SELECT CAST(sum(CAST(round((ri - rbar) * (ri - rbar), 12)
+      |    AS DECIMAL(28,12))) AS DOUBLE) AS ss FROM lo CROSS JOIN mo)
+      |SELECT gn AS n_groups, round(sy / sx, 6) AS ratio,
+      |  round(sqrt((gn - 1.0) / gn * ss), 6) AS jack_se,
+      |  round(sy / sx - 1.96 * sqrt((gn - 1.0) / gn * ss), 6) + 0.0 AS ci_lo,
+      |  round(sy / sx + 1.96 * sqrt((gn - 1.0) / gn * ss), 6) + 0.0 AS ci_hi
+      |FROM tot CROSS JOIN vv""".stripMargin,
+  ) { (s, dir) =>
+    val g = graft.dedup.Dedup.persistTracked(Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("y"),
+        dsum(col("l_quantity")).as("x")))
+    val tot = g.agg(count(lit(1)).cast("long").as("gn"),
+      dsum(round(col("y"), 4), 4).as("sy"), dsum(round(col("x"), 2)).as("sx"))
+    val lo = graft.dedup.Dedup.persistTracked(g.crossJoin(broadcast(tot))
+      .select(col("gn"), col("sy"), col("sx"),
+        round((col("sy") - col("y")) / (col("sx") - col("x")), 9).as("ri")))
+    val mo = lo.groupBy("gn", "sy", "sx")
+      .agg((sum(col("ri").cast("decimal(18,9)")).cast("double") / col("gn")).as("rbar"))
+    val vv = lo.join(broadcast(mo), Seq("gn", "sy", "sx"))
+      .groupBy("gn", "sy", "sx")
+      .agg(sum(round((col("ri") - col("rbar")) * (col("ri") - col("rbar")), 12)
+        .cast("decimal(28,12)")).cast("double").as("ss"))
+    val se = sqrt((col("gn") - 1.0) / col("gn") * col("ss"))
+    vv.select(col("gn").as("n_groups"),
+      round(col("sy") / col("sx"), 6).as("ratio"),
+      round(se, 6).as("jack_se"),
+      znorm(round(col("sy") / col("sx") - lit(1.96) * se, 6)).as("ci_lo"),
+      znorm(round(col("sy") / col("sx") + lit(1.96) * se, 6)).as("ci_hi"))
   }
 }

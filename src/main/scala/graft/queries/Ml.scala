@@ -13,7 +13,7 @@ object Ml {
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
     bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift,
-    wassersteinDrift, averagePrecision, permutationTest)
+    wassersteinDrift, averagePrecision, permutationTest, cramersV, cumulativeGains)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -968,5 +968,125 @@ object Ml {
           .cast("long").as("n_exceed"),
         round((lit(1.0) + size(filter(col("adiffs"), a => a >= round(abs(og), 6))))
           / 65.0, 4).as("p_value"))
+  }
+
+  // --- q283: Cramér's V between language and source ----------------------------
+  // q116 emits the χ² CELLS; this is the bounded-effect-size summary a
+  // mixture report needs: V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1] for the
+  // lang × source contingency — "how much does source determine
+  // language" as one comparable number. The grid is densified
+  // (langs × sources cross join, absent combinations count 0 — their
+  // (0−E)²/E mass is NOT skippable), cell terms are 9-dp rounded into
+  // DECIMAL, and the corpus-sized work is one 2-key aggregate.
+  def cramersV: Q = Q(
+    "q283_cramers_v",
+    """WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |langs AS (SELECT DISTINCT lang FROM documents),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS k FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM langs) AS nr,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM srcs) AS nc
+      |  FROM obs),
+      |cells AS (SELECT l.lang, s.source, coalesce(o.o, 0) AS o,
+      |    CAST(r AS DOUBLE) * k / n AS e
+      |  FROM langs l CROSS JOIN srcs s
+      |  LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
+      |  JOIN rt ON rt.lang = l.lang JOIN ct ON ct.source = s.source CROSS JOIN tot),
+      |chi AS (SELECT CAST(sum(CAST(round(pow(o - e, 2) / e, 9) AS DECIMAL(18,9)))
+      |    AS DOUBLE) AS chi2 FROM cells)
+      |SELECT n, nr, nc, round(chi2, 6) AS chi2,
+      |  round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+      |FROM chi CROSS JOIN tot""".stripMargin,
+  ) { (s, dir) =>
+    val docs = graft.dedup.Dedup.persistTracked(
+      Tables.documents(s, dir).select("lang", "source"))
+    val obs = graft.dedup.Dedup.persistTracked(
+      docs.groupBy("lang", "source").agg(count(lit(1)).cast("long").as("o")))
+    val langs = obs.select("lang").distinct()
+    val srcs = obs.select("source").distinct()
+    val rt = obs.groupBy("lang").agg(sum("o").cast("long").as("r"))
+    val ct = obs.groupBy("source").agg(sum("o").cast("long").as("k"))
+    val tot = obs.agg(sum("o").cast("long").as("n"))
+      .crossJoin(broadcast(langs.agg(count(lit(1)).cast("long").as("nr"))))
+      .crossJoin(broadcast(srcs.agg(count(lit(1)).cast("long").as("nc"))))
+    val cells = langs.crossJoin(srcs)
+      .join(obs, Seq("lang", "source"), "left")
+      .join(rt, "lang").join(ct, "source").crossJoin(broadcast(tot))
+      .select(coalesce(col("o"), lit(0L)).as("o"),
+        (col("r").cast("double") * col("k") / col("n")).as("e"))
+    val chi = cells.agg(
+      sum(round(pow(col("o") - col("e"), 2) / col("e"), 9).cast("decimal(18,9)"))
+        .cast("double").as("chi2"))
+    chi.crossJoin(broadcast(tot))
+      .select(col("n"), col("nr"), col("nc"), round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  // --- q288: cumulative gains / lift table for the quality ranking -------------
+  // The decile view a filter-threshold decision actually reads: rank
+  // docs by quality, and per decile report the cumulative share of
+  // relevant docs captured (gains) and the precision multiple over
+  // random (lift). No corpus sort: deciles are assigned on the
+  // 4-dp score histogram's cumulative counts via INTEGER division
+  // ((cum−1)·10 div n — tie scores land whole in one decile, so both
+  // engines carve identically), windows run over the bounded
+  // histogram, and every rate is a ratio of exact integers.
+  def cumulativeGains: Q = Q(
+    "q288_cumulative_gains",
+    s"""WITH d AS (SELECT
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq,
+       |    CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+       |         >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS rel
+       |  FROM documents),
+       |hist AS (SELECT sq, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(rel) AS BIGINT) AS pos FROM d GROUP BY sq),
+       |cum AS (SELECT sq, c, pos,
+       |    CAST(sum(c) OVER (ORDER BY sq DESC) AS BIGINT) AS cumn FROM hist),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS np FROM hist),
+       |dec AS (SELECT least((cumn - 1) * 10 // n, 9) AS decile, c, pos
+       |  FROM cum CROSS JOIN tot),
+       |g AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos FROM dec GROUP BY decile),
+       |gc AS (SELECT decile, n_docs, n_pos,
+       |    CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+       |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+       |  FROM g)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       |  round(CAST(cum_pos AS DOUBLE) / np, 6) AS cum_gain,
+       |  round((CAST(cum_pos AS DOUBLE) / cum_docs) / (CAST(np AS DOUBLE) / n), 6)
+       |    AS lift
+       |FROM gc CROSS JOIN tot ORDER BY decile""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(
+      round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+      when(lit(2) * size(array_distinct(t)) >= size(t), 1).otherwise(0).as("rel"))
+    val hist = graft.dedup.Dedup.persistTracked(d.groupBy("sq")
+      .agg(count(lit(1)).cast("long").as("c"), sum("rel").cast("long").as("pos")))
+    val cum = hist.withColumn("cumn",
+      sum("c").over(Window.orderBy(col("sq").desc)).cast("long"))
+    val tot = hist.agg(sum("c").cast("long").as("n"), sum("pos").cast("long").as("np"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .select(least(expr("(cumn - 1) * 10 div n"), lit(9L)).as("decile"),
+        col("c"), col("pos"))
+    val g = dec.groupBy("decile")
+      .agg(sum("c").cast("long").as("n_docs"), sum("pos").cast("long").as("n_pos"))
+    val w = Window.orderBy("decile")
+    val gc = g
+      .withColumn("cum_docs", sum("n_docs").over(w).cast("long"))
+      .withColumn("cum_pos", sum("n_pos").over(w).cast("long"))
+    gc.crossJoin(broadcast(tot))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
+        round(col("cum_pos").cast("double") / col("np"), 6).as("cum_gain"),
+        round((col("cum_pos").cast("double") / col("cum_docs")) /
+          (col("np").cast("double") / col("n")), 6).as("lift"))
+      .orderBy("decile")
   }
 }

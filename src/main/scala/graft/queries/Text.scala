@@ -21,7 +21,7 @@ object Text {
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
-    lzCompressibility, readability)
+    lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -2235,6 +2235,150 @@ object Text {
         round(sum(when(col("flesch") < 30.0, 1).otherwise(0)).cast("double")
           / count(lit(1)), 4).as("hard_share"))
       .orderBy("source")
+  }
+
+  // --- q281: positional token entropy (template-slot detection) ---------------
+  // Template farms are not just repetitive overall — they are rigid
+  // AT FIXED POSITIONS ("dear <name> , your <product> ..."): the token
+  // distribution at position p collapses while the corpus-wide
+  // distribution looks healthy. For the first 10 positions of every
+  // ≥10-token doc: type count and Shannon entropy of the position's
+  // token distribution. A bounded ×10 fan-out of one column feeds a
+  // (position, token) keyed aggregate; entropies follow the q200
+  // discipline (9-dp rounded −p·ln p terms, DECIMAL-summed) and the
+  // negated sum is znorm'd (a single-type position is EXACTLY the
+  // −0.0 shape rule 8 exists for).
+  def positionalEntropy: Q = Q(
+    "q281_positional_entropy",
+    """WITH base AS (SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10),
+      |pos AS (SELECT CAST(i AS BIGINT) AS p, t[i] AS tok
+      |  FROM base, UNNEST(range(1, 11)) AS u(i)),
+      |pc AS (SELECT p, tok, count(*) AS c FROM pos GROUP BY p, tok),
+      |pn AS (SELECT p, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_types FROM pc GROUP BY p)
+      |SELECT pc.p AS position, n AS n_docs, n_types,
+      |  round(-CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+      |    * ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0
+      |    AS entropy
+      |FROM pc JOIN pn USING (p) GROUP BY pc.p, n, n_types
+      |ORDER BY position""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val pos = Tables.documents(s, dir)
+      .filter(size(t) >= 10)
+      .select(t.as("t"))
+      .select(explode(transform(sequence(lit(1), lit(10)),
+        i => struct(i.cast("long").as("p"), element_at(col("t"), i).as("tok"))))
+        .as("e"))
+      .select(col("e.p"), col("e.tok"))
+    val pc = pos.groupBy("p", "tok").agg(count(lit(1)).as("c"))
+    val pn = pc.groupBy("p").agg(sum("c").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_types"))
+    val term = round((col("c").cast("double") / col("n")) *
+      log(col("c").cast("double") / col("n")), 9)
+    pc.join(pn, "p")
+      .groupBy(col("p").as("position"), col("n").as("n_docs"), col("n_types"))
+      .agg(znorm(round(-sum(term.cast("decimal(18,9)")).cast("double"), 6))
+        .as("entropy"))
+      .orderBy("position")
+  }
+
+  // --- q282: McNemar's test between two quality gates --------------------------
+  // q226/q232 measure AGREEMENT between filters; McNemar asks the
+  // sharper operational question — do the quality gate (≥0.75) and
+  // the unique-token gate (≥½ distinct) DISAGREE in a biased
+  // direction (one systematically stricter), from only the discordant
+  // cells: χ² = (|b−c|−1)²/(b+c) with continuity correction. One scan
+  // into a single 2×2 contingency row; every count exact, the one
+  // division NULLs when the gates never disagree (b+c = 0).
+  def mcnemarGates: Q = Q(
+    "q282_mcnemar_gates",
+    s"""WITH d AS (SELECT
+       |    CASE WHEN round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4)
+       |         >= 0.75 THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+       |         >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS f2
+       |  FROM documents),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN f1 = 0 AND f2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN f1 = 0 AND f2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM d)
+       |SELECT n, a, b, c, d,
+       |  round(pow(abs(b - c) - 1, 2) / (b + c), 6) AS chi2,
+       |  pow(abs(b - c) - 1, 2) / (b + c) > 3.841 AS significant
+       |FROM m""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(
+      when(round(TextAnalysis.qualityScore(col("text")), 4) >= 0.75, 1)
+        .otherwise(0).as("f1"),
+      when(lit(2) * size(array_distinct(t)) >= size(t), 1).otherwise(0).as("f2"))
+    val m = d.agg(count(lit(1)).cast("long").as("n"),
+      sum(when(col("f1") === 1 && col("f2") === 1, 1).otherwise(0)).cast("long").as("a"),
+      sum(when(col("f1") === 1 && col("f2") === 0, 1).otherwise(0)).cast("long").as("b"),
+      sum(when(col("f1") === 0 && col("f2") === 1, 1).otherwise(0)).cast("long").as("c"),
+      sum(when(col("f1") === 0 && col("f2") === 0, 1).otherwise(0)).cast("long").as("d"))
+    val chi2 = try_divide(pow(abs(col("b") - col("c")) - 1, 2),
+      (col("b") + col("c")).cast("double"))
+    m.select(col("n"), col("a"), col("b"), col("c"), col("d"),
+      round(chi2, 6).as("chi2"), (chi2 > 3.841).as("significant"))
+  }
+
+  // --- q292: Bland-Altman agreement between two continuous scorers -------------
+  // κ (q226) and τ (q260) treat scorers as rankings; Bland-Altman is
+  // the CONTINUOUS-agreement standard — the bias (mean of per-doc
+  // score differences), the 1.96σ limits of agreement, and the share
+  // of docs outside them, between the composite quality score and the
+  // unique-token fraction (both on [0,1]). Differences are exact 4-dp
+  // values, moments DECIMAL-summed (Σd at 4 dp, Σd² at 8 — products
+  // of 4-dp values are exact there), the variance's cancelling
+  // numerator and both limits are znorm'd, and the outside test
+  // compares the exact d against 6-dp-rounded limits so no float
+  // boundary can flip a count.
+  def blandAltman: Q = Q(
+    "q292_bland_altman",
+    s"""WITH d0 AS (SELECT
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4)
+       |      - round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS d
+       |  FROM documents),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(d AS DECIMAL(18,4))) AS DOUBLE) AS sd1,
+       |    CAST(sum(CAST(d * d AS DECIMAL(28,8))) AS DOUBLE) AS sd2
+       |  FROM d0),
+       |f AS (SELECT n, sd1 / n AS bias,
+       |    sqrt((sd2 - sd1 / n * sd1) / (n - 1)) AS sd FROM m)
+       |SELECT n, round(bias, 6) + 0.0 AS bias, round(sd, 6) AS sd_diff,
+       |  round(bias - 1.96 * sd, 6) + 0.0 AS loa_lo,
+       |  round(bias + 1.96 * sd, 6) + 0.0 AS loa_hi,
+       |  round(CAST((SELECT count(*) FROM d0 CROSS JOIN f
+       |    WHERE d < round(bias - 1.96 * sd, 6)
+       |       OR d > round(bias + 1.96 * sd, 6)) AS DOUBLE) / n, 4) AS outside_share
+       |FROM f""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val d0 = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select((round(TextAnalysis.qualityScore(col("text")), 4) -
+        round(size(array_distinct(t)).cast("double") / size(t), 4)).as("d")))
+    val m = d0.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("d").cast("decimal(18,4)")).cast("double").as("sd1"),
+      sum((col("d") * col("d")).cast("decimal(28,8)")).cast("double").as("sd2"))
+    val f = m.select(col("n"), (col("sd1") / col("n")).as("bias"),
+      sqrt((col("sd2") - col("sd1") / col("n") * col("sd1")) / (col("n") - 1))
+        .as("sd"))
+    val outside = d0.crossJoin(broadcast(f))
+      .filter(col("d") < round(col("bias") - lit(1.96) * col("sd"), 6) ||
+        col("d") > round(col("bias") + lit(1.96) * col("sd"), 6))
+      .agg(count(lit(1)).cast("long").as("n_out"))
+    f.crossJoin(broadcast(outside))
+      .select(col("n"), znorm(round(col("bias"), 6)).as("bias"),
+        round(col("sd"), 6).as("sd_diff"),
+        znorm(round(col("bias") - lit(1.96) * col("sd"), 6)).as("loa_lo"),
+        znorm(round(col("bias") + lit(1.96) * col("sd"), 6)).as("loa_hi"),
+        round(col("n_out").cast("double") / col("n"), 4).as("outside_share"))
   }
 }
 

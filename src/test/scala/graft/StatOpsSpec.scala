@@ -210,6 +210,162 @@ class StatOpsSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("q281: a rigid template slot reads entropy +0.0, a free slot reads > 0") {
+    val docs = (1L to 4L).map { i =>
+      // position 1 always "greet"; position 2 varies per doc; pad to 10 tokens
+      (i, s"greet name$i " + (1 to 8).map(j => s"w${i}_$j").mkString(" "), "en", "s0")
+    }
+    val out = queries.Text.positionalEntropy.fn(spark, corpusDir(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 10)
+    val e1 = out(1L).getDouble(3)
+    assert(e1 === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(e1) === 0L, "canonical +0.0")
+    assert(out(1L).getLong(2) === 1L)
+    assert(out(2L).getDouble(3) > 1.0 && out(2L).getLong(2) === 4L)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q282: McNemar counts the discordant cells with continuity correction") {
+    val dir = corpusDir(Seq(
+      (1L, (1 to 50).map(i => s"a$i").mkString(" "), "en", "s0"),       // f1=1 f2=1
+      (2L, (1 to 10).flatMap(i => Seq.fill(4)(s"b$i")).mkString(" "), "en", "s0"), // f1=1 f2=0
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "), "en", "s0"),       // f1=0 f2=1
+      (4L, Seq.fill(50)("the").mkString(" "), "en", "s0")))             // f1=0 f2=0
+    val r = queries.Text.mcnemarGates.fn(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((1L, 1L, 1L, 1L)))
+    // chi2 = (|1-1|-1)^2 / 2 = 0.5
+    assert(r.getDouble(5) === 0.5)
+    assert(!r.getBoolean(6))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q283: perfect lang↔source coupling gives V = 1, independence gives V = 0") {
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val coupled = corpusDir(Seq(
+      (1L, t, "en", "sA"), (2L, t, "en", "sA"),
+      (3L, t, "de", "sB"), (4L, t, "de", "sB")))
+    val r1 = queries.Ml.cramersV.fn(spark, coupled).collect()(0)
+    assert(r1.getDouble(4) === 1.0)
+    val indep = corpusDir(Seq(
+      (1L, t, "en", "sA"), (2L, t, "de", "sA"),
+      (3L, t, "en", "sB"), (4L, t, "de", "sB")))
+    val r2 = queries.Ml.cramersV.fn(spark, indep).collect()(0)
+    assert(r2.getDouble(4) === 0.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q285: jackknife CI brackets the ratio with a nonnegative SE") {
+    val r = queries.Extras.jackknifeRatio.fn(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(r.getLong(0) === 25L)
+    val (ratio, se, lo, hi) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(se >= 0.0)
+    assert(lo <= ratio && ratio <= hi)
+    assert(math.abs((hi - lo) - 2 * 1.96 * se) < 1e-4)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q288: gains are monotone to 1.0 and lift recomputes from the counts") {
+    val rows = queries.Ml.cumulativeGains.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val gains = rows.map(_.getDouble(3))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(gains.last - 1.0) < 1e-9)
+    // lift_d ≡ (cum_pos/cum_docs)/(np/n) from the emitted per-decile counts
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val np = rows.map(_.getLong(2)).sum.toDouble
+    var cd = 0L; var cp = 0L
+    rows.foreach { r =>
+      cd += r.getLong(1); cp += r.getLong(2)
+      assert(math.abs(r.getDouble(4) - (cp.toDouble / cd) / (np / n)) < 1e-6,
+        s"lift at decile ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - cp / np) < 1e-6)
+    }
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q284: JS is +0.0 on twins, ln 2 on disjoint vocabularies") {
+    val dir = corpusDir(Seq(
+      (1L, "a1 a2 a3 a4", "en", "sA"), (2L, "a1 a2 a3 a4", "en", "sB"),
+      (3L, "z1 z2 z3 z4", "en", "sC")))
+    val out = queries.Corpus.jsDivergencePairs.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val ab = out(("sA", "sB"))
+    assert(ab === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(ab) === 0L, "canonical +0.0")
+    assert(math.abs(out(("sA", "sC")) - math.log(2.0)) < 1e-6)
+    assert(math.abs(out(("sB", "sC")) - math.log(2.0)) < 1e-6)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q289: SLEM estimate sits in [0,1) with a positive mixing time") {
+    val r = queries.Events.spectralGap.fn(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getLong(0) === 5L)
+    val slem = r.getDouble(1)
+    assert(slem >= 0.0 && slem < 1.0, s"slem=$slem")
+    assert(r.getDouble(2) > 0.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q290: order-statistic expectations on a two-value source") {
+    val hi = (1 to 25).flatMap(i => Seq.fill(2)(s"tok$i")).mkString(" ") // 50 toks → q=1.0
+    val lo = Seq.fill(50)("the").mkString(" ")                          // q=0.5
+    val dir = corpusDir(Seq(
+      (1L, hi, "en", "s0"), (2L, hi, "en", "s0"),
+      (3L, lo, "en", "s0"), (4L, lo, "en", "s0")))
+    val r = queries.Curation.bestOfN.fn(spark, dir).collect()(0)
+    assert(math.abs(r.getDouble(2) - 0.75) < 1e-9)                       // mean
+    assert(math.abs(r.getDouble(3) - (0.5 * 0.0625 + 1.0 * 0.9375)) < 1e-6)
+    val p16 = math.pow(0.5, 16)
+    assert(math.abs(r.getDouble(4) - (0.5 * p16 + 1.0 * (1 - p16))) < 1e-6)
+    // selection headroom is monotone in n
+    assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q292: constant difference gives zero spread and empty tails") {
+    // 50 tokens, 25 distinct ×2 → quality 1.0, distinct frac 0.5, d = 0.5 exactly
+    val t = (1 to 25).flatMap(i => Seq.fill(2)(s"tok$i")).mkString(" ")
+    val dir = corpusDir((1L to 4L).map(i => (i, t, "en", "s0")))
+    val r = queries.Text.blandAltman.fn(spark, dir).collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.5)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 0.5 && r.getDouble(4) === 0.5)
+    assert(r.getDouble(5) === 0.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q293: length ladder puts one doc per decile, shares telescope to 1") {
+    val docs = (1 to 10).map { i =>
+      (i.toLong, (1 to 10 * i).map(j => s"w$j").mkString(" "), "en", "s0")
+    }
+    val rows = queries.Corpus.tokenLorenz.fn(spark, corpusDir(docs)).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(r.getLong(1) === 1L))
+    assert(rows.head.getLong(2) === 100L)  // decile 0 = the longest doc
+    assert(math.abs(rows.head.getDouble(3) - 100.0 / 550.0) < 1e-6)
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-9)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q294: influence is the signed pull of each source on the corpus mean") {
+    val hi = (1 to 25).flatMap(i => Seq.fill(2)(s"tok$i")).mkString(" ") // q=1.0
+    val lo = Seq.fill(50)("the").mkString(" ")                           // q=0.5
+    val dir = corpusDir(Seq(
+      (1L, hi, "en", "sA"), (2L, hi, "en", "sA"),
+      (3L, lo, "en", "sB"), (4L, lo, "en", "sB")))
+    val out = queries.Curation.sourceInfluence.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("sA").getDouble(2) === 1.0 && out("sA").getDouble(3) === 0.5)
+    assert(math.abs(out("sA").getDouble(4) - 0.25) < 1e-9)
+    assert(math.abs(out("sB").getDouble(4) + 0.25) < 1e-9)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("q274: identical groups give obs_diff +0.0 and p-value 1") {
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")
     val dir = corpusDir(
