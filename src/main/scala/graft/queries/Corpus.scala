@@ -21,7 +21,8 @@ object Corpus {
     sourceOverlap, bigramLogprob, pmiCooccur, sequencePack, zipfSlope, heapsGrowth,
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
-    hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz)
+    hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
+    bigramRedundancy, deletedInterpolation)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1297,5 +1298,161 @@ object Corpus {
         round(col("cum_tokens").cast("double") / col("toks"), 6)
           .as("cum_token_share"))
       .orderBy("decile")
+  }
+
+  // --- q295: conditional bigram entropy and corpus redundancy -------------------
+  // The information-rate pair: H(unigram) says how surprising tokens
+  // are in isolation; H(next | current) says how surprising they are
+  // GIVEN local context. Their gap, redundancy = 1 − H_cond/H_uni, is
+  // the classic Shannon measure of how much of the corpus is
+  // predictable structure — near 0 for shuffled tokens, high for
+  // templated text. Both entropies are count-ratio sums over keyed
+  // aggregates (unigram table + within-doc adjacent-bigram table),
+  // 9-dp decimal terms; znorm'd because H_cond = H_uni cancels to ±0
+  // on an order-free corpus.
+  def bigramRedundancy: Q = Q(
+    "q295_bigram_redundancy",
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT tok, count(*) AS c FROM
+      |    (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+      |un AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |h1 AS (SELECT CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+      |    * ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+      |  FROM uni CROSS JOIN un),
+      |bg AS (SELECT t[i] AS a, t[i+1] AS b FROM toks,
+      |    UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+      |c1 AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM c2 GROUP BY a),
+      |bn AS (SELECT CAST(sum(c) AS BIGINT) AS n2 FROM c2),
+      |h2 AS (SELECT CAST(sum(CAST(round(-(CAST(c2.c AS DOUBLE) / n2)
+      |    * ln(CAST(c2.c AS DOUBLE) / ca), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+      |  FROM c2 JOIN c1 USING (a) CROSS JOIN bn)
+      |SELECT (SELECT n FROM un) AS n_tokens, (SELECT n2 FROM bn) AS n_bigrams,
+      |  round(h1.h, 6) + 0.0 AS h_unigram,
+      |  round(h2.h, 6) + 0.0 AS h_conditional,
+      |  round(1.0 - h2.h / h1.h, 6) + 0.0 AS redundancy
+      |FROM h1 CROSS JOIN h2""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val toks = graft.dedup.Dedup.persistTracked(
+      Tables.documents(s, dir).select(t.as("t")))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val un = uni.agg(sum("c").cast("long").as("n"))
+    def entTerm(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      round(-p * log(q), 9).cast("decimal(18,9)")
+    val h1 = uni.crossJoin(broadcast(un))
+      .agg(sum(entTerm(col("c").cast("double") / col("n"),
+        col("c").cast("double") / col("n"))).cast("double").as("h"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val c2 = graft.dedup.Dedup.persistTracked(
+      bg.groupBy("a", "b").agg(count(lit(1)).as("c")))
+    val c1 = c2.groupBy("a").agg(sum("c").cast("long").as("ca"))
+    val bn = c2.agg(sum("c").cast("long").as("n2"))
+    val h2 = c2.join(c1, "a").crossJoin(broadcast(bn))
+      .agg(sum(entTerm(col("c").cast("double") / col("n2"),
+        col("c").cast("double") / col("ca"))).cast("double").as("h"))
+    h1.withColumnRenamed("h", "hu").crossJoin(broadcast(h2))
+      .crossJoin(broadcast(un)).crossJoin(broadcast(bn))
+      .select(col("n").as("n_tokens"), col("n2").as("n_bigrams"),
+        znorm(round(col("hu"), 6)).as("h_unigram"),
+        znorm(round(col("h"), 6)).as("h_conditional"),
+        znorm(round(lit(1.0) - col("h") / col("hu"), 6)).as("redundancy"))
+  }
+
+  // --- q291: deleted-interpolation weight for the bigram LM ---------------------
+  // q118/q254 score text under FIXED smoothing; deleted interpolation
+  // LEARNS the unigram/bigram mixing weight on held-out data — two
+  // unrolled EM steps of λ ← E[λp₂/(λp₂+(1−λ)p₁)] over eval bigrams,
+  // with the model trained on even doc_ids and evaluated on odd (the
+  // q213 split discipline). Step 2 consumes step 1's λ, so the
+  // data-dependent chain is genuinely replayed by the oracle (the
+  // q123 rigor). Train tables are keyed aggregates broadcast-joined
+  // onto eval bigrams; per-bigram weights are 9-dp decimal-summed;
+  // eval bigrams whose token never occurs in train (p₁ = p₂ = 0) are
+  // excluded as OOV rather than inventing a posterior.
+  def deletedInterpolation: Q = {
+    val stepSql = (prev: String) =>
+      s"""round(($prev * p2) / ($prev * p2 + (1.0 - $prev) * p1), 9)"""
+    Q(
+      "q291_deleted_interpolation",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tr AS (SELECT t FROM toks WHERE doc_id % 2 = 0),
+         |ev AS (SELECT t FROM toks WHERE doc_id % 2 = 1),
+         |tu AS (SELECT tok, count(*) AS c FROM
+         |    (SELECT unnest(t) AS tok FROM tr) GROUP BY tok),
+         |tn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tu),
+         |tb AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS c FROM tr,
+         |    UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2 GROUP BY 1, 2),
+         |tc AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM tb GROUP BY a),
+         |eb AS (SELECT t[i] AS a, t[i+1] AS b FROM ev,
+         |    UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+         |pr AS (SELECT
+         |    CAST(coalesce(tu.c, 0) AS DOUBLE) / (SELECT n FROM tn) AS p1,
+         |    CASE WHEN tc.ca IS NULL THEN 0.0
+         |         ELSE CAST(coalesce(tb.c, 0) AS DOUBLE) / tc.ca END AS p2
+         |  FROM eb
+         |  LEFT JOIN tu ON tu.tok = eb.b
+         |  LEFT JOIN tc ON tc.a = eb.a
+         |  LEFT JOIN tb ON tb.a = eb.a AND tb.b = eb.b),
+         |pv AS (SELECT p1, p2 FROM pr WHERE p1 > 0 OR p2 > 0),
+         |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |    round(CAST(sum(CAST(${stepSql("0.5")} AS DECIMAL(18,9))) AS DOUBLE)
+         |      / count(*), 9) AS l1
+         |  FROM pv),
+         |s2 AS (SELECT n_eval, l1,
+         |    round(CAST(sum(CAST(${stepSql("l1")} AS DECIMAL(18,9))) AS DOUBLE)
+         |      / max(n_eval), 9) AS l2
+         |  FROM pv CROSS JOIN s1 GROUP BY n_eval, l1)
+         |SELECT n_eval, round(l1, 6) AS lambda1, round(l2, 6) AS lambda2
+         |FROM s2""".stripMargin,
+    ) { (s, dir) =>
+      val t = TextAnalysis.tokens(col("text"))
+      val toks = Tables.documents(s, dir).select(col("doc_id"), t.as("t"))
+      val tr = graft.dedup.Dedup.persistTracked(
+        toks.filter(col("doc_id") % 2 === 0).select("t"))
+      val ev = toks.filter(col("doc_id") % 2 === 1).select("t")
+      val tu = tr.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tn = tu.agg(sum("c").cast("long").as("n"))
+      def bigrams(df: org.apache.spark.sql.DataFrame) =
+        df.filter(size(col("t")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("a"),
+              element_at(col("t"), i + 1).as("b")))).as("p"))
+          .select(col("p.a"), col("p.b"))
+      val tb = bigrams(tr).groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val tc = tb.groupBy("a").agg(sum("c").cast("long").as("ca"))
+      val eb = bigrams(ev)
+      val pr = eb
+        .join(broadcast(tu.withColumnRenamed("tok", "b")
+          .withColumnRenamed("c", "cu")), Seq("b"), "left")
+        .join(broadcast(tc), Seq("a"), "left")
+        .join(broadcast(tb.withColumnRenamed("c", "cb")), Seq("a", "b"), "left")
+        .crossJoin(broadcast(tn))
+        .select(
+          (coalesce(col("cu"), lit(0L)).cast("double") / col("n")).as("p1"),
+          when(col("ca").isNull, 0.0)
+            .otherwise(coalesce(col("cb"), lit(0L)).cast("double") / col("ca"))
+            .as("p2"))
+      val pv = graft.dedup.Dedup.persistTracked(
+        pr.filter(col("p1") > 0 || col("p2") > 0))
+      def step(prev: org.apache.spark.sql.Column) =
+        round(try_divide(prev * col("p2"),
+          prev * col("p2") + (lit(1.0) - prev) * col("p1")), 9)
+      val s1 = pv.agg(count(lit(1)).cast("long").as("n_eval"),
+        round(sum(step(lit(0.5)).cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 9).as("l1"))
+      val s2 = pv.crossJoin(broadcast(s1))
+        .groupBy("n_eval", "l1")
+        .agg(round(sum(step(col("l1")).cast("decimal(18,9)")).cast("double") /
+          max(col("n_eval")), 9).as("l2"))
+      s2.select(col("n_eval"), round(col("l1"), 6).as("lambda1"),
+        round(col("l2"), 6).as("lambda2"))
+    }
   }
 }

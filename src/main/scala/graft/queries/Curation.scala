@@ -19,7 +19,8 @@ object Curation {
     clusterSurvivors, clusterSourceMix, dedupSavings, qualitySurvivalCurve,
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
-    otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence)
+    otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence,
+    waterFilling)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1623,6 +1624,66 @@ object Curation {
           .as("mean_without"),
         znorm(round(col("ss") / col("nn") -
           (col("ss") - col("sm")) / (col("nn") - col("n")), 6)).as("influence"))
+      .orderBy("source")
+  }
+
+  // --- q296: exact water-filling token allocation ------------------------------
+  // q169 allocates by one uniform-target pass plus a leftover round;
+  // water-filling computes the EXACT level: the cap c with
+  // Σ min(tokᵢ, c) = budget (here half the corpus) — the max-min-fair
+  // allocation every mixture planner converges toward. The level has
+  // a closed form per saturation bracket: with sources sorted by
+  // token count, c = (B − cum₍ᵣ₎)/(k − r) for the unique r where
+  // tok᚛ᵣ᚜ ≤ c < tok᚛ᵣ₊₁᚜ — found by one window pass over the
+  // sources-sized table (B < total always holds since B = total//2),
+  // no iteration, no driver logic. Allocations compare integer avail
+  // against the 6-dp-rounded level so both engines carve identically.
+  def waterFilling: Q = Q(
+    "q296_water_filling",
+    """WITH avail AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tok) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(tok) // 2 AS BIGINT) AS b FROM avail),
+      |rk AS (SELECT source, tok,
+      |    row_number() OVER (ORDER BY tok, source) AS rn,
+      |    CAST(coalesce(sum(tok) OVER (ORDER BY tok, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cumprev,
+      |    CAST(coalesce(lag(tok) OVER (ORDER BY tok, source), 0) AS BIGINT)
+      |      AS prevtok
+      |  FROM avail),
+      |lvl AS (SELECT round(CAST(b - cumprev AS DOUBLE) / (k - rn + 1), 6) AS c
+      |  FROM rk CROSS JOIN tot
+      |  WHERE prevtok <= CAST(b - cumprev AS DOUBLE) / (k - rn + 1)
+      |    AND CAST(b - cumprev AS DOUBLE) / (k - rn + 1) < tok)
+      |SELECT source, tok AS tokens_avail,
+      |  round(least(CAST(tok AS DOUBLE), c), 6) AS allocated,
+      |  tok <= c AS saturated, c AS water_level
+      |FROM avail CROSS JOIN lvl ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val avail = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).as("nt"))
+      .groupBy("source").agg(sum("nt").cast("long").as("tok")))
+    val tot = avail.agg(sum("tok").cast("long").as("total"),
+      count(lit(1)).cast("long").as("k"),
+      expr("sum(tok) div 2").cast("long").as("b"))
+    val w = Window.orderBy("tok", "source")
+    val rk = avail
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cumprev", coalesce(sum("tok").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .withColumn("prevtok", coalesce(lag("tok", 1).over(w), lit(0L)).cast("long"))
+    val cRaw = (col("b") - col("cumprev")).cast("double") /
+      (col("k") - col("rn") + 1)
+    val lvl = rk.crossJoin(broadcast(tot))
+      .filter(col("prevtok") <= cRaw && cRaw < col("tok"))
+      .select(round(cRaw, 6).as("c"))
+    avail.crossJoin(broadcast(lvl))
+      .select(col("source"), col("tok").as("tokens_avail"),
+        round(least(col("tok").cast("double"), col("c")), 6).as("allocated"),
+        (col("tok") <= col("c")).as("saturated"), col("c").as("water_level"))
       .orderBy("source")
   }
 }

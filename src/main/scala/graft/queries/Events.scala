@@ -1719,28 +1719,49 @@ object Events {
         col("to_type"),
         round(col("n").cast("double") /
           sum("n").over(Window.partitionBy("from_type")), 9).as("p")))
-      val states = pm.select(col("from_type").as("state")).distinct()
-        .withColumn("rn", row_number().over(Window.orderBy("state")))
-      val k = states.agg(count(lit(1)).cast("long").as("k"))
-      var x = states.crossJoin(broadcast(k))
-        .select(col("state"),
-          when(col("rn") === 1, lit(1.0) - lit(1.0) / col("k"))
-            .otherwise(lit(-1.0) / col("k")).as("val"))
-      var lastL: org.apache.spark.sql.DataFrame = null
-      for (_ <- 1 to 8) {
-        val y = x.join(pm, x("state") === pm("from_type"))
-          .select(col("to_type").as("state"),
-            round(col("val") * col("p"), 12).as("t"))
-          .groupBy("state")
-          .agg(sum(col("t").cast("decimal(28,12)")).cast("double").as("val"))
-        lastL = y.agg(sum(round(abs(col("val")), 12).cast("decimal(28,12)"))
-          .cast("double").as("l"))
-        x = y.crossJoin(broadcast(lastL))
-          .select(col("state"), round(try_divide(col("val"), col("l")), 12).as("val"))
+      // The corpus-scale work ends at pm (one window + one aggregate);
+      // what reaches the driver is the k²-bounded transition matrix
+      // (k = event types). The 8 power iterations then run as driver
+      // arithmetic with the exact engine semantics (12-dp HALF_UP via
+      // BigDecimal.valueOf — bit-identical to Spark's round() on
+      // doubles — and scale-12 decimal sums), because a DataFrame
+      // formulation of a k-row × 8-iteration loop spends seconds of
+      // AQE stage scheduling per iteration (measured 41 s on the
+      // ladder; the q219 Bradley-Terry lesson). The DuckDB oracle
+      // replays the identical chain from the corpus, so the driver
+      // arithmetic is hash-checked end to end.
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def rnd(x: Double, sc: Int): Double =
+        JBD.valueOf(x).setScale(sc, RoundingMode.HALF_UP).doubleValue
+      def sumDec12(xs: Iterable[Double]): Double =
+        xs.foldLeft(JBD.ZERO)((acc, v) =>
+          acc.add(JBD.valueOf(v).setScale(12, RoundingMode.HALF_UP))).doubleValue
+      val mat = pm.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val statesArr = mat.map(_._1).distinct.sorted
+      val kk = statesArr.length
+      var xv: Map[String, Double] = statesArr.zipWithIndex.map { case (st, i) =>
+        st -> (if (i == 0) 1.0 - 1.0 / kk else -1.0 / kk)
+      }.toMap
+      var l = Double.NaN
+      var dead = false
+      for (_ <- 1 to 8 if !dead) {
+        val yv = mat.groupBy(_._2).map { case (to, es) =>
+          to -> sumDec12(es.map { case (from, _, p) => rnd(xv(from) * p, 12) })
+        }
+        l = sumDec12(yv.values.map(v => rnd(math.abs(v), 12)))
+        if (l == 0.0) dead = true
+        else xv = statesArr.map(st => st -> rnd(yv.getOrElse(st, 0.0) / l, 12)).toMap
       }
-      lastL.crossJoin(broadcast(k))
-        .select(col("k").as("n_states"), round(col("l"), 6).as("slem"),
-          round(try_divide(log(lit(10.0)), -log(col("l"))), 4).as("mixing_steps"))
+      import s.implicits._
+      val out =
+        if (dead) Seq((kk.toLong, Option.empty[Double], Option.empty[Double]))
+        else Seq((kk.toLong, Some(rnd(l, 6)),
+          // a periodic chain (|λ₂| = 1) has no finite mixing time:
+          // NULL, matching DuckDB's x/0
+          if (-math.log(l) == 0.0) Option.empty[Double]
+          else Some(rnd(math.log(10.0) / -math.log(l), 4))))
+      out.toDF("n_states", "slem", "mixing_steps")
     }
   }
 }

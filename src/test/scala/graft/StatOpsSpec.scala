@@ -366,6 +366,47 @@ class StatOpsSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("q291: hand-computed EM chain on a two-doc split") {
+    // train (doc 0): "x y x y" → p1(y)=1/2, p2(y|x)=1; eval (doc 1): "x y"
+    // λ1 = (λ0·1)/(λ0·1+(1−λ0)·½) = 2/3; λ2 = (2/3)/(2/3+1/6) = 0.8
+    val dir = corpusDir(Seq(
+      (0L, "x y x y", "en", "s0"), (1L, "x y", "en", "s0")))
+    val r = queries.Corpus.deletedInterpolation.fn(spark, dir).collect()(0)
+    assert(r.getLong(0) === 1L)
+    assert(math.abs(r.getDouble(1) - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-6)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q295: a deterministic alternation has zero conditional entropy") {
+    val dir = corpusDir(Seq(
+      (1L, Seq.fill(20)("a b").mkString(" "), "en", "s0"),
+      (2L, Seq.fill(20)("a b").mkString(" "), "en", "s0")))
+    val r = queries.Corpus.bigramRedundancy.fn(spark, dir).collect()(0)
+    val hc = r.getDouble(3)
+    assert(hc === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(hc) === 0L, "canonical +0.0")
+    assert(r.getDouble(4) === 1.0)
+    assert(math.abs(r.getDouble(2) - math.log(2.0)) < 1e-6) // uniform 2-type corpus
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q296: the water level lands in its closed-form bracket") {
+    // avail 10/20/70, budget 50 → level 20, allocations 10+20+20
+    def doc(id: Long, n: Int, src: String) =
+      (id, (1 to n).map(j => s"${src}w$j").mkString(" "), "en", src)
+    val dir = corpusDir(Seq(doc(1L, 10, "sA"), doc(2L, 20, "sB"), doc(3L, 70, "sC")))
+    val out = queries.Curation.waterFilling.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    out.values.foreach(r => assert(r.getDouble(4) === 20.0))
+    assert(out("sA").getDouble(2) === 10.0 && out("sA").getBoolean(3))
+    assert(out("sB").getDouble(2) === 20.0 && out("sB").getBoolean(3))
+    assert(out("sC").getDouble(2) === 20.0 && !out("sC").getBoolean(3))
+    val allocated = out.values.map(_.getDouble(2)).sum
+    assert(allocated === 50.0, "allocations exhaust the budget")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("q274: identical groups give obs_diff +0.0 and p-value 1") {
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")
     val dir = corpusDir(
