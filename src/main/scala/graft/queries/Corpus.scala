@@ -22,7 +22,7 @@ object Corpus {
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
     hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
-    bigramRedundancy, deletedInterpolation)
+    bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1454,5 +1454,131 @@ object Corpus {
       s2.select(col("n_eval"), round(col("l1"), 6).as("lambda1"),
         round(col("l2"), 6).as("lambda2"))
     }
+  }
+
+  // --- q298: Burrows' Delta stylometric distance between sources ---------------
+  // JS divergence (q284) compares WHAT sources say; Burrows' Delta —
+  // the standard stylometry measure — compares HOW: mean |z-score
+  // gap| over the most frequent words, where z normalizes each word's
+  // relative frequency by its across-source spread. Two template
+  // farms with different vocabularies can sit far apart in JS yet
+  // near in Delta (same functional style). Top-30 words by corpus
+  // frequency (bounded TakeOrdered), dense source×word grid,
+  // per-word moments over the sources-sized table, and a
+  // sources²×30 pair join — nothing scales with the corpus after the
+  // one term-frequency aggregate. Zero-spread words (σ = 0) are
+  // excluded from the mean rather than inventing a z.
+  def burrowsDelta: Q = Q(
+    "q298_burrows_delta",
+    """WITH tc AS (SELECT source, tok, count(*) AS c FROM
+      |    (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |top AS (SELECT tok FROM (SELECT tok, sum(c) AS tc FROM tc GROUP BY tok
+      |  ORDER BY tc DESC, tok LIMIT 30)),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY source),
+      |grid AS (SELECT s.source, t.tok,
+      |    round(CAST(coalesce(c.c, 0) AS DOUBLE) / s.n, 9) AS f
+      |  FROM ns s CROSS JOIN top t
+      |  LEFT JOIN tc c ON c.source = s.source AND c.tok = t.tok),
+      |mo AS (SELECT tok,
+      |    CAST(sum(CAST(f AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mu,
+      |    CAST(sum(CAST(round(f * f, 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+      |      - (CAST(sum(CAST(f AS DECIMAL(18,9))) AS DOUBLE) / count(*))
+      |        * (CAST(sum(CAST(f AS DECIMAL(18,9))) AS DOUBLE) / count(*)) AS v
+      |  FROM grid GROUP BY tok),
+      |z AS (SELECT g.source, g.tok, round((g.f - mo.mu) / sqrt(mo.v), 9) AS z
+      |  FROM grid g JOIN mo ON mo.tok = g.tok WHERE mo.v > 0),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    round(abs(a.z - b.z), 9) AS az
+      |  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source)
+      |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_words,
+      |  round(CAST(sum(CAST(az AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS delta
+      |FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+  ) { (s, dir) =>
+    val tc = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c")))
+    val top = tc.groupBy("tok").agg(sum("c").as("tc"))
+      .orderBy(col("tc").desc, col("tok")).limit(30).select("tok")
+    val ns = tc.groupBy("source").agg(sum("c").cast("long").as("n"))
+    val grid = graft.dedup.Dedup.persistTracked(ns.crossJoin(broadcast(top))
+      .join(tc, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        round(coalesce(col("c"), lit(0L)).cast("double") / col("n"), 9).as("f")))
+    val m = sum(col("f").cast("decimal(18,9)")).cast("double") / count(lit(1))
+    val mo = grid.groupBy("tok").agg(m.as("mu"),
+      (sum(round(col("f") * col("f"), 9).cast("decimal(18,9)")).cast("double")
+        / count(lit(1)) - m * m).as("v"))
+    val z = grid.join(broadcast(mo), "tok").filter(col("v") > 0)
+      .select(col("source"), col("tok"),
+        round((col("f") - col("mu")) / sqrt(col("v")), 9).as("z"))
+    val a = z.select(col("source").as("src_a"), col("tok"), col("z").as("za"))
+    val b = z.select(col("source").as("src_b"), col("tok"), col("z").as("zb"))
+    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(abs(col("za") - col("zb")), 9).as("az"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        round(sum(col("az").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("delta"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // --- q299: marginal-novelty curve over corpus order ---------------------------
+  // Curriculum/ordering audit: consuming docs in doc_id order, how
+  // much NEW trigram mass does each tenth of the corpus contribute?
+  // A front-loaded corpus (novelty collapsing after decile 2) means
+  // later epochs retread old n-grams; flat novelty means the order
+  // keeps teaching. Each distinct shingle is attributed to its FIRST
+  // doc (one min-aggregate — no ordered scan), docs land in id-range
+  // deciles via integer arithmetic against the max id (the corpus ids
+  // are dense; the stance avoids a corpus-wide rank window), and the
+  // curve is a 10-row cumulative.
+  def noveltyCurve: Q = Q(
+    "q299_novelty_curve",
+    """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |mx AS (SELECT max(doc_id) AS mid, CAST(count(*) AS BIGINT) AS n_docs FROM dd),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM dd,
+      |    UNNEST(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |  WHERE len(t) >= 3),
+      |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+      |dec AS (SELECT least(first_doc * 10 // (mid + 1), 9) AS decile
+      |  FROM fst CROSS JOIN mx),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sh FROM fst),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_shingles
+      |  FROM dec GROUP BY decile),
+      |gc AS (SELECT decile, new_shingles,
+      |    CAST(sum(new_shingles) OVER (ORDER BY decile) AS BIGINT) AS cum FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, new_shingles,
+      |  round(CAST(new_shingles AS DOUBLE) / n_sh, 6) AS novelty_share,
+      |  round(CAST(cum AS DOUBLE) / n_sh, 6) AS cum_coverage
+      |FROM gc CROSS JOIN tot ORDER BY decile""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val dd = Tables.documents(s, dir)
+    val mx = dd.agg(max("doc_id").as("mid"),
+      count(lit(1)).cast("long").as("n_docs"))
+    val sh = dd.filter(size(t) >= 3)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("shingle"))
+      .distinct()
+    val fst = graft.dedup.Dedup.persistTracked(
+      sh.groupBy("shingle").agg(min("doc_id").as("first_doc")))
+    val dec = fst.crossJoin(broadcast(mx))
+      .select(least(expr("first_doc * 10 div (mid + 1)"), lit(9L)).as("decile"))
+    val tot = fst.agg(count(lit(1)).cast("long").as("n_sh"))
+    val g = dec.groupBy("decile").agg(count(lit(1)).cast("long").as("new_shingles"))
+    val gc = g.withColumn("cum",
+      sum("new_shingles").over(Window.orderBy("decile")).cast("long"))
+    gc.crossJoin(broadcast(tot))
+      .select(col("decile").cast("long").as("decile"), col("new_shingles"),
+        round(col("new_shingles").cast("double") / col("n_sh"), 6)
+          .as("novelty_share"),
+        round(col("cum").cast("double") / col("n_sh"), 6).as("cum_coverage"))
+      .orderBy("decile")
   }
 }

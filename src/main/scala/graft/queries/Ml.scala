@@ -13,7 +13,8 @@ object Ml {
   val all: Seq[Q] = Seq(zscoreAnomaly, iforestAnomaly, multimodalFeatures, ksDrift,
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
     bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift,
-    wassersteinDrift, averagePrecision, permutationTest, cramersV, cumulativeGains)
+    wassersteinDrift, averagePrecision, permutationTest, cramersV, cumulativeGains,
+    signalCorrelation, youdenThreshold)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -1088,5 +1089,190 @@ object Ml {
         round((col("cum_pos").cast("double") / col("cum_docs")) /
           (col("np").cast("double") / col("n")), 6).as("lift"))
       .orderBy("decile")
+  }
+
+  // --- q301: correlation matrix of the quality-signal family --------------------
+  // Before a curation pipeline stacks gates, it should know which of
+  // its signals are redundant: pairwise Pearson r between the four
+  // per-doc scores this registry computes — composite quality (q36),
+  // char entropy (q191), LZ78 compressibility (q269), and Flesch
+  // readability (q277) — in ONE corpus pass. Every signal is lifted
+  // to the 1e-4 integer grid, so all 14 moments (4 sums, 4 squares, 6
+  // cross-products) are exact DECIMAL(38,0) integers; r's cancelling
+  // numerator and the znorm'd output follow the slope discipline, and
+  // a zero-variance signal NULLs its pairs via try_divide.
+  def signalCorrelation: Q = {
+    val names = Seq("quality", "entropy", "lz", "flesch")
+    val prs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val momSql = (names.map(a =>
+      s"CAST(sum(CAST($a AS DECIMAL(38,0))) AS DOUBLE) AS s_$a," +
+        s" CAST(sum(CAST($a AS DECIMAL(38,0)) * $a) AS DOUBLE) AS q_$a") ++
+      prs.map { case (a, b) =>
+        s"CAST(sum(CAST($a AS DECIMAL(38,0)) * $b) AS DOUBLE) AS p_${a}_$b"
+      }).mkString(",\n      |    ")
+    val rowsSql = prs.map { case (a, b) =>
+      s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+         |  round((n * p_${a}_$b - s_$a * s_$b)
+         |    / sqrt((n * q_$a - s_$a * s_$a) * (n * q_$b - s_$b * s_$b)), 6)
+         |    + 0.0 AS r FROM mom""".stripMargin
+    }.mkString("\n      |UNION ALL ")
+    Q(
+      "q301_signal_correlation",
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM documents),
+         |chars AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+         |  FROM base, UNNEST(range(1, len(text) + 1)) AS u(i)),
+         |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+         |cn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+         |ent AS (SELECT cc.doc_id, CAST(round(-CAST(sum(CAST(
+         |    round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE) * 10000) AS BIGINT) AS entropy
+         |  FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id),
+         |lzf AS (SELECT doc_id, substr(text, 1, 240) AS lt FROM base),
+         |lzr AS (SELECT doc_id, len(lt) AS nc,
+         |    list_reduce(list_prepend('|;;0', string_split(lt, '')),
+         |    (acc, c) -> CASE
+         |      WHEN contains(string_split(acc, ';')[1],
+         |                    '|' || string_split(acc, ';')[2] || c || '|')
+         |        THEN string_split(acc, ';')[1] || ';' ||
+         |             string_split(acc, ';')[2] || c || ';' || string_split(acc, ';')[3]
+         |      ELSE string_split(acc, ';')[1] || string_split(acc, ';')[2] || c || '|' ||
+         |           ';;' || CAST(CAST(string_split(acc, ';')[3] AS INT) + 1 AS VARCHAR)
+         |    END) AS acc FROM lzf),
+         |lz AS (SELECT doc_id, CAST(round(CAST(
+         |    CAST(string_split(acc, ';')[3] AS INT)
+         |      + CASE WHEN string_split(acc, ';')[2] <> '' THEN 1 ELSE 0 END
+         |    AS DOUBLE) / nc * 10000) AS BIGINT) AS lz FROM lzr),
+         |sig AS (SELECT b.doc_id,
+         |    CAST(round((${TextSqlFragments.qualitySql("t")}) * 10000) AS BIGINT)
+         |      AS quality,
+         |    e.entropy, z.lz,
+         |    CAST(round((206.835
+         |      - 1.015 * (CAST(len(t) AS DOUBLE)
+         |          / greatest(len(text) - len(replace(text, '.', '')), 1))
+         |      - 84.6 * (CAST(len(regexp_replace(text, '[aeiou]+', '@', 'g'))
+         |          - len(replace(regexp_replace(text, '[aeiou]+', '@', 'g'), '@', ''))
+         |          AS DOUBLE) / len(t))) * 10000) AS BIGINT) AS flesch
+         |  FROM base b JOIN ent e USING (doc_id) JOIN lz z USING (doc_id)),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $momSql
+         |  FROM sig)
+         |SELECT sig_a, sig_b, r FROM ($rowsSql)
+         |ORDER BY sig_a, sig_b""".stripMargin,
+    ) { (s, dir) =>
+      import graft.text.TextAnalysis
+      val t = TextAnalysis.tokens(col("text"))
+      val lt = substring(col("text"), 1, 240)
+      val lzFold = aggregate(split(lt, ""), lit("|;;0"), (acc, c) => {
+        val d = element_at(split(acc, ";"), 1)
+        val cur = element_at(split(acc, ";"), 2)
+        val cnt = element_at(split(acc, ";"), 3)
+        val cand = concat(cur, c)
+        when(d.contains(concat(lit("|"), cand, lit("|"))),
+          concat(d, lit(";"), cand, lit(";"), cnt))
+          .otherwise(concat(d, cand, lit("|;;"), (cnt.cast("int") + 1).cast("string")))
+      })
+      val nPhr = (element_at(split(lzFold, ";"), 3).cast("int") +
+        when(element_at(split(lzFold, ";"), 2) =!= "", 1).otherwise(0)).cast("double")
+      val vg = regexp_replace(col("text"), "[aeiou]+", "@")
+      val fleschRaw = lit(206.835) -
+        lit(1.015) * (size(t).cast("double") /
+          greatest(length(col("text")) -
+            length(regexp_replace(col("text"), "\\.", "")), lit(1))) -
+        lit(84.6) * ((length(vg) - length(regexp_replace(vg, "@", "")))
+          .cast("double") / size(t))
+      val sig = Tables.documents(s, dir).select(
+        round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long")
+          .as("quality"),
+        round((-graft.functions.CharEntropy(col("text")).getField("negent")) * 10000)
+          .cast("long").as("entropy"),
+        round(nPhr / length(lt) * 10000).cast("long").as("lz"),
+        round(fleschRaw * 10000).cast("long").as("flesch"))
+      val names = Seq("quality", "entropy", "lz", "flesch")
+      val prs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      val aggs =
+        names.flatMap(a => Seq(
+          sum(col(a).cast("decimal(38,0)")).cast("double").as(s"s_$a"),
+          sum(col(a).cast("decimal(38,0)") * col(a)).cast("double").as(s"q_$a"))) ++
+        prs.map { case (a, b) =>
+          sum(col(a).cast("decimal(38,0)") * col(b)).cast("double").as(s"p_${a}_$b")
+        }
+      val mom = sig.agg(count(lit(1)).cast("long").as("n"), aggs: _*)
+      val rows = prs.map { case (a, b) =>
+        struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+          znorm(round(try_divide(
+            col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b"),
+            sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+              (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")))), 6))
+            .as("r"))
+      }
+      mom.select(explode(array(rows: _*)).as("e"))
+        .select(col("e.sig_a"), col("e.sig_b"), col("e.r"))
+        .orderBy("sig_a", "sig_b")
+    }
+  }
+
+  // --- q302: Youden-J optimal operating point ------------------------------------
+  // q119 summarizes the whole ROC as one AUC; q272 picks a threshold
+  // unsupervised; this picks the SUPERVISED optimum — the quality
+  // cutoff maximizing Youden's J = TPR − FPR against the unique-token
+  // relevance gate, the standard operating-point criterion. The whole
+  // ROC lives on the 4-dp score histogram (cumulative counts, two
+  // integer ratios per row); the argmax is a flag on 6-dp-rounded J
+  // (ties flag every optimum identically in both engines).
+  def youdenThreshold: Q = Q(
+    "q302_youden_threshold",
+    s"""WITH d AS (SELECT
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS sq,
+       |    CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+       |         >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS rel
+       |  FROM documents),
+       |hist AS (SELECT sq, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(rel) AS BIGINT) AS pos FROM d GROUP BY sq),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS np FROM hist),
+       |cum AS (SELECT sq,
+       |    CAST(sum(c) OVER (ORDER BY sq DESC) AS BIGINT) AS cumn,
+       |    CAST(sum(pos) OVER (ORDER BY sq DESC) AS BIGINT) AS cumpos FROM hist),
+       |j AS (SELECT sq, cumn, cumpos,
+       |    round(CAST(cumpos AS DOUBLE) / np
+       |      - CAST(cumn - cumpos AS DOUBLE) / (n - np), 6) + 0.0 AS youden_j,
+       |    round(CAST(cumpos AS DOUBLE) / np, 6) AS tpr,
+       |    round(CAST(cumn - cumpos AS DOUBLE) / (n - np), 6) AS fpr
+       |  FROM cum CROSS JOIN tot),
+       |mx AS (SELECT max(youden_j) AS m FROM j)
+       |SELECT sq AS threshold, tpr, fpr, youden_j, youden_j = m AS is_best
+       |FROM j CROSS JOIN mx ORDER BY threshold""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val t = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(
+      round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+      when(lit(2) * size(array_distinct(t)) >= size(t), 1).otherwise(0).as("rel"))
+    val hist = graft.dedup.Dedup.persistTracked(d.groupBy("sq")
+      .agg(count(lit(1)).cast("long").as("c"), sum("rel").cast("long").as("pos")))
+    val tot = hist.agg(sum("c").cast("long").as("n"), sum("pos").cast("long").as("np"))
+    val w = Window.orderBy(col("sq").desc)
+    val cum = hist
+      .withColumn("cumn", sum("c").over(w).cast("long"))
+      .withColumn("cumpos", sum("pos").over(w).cast("long"))
+    val jt = graft.dedup.Dedup.persistTracked(cum.crossJoin(broadcast(tot))
+      .select(col("sq"),
+        round(col("cumpos").cast("double") / col("np"), 6).as("tpr"),
+        round((col("cumn") - col("cumpos")).cast("double") /
+          (col("n") - col("np")), 6).as("fpr"),
+        znorm(round(col("cumpos").cast("double") / col("np") -
+          (col("cumn") - col("cumpos")).cast("double") / (col("n") - col("np")), 6))
+          .as("youden_j")))
+    val mx = jt.agg(max("youden_j").as("m"))
+    jt.crossJoin(broadcast(mx))
+      .select(col("sq").as("threshold"), col("tpr"), col("fpr"), col("youden_j"),
+        (col("youden_j") === col("m")).as("is_best"))
+      .orderBy("threshold")
   }
 }

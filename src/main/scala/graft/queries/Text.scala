@@ -21,7 +21,8 @@ object Text {
     dupSpanIslands, tokenAutocorrelation, lexicalDiversity, minhashCalibration,
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
-    lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman)
+    lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman,
+    languageMix, maxTokenRun)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -2379,6 +2380,114 @@ object Text {
         znorm(round(col("bias") - lit(1.96) * col("sd"), 6)).as("loa_lo"),
         znorm(round(col("bias") + lit(1.96) * col("sd"), 6)).as("loa_hi"),
         round(col("n_out").cast("double") / col("n"), 4).as("outside_share"))
+  }
+
+  // --- q297: code-switching / language-mix detection ---------------------------
+  // q37 assigns each doc ONE language (argmax of marker counts); the
+  // curation question it can't answer is "which docs MIX languages" —
+  // retrieval and tokenizer quality both degrade on code-switched
+  // text. Per doc: marker-hit share per language, the top and
+  // second-best marker counts, and a mixed flag when the runner-up
+  // holds ≥ a third of the marker mass (integer cross-multiplied, no
+  // float gate). Pure per-row array counting inside codegen; one scan,
+  // one per-source aggregate of mixed share. Docs with no marker hits
+  // are 'und' and never flagged.
+  def languageMix: Q = {
+    val markersSql = TextAnalysis.LangMarkers.map { case (lang, m) =>
+      lang -> m.map(w => s"'$w'").mkString(", ")
+    }
+    val scoreSql = markersSql.map { case (lang, lst) =>
+      s"len(list_filter(t, x -> x IN ($lst))) AS s_$lang"
+    }.mkString(",\n      |    ")
+    Q(
+      "q297_language_mix",
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |    $scoreSql
+         |  FROM d),
+         |r AS (SELECT doc_id, source,
+         |    CAST(s_en + s_es + s_de + s_fr AS BIGINT) AS hits,
+         |    CAST(greatest(s_en, s_es, s_de, s_fr) AS BIGINT) AS best,
+         |    CAST(s_en + s_es + s_de + s_fr
+         |      - greatest(s_en, s_es, s_de, s_fr) AS BIGINT) AS rest,
+         |    CAST(greatest(
+         |      least(s_en, s_es), least(s_en, s_de), least(s_en, s_fr),
+         |      least(s_es, s_de), least(s_es, s_fr), least(s_de, s_fr))
+         |      AS BIGINT) AS second
+         |  FROM sc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+         |  CAST(sum(CASE WHEN hits > 0 AND 3 * second >= hits THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_mixed,
+         |  round(CAST(sum(CASE WHEN hits > 0 AND 3 * second >= hits THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS mixed_share
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val t = TextAnalysis.tokens(col("text"))
+      val scores = TextAnalysis.LangMarkers.map { case (lang, m) =>
+        lang -> TextAnalysis.langScore(t, m).cast("long")
+      }
+      val hits = scores.map(_._2).reduce(_ + _)
+      val best = greatest(scores.map(_._2): _*)
+      val Seq(en, es, de, fr) = scores.map(_._2)
+      val second = greatest(least(en, es), least(en, de), least(en, fr),
+        least(es, de), least(es, fr), least(de, fr))
+      val r = Tables.documents(s, dir).select(col("source"),
+        hits.as("hits"), best.as("best"), second.as("second"))
+      val mixed = when(col("hits") > 0 && lit(3) * col("second") >= col("hits"), 1)
+        .otherwise(0)
+      r.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("hits") === 0, 1).otherwise(0)).cast("long").as("n_unknown"),
+          sum(mixed).cast("long").as("n_mixed"),
+          round(sum(mixed).cast("double") / count(lit(1)), 4).as("mixed_share"))
+        .orderBy("source")
+    }
+  }
+
+  // --- q300: degenerate-repetition (max token run) gate -------------------------
+  // The generation-loop detector: the longest run of one token
+  // repeated consecutively — the signature of degenerate decoding
+  // ("the the the …") that q82's n-gram repetition ratio can dilute
+  // away on long docs. An exact per-row fold (the q269 `aggregate`
+  // shape): accumulator "cur;len;max", one comparison per token, no
+  // explode, no shuffle before the final sort — per-row-linear at any
+  // corpus size, and DuckDB replays the identical list_reduce.
+  def maxTokenRun: Q = Q(
+    "q300_max_token_run",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+      |    list_reduce(list_prepend(';0;0', t), (acc, c) -> CASE
+      |      WHEN string_split(acc, ';')[1] = c THEN
+      |        c || ';' || CAST(CAST(string_split(acc, ';')[2] AS INT) + 1 AS VARCHAR)
+      |          || ';' || CAST(greatest(CAST(string_split(acc, ';')[2] AS INT) + 1,
+      |            CAST(string_split(acc, ';')[3] AS INT)) AS VARCHAR)
+      |      ELSE c || ';1;' || CAST(greatest(1,
+      |        CAST(string_split(acc, ';')[3] AS INT)) AS VARCHAR)
+      |    END) AS acc
+      |  FROM d)
+      |SELECT doc_id, n_tok,
+      |  CAST(CAST(string_split(acc, ';')[3] AS INT) AS BIGINT) AS max_run,
+      |  CAST(string_split(acc, ';')[3] AS INT) >= 5 AS is_loopy
+      |FROM f ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    val t = TextAnalysis.tokens(col("text"))
+    val fold = aggregate(t, lit(";0;0"), (acc, c) => {
+      val cur = element_at(split(acc, ";"), 1)
+      val len = element_at(split(acc, ";"), 2).cast("int")
+      val mx = element_at(split(acc, ";"), 3).cast("int")
+      when(cur === c,
+        concat(c, lit(";"), (len + 1).cast("string"), lit(";"),
+          greatest(len + 1, mx).cast("string")))
+        .otherwise(concat(c, lit(";1;"), greatest(lit(1), mx).cast("string")))
+    })
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(t).cast("long").as("n_tok"), fold.as("acc"))
+      .select(col("doc_id"), col("n_tok"),
+        element_at(split(col("acc"), ";"), 3).cast("int").cast("long").as("max_run"),
+        (element_at(split(col("acc"), ";"), 3).cast("int") >= 5).as("is_loopy"))
+      .orderBy("doc_id")
   }
 }
 

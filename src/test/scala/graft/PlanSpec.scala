@@ -751,4 +751,30 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
     graft.dedup.Dedup.clearCaches(spark)
   }
+
+  test("LZ78 fold is scan-shaped: no explode, no join, sort is the only exchange") {
+    val p = plan("q269_lz_compressibility")
+    assert(!p.contains("Generate"), p.take(1500))   // no explode
+    assert(!p.contains("Join"), p.take(1500))
+    // one range-partitioning exchange for the final ORDER BY, nothing else
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(1500))
+  }
+
+  test("JS divergence pair tables stay vocabulary-bounded and keyed") {
+    val df = SparkEntry.queries("q284_js_divergence")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // pair generation is an equi-join on tok, never a nested loop over docs
+    assert(p.contains("tok"), p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("signal correlation is one pass: a single global aggregate, no self-join") {
+    val df = SparkEntry.queries("q301_signal_correlation")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
 }

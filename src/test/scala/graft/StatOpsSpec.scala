@@ -407,6 +407,91 @@ class StatOpsSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("q297: pure, mixed, and marker-free docs are counted apart") {
+    val dir = corpusDir(Seq(
+      (1L, Seq.fill(5)("the and of is").mkString(" "), "en", "sP"),  // pure en
+      (2L, "the and of is der die das und", "en", "sM"),             // en+de mix
+      (3L, "zz1 zz2 zz3 zz4 zz5", "zh", "sU")))                      // no markers
+    val out = queries.Text.languageMix.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("sP").getLong(3) === 0L)
+    assert(out("sM").getLong(3) === 1L && out("sM").getDouble(4) === 1.0)
+    assert(out("sU").getLong(2) === 1L && out("sU").getLong(3) === 0L)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q298: twin sources sit at Delta 0, a different style reads > 0") {
+    val styleA = "the the the and of is " + (1 to 10).map(i => s"a$i").mkString(" ")
+    val styleB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, styleA, "en", "sA"), (2L, styleA, "en", "sA2"),
+      (3L, styleB, "en", "sB")))
+    val out = queries.Corpus.burrowsDelta.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("sA", "sA2")) === 0.0)
+    assert(out(("sA", "sB")) > 0.5)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q299: a copied mid-corpus doc contributes zero novelty") {
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (0 to 9).map { i =>
+      val text = if (i == 5) base else (1 to 10).map(j => s"d${i}w$j").mkString(" ")
+      (i.toLong, text, "en", "s0")
+    }.updated(0, (0L, base, "en", "s0"))
+    val rows = queries.Corpus.noveltyCurve.fn(spark, corpusDir(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(5L), "decile 5 (the copy) adds nothing new")
+    assert(rows(0L).getLong(1) === 8L)  // 8 trigrams of the 10-token base doc
+    val last = rows.values.maxBy(_.getLong(0))
+    assert(math.abs(last.getDouble(3) - 1.0) < 1e-9)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q300: the fold finds the exact longest run") {
+    val dir = corpusDir(Seq(
+      (1L, "a a a b c", "en", "s0"),
+      (2L, "x x x x x x y", "en", "s0"),
+      (3L, "p q r s", "en", "s0")))
+    val out = queries.Text.maxTokenRun.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) === 3L && !out(1L).getBoolean(3))
+    assert(out(2L).getLong(2) === 6L && out(2L).getBoolean(3))
+    assert(out(3L).getLong(2) === 1L && !out(3L).getBoolean(3))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q301: a constant corpus has no defined correlations; a varied one stays in [-1,1]") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val flat = corpusDir((1L to 3L).map(i => (i, t, "en", "s0")))
+    val rc = queries.Ml.signalCorrelation.fn(spark, flat).collect()
+    assert(rc.length === 6)
+    rc.foreach(r => assert(r.isNullAt(2), s"zero-variance pair must be NULL: $r"))
+    val varied = queries.Ml.signalCorrelation.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(varied.length === 6)
+    varied.foreach { r =>
+      assert(!r.isNullAt(2) && math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"$r")
+    }
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q302: a separable gate peaks at J = 1 with TPR 1 / FPR 0") {
+    // relevant docs (all-distinct tokens) all outscore irrelevant ones
+    val hi = (1 to 50).map(i => s"a$i").mkString(" ")       // q=1.0, rel=1
+    val lo = (1 to 10).flatMap(i => Seq.fill(4)(s"b$i")).mkString(" ") // q=0.9, rel=0
+    val dir = corpusDir(Seq(
+      (1L, hi, "en", "s0"), (2L, hi, "en", "s0"),
+      (3L, lo, "en", "s0"), (4L, lo, "en", "s0")))
+    val rows = queries.Ml.youdenThreshold.fn(spark, dir).collect()
+    val best = rows.filter(_.getBoolean(4))
+    assert(best.length === 1)
+    assert(best(0).getDouble(0) === 1.0)    // the separating threshold
+    assert(best(0).getDouble(1) === 1.0 && best(0).getDouble(2) === 0.0)
+    assert(best(0).getDouble(3) === 1.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("q274: identical groups give obs_diff +0.0 and p-value 1") {
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")
     val dir = corpusDir(
