@@ -1165,17 +1165,6 @@ object Ml {
       import graft.text.TextAnalysis
       val t = TextAnalysis.tokens(col("text"))
       val lt = substring(col("text"), 1, 240)
-      val lzFold = aggregate(split(lt, ""), lit("|;;0"), (acc, c) => {
-        val d = element_at(split(acc, ";"), 1)
-        val cur = element_at(split(acc, ";"), 2)
-        val cnt = element_at(split(acc, ";"), 3)
-        val cand = concat(cur, c)
-        when(d.contains(concat(lit("|"), cand, lit("|"))),
-          concat(d, lit(";"), cand, lit(";"), cnt))
-          .otherwise(concat(d, cand, lit("|;;"), (cnt.cast("int") + 1).cast("string")))
-      })
-      val nPhr = (element_at(split(lzFold, ";"), 3).cast("int") +
-        when(element_at(split(lzFold, ";"), 2) =!= "", 1).otherwise(0)).cast("double")
       val vg = regexp_replace(col("text"), "[aeiou]+", "@")
       val fleschRaw = lit(206.835) -
         lit(1.015) * (size(t).cast("double") /
@@ -1188,7 +1177,8 @@ object Ml {
           .as("quality"),
         round((-graft.functions.CharEntropy(col("text")).getField("negent")) * 10000)
           .cast("long").as("entropy"),
-        round(nPhr / length(lt) * 10000).cast("long").as("lz"),
+        round(TextAnalysis.lzPhraseCount(col("text"), 240).cast("double")
+          / length(lt) * 10000).cast("long").as("lz"),
         round(fleschRaw * 10000).cast("long").as("flesch"))
       val names = Seq("quality", "entropy", "lz", "flesch")
       val prs = for {

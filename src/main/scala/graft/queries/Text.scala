@@ -2163,25 +2163,9 @@ object Text {
       |FROM g ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
     val t = substring(col("text"), 1, 240)
-    val fold = aggregate(
-      split(t, ""),
-      lit("|;;0"),
-      (acc, c) => {
-        val d = element_at(split(acc, ";"), 1)
-        val cur = element_at(split(acc, ";"), 2)
-        val cnt = element_at(split(acc, ";"), 3)
-        val cand = concat(cur, c)
-        when(d.contains(concat(lit("|"), cand, lit("|"))),
-          concat(d, lit(";"), cand, lit(";"), cnt))
-          .otherwise(concat(d, cand, lit("|;;"),
-            (cnt.cast("int") + 1).cast("string")))
-      })
     val df = Tables.documents(s, dir)
-      .select(col("doc_id"), length(t).cast("long").as("n_chars"), fold.as("acc"))
-      .select(col("doc_id"), col("n_chars"),
-        (element_at(split(col("acc"), ";"), 3).cast("int") +
-          when(element_at(split(col("acc"), ";"), 2) =!= "", 1).otherwise(0))
-          .cast("long").as("n_phrases"))
+      .select(col("doc_id"), length(t).cast("long").as("n_chars"),
+        TextAnalysis.lzPhraseCount(col("text"), 240).cast("long").as("n_phrases"))
     val ratio = round(col("n_phrases").cast("double") / col("n_chars"), 4)
     df.select(col("doc_id"), col("n_chars"), col("n_phrases"),
         ratio.as("lz_ratio"), (ratio < 0.45).as("is_repetitive"))

@@ -37,6 +37,31 @@ object TextAnalysis {
   }
 
   /** Language marker words; deterministic, mirrors the SQL oracle. */
+  /** Exact LZ78 phrase count over the first `cap` chars, as a codegen'd
+    * `aggregate` fold with a STRUCT accumulator (dict, current, count).
+    * The struct shape matters for speed: a delimited-string accumulator
+    * (the oracle's list_reduce form) costs three regex splits per
+    * character step — measured ~3× the whole fold. The DuckDB oracle
+    * keeps the string encoding (its list_reduce can't type a struct
+    * accumulator); equality of RESULTS is what the gate checks.
+    */
+  def lzPhraseCount(text: Column, cap: Int): Column = {
+    val chars = split(substring(text, 1, cap), "")
+    aggregate(
+      chars,
+      struct(lit("|").as("d"), lit("").as("cur"), lit(0).as("cnt")),
+      (acc, c) => {
+        val cand = concat(acc.getField("cur"), c)
+        when(acc.getField("d").contains(concat(lit("|"), cand, lit("|"))),
+          struct(acc.getField("d").as("d"), cand.as("cur"),
+            acc.getField("cnt").as("cnt")))
+          .otherwise(struct(concat(acc.getField("d"), cand, lit("|")).as("d"),
+            lit("").as("cur"), (acc.getField("cnt") + 1).as("cnt")))
+      },
+      acc => acc.getField("cnt") +
+        when(acc.getField("cur") =!= "", 1).otherwise(0))
+  }
+
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
     "es" -> Seq("el", "la", "de", "y"),
