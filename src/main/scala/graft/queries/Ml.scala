@@ -82,8 +82,8 @@ object Ml {
   // group key.
   def trimmedMean: Q = Q(
     "q150_trimmed_mean",
-    """WITH b AS (SELECT event_type, quantile_cont(value, 0.1) AS lo,
-      |           quantile_cont(value, 0.9) AS hi
+    """WITH b AS (SELECT event_type, round(quantile_cont(value, 0.1), 2) AS lo,
+      |           round(quantile_cont(value, 0.9), 2) AS hi
       |           FROM events GROUP BY 1)
       |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
       |  round(CAST(sum(CAST(value AS DECIMAL(18,2)))
@@ -95,8 +95,15 @@ object Ml {
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   ) { (s, dir) =>
     val events = Tables.events(s, dir)
+    // Bounds are ROUNDED to the grid (2 dp) before clamping: a raw
+    // interpolated percentile is an arbitrary double, and casting a
+    // clamped boundary row to DECIMAL(18,2) then rounds HALF_UP in
+    // Spark vs HALF_EVEN in DuckDB — a half-cent bound flips the
+    // winsorized sum by a cent per clamped row (caught by a bonus
+    // sf0.001 gate; sf0.01 happened to dodge the boundary).
     val b = events.groupBy("event_type")
-      .agg(expr("percentile(value, 0.1)").as("lo"), expr("percentile(value, 0.9)").as("hi"))
+      .agg(round(expr("percentile(value, 0.1)"), 2).as("lo"),
+        round(expr("percentile(value, 0.9)"), 2).as("hi"))
     val in = col("value") >= col("lo") && col("value") <= col("hi")
     events.join(broadcast(b), "event_type")
       .groupBy("event_type")
