@@ -40,6 +40,11 @@ object Multimodal {
     */
   object ImageIoCodec {
     def decode(content: Array[Byte]): Option[Array[Byte]] =
+      decodeDims(content).map(_._3)
+
+    /** Like [[decode]] but keeps the decoded dimensions — the sidecar
+      * oracle (q54) checks them against authored truth. */
+    def decodeDims(content: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
         if (img == null) None
@@ -58,7 +63,7 @@ object Multimodal {
             }
             y += 1
           }
-          Some(out)
+          Some((w, h, out))
         }
       } catch {
         // ImageIO plugin readers throw RuntimeExceptions (IAE,
@@ -81,6 +86,11 @@ object Multimodal {
     */
   object WavCodec {
     def decode(content: Array[Byte]): Option[Array[Byte]] =
+      decodeWithRate(content).map(_._2)
+
+    /** Like [[decode]] but keeps the sample rate — the sidecar oracle
+      * (q54) derives duration_ms = n·1000/rate from it. */
+    def decodeWithRate(content: Array[Byte]): Option[(Int, Array[Byte])] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(content))
@@ -102,7 +112,7 @@ object Multimodal {
               out(i) = if (signed) (msb ^ 0x80).toByte else msb
               i += 1
             }
-            Some(out)
+            Some((fmt.getSampleRate.toInt, out))
           }
         } finally ais.close()
       } catch {
@@ -435,6 +445,70 @@ object Multimodal {
           }
       }
     }
+  }
+
+  /** One row of exact decode evidence for the q54 sidecar oracle. */
+  final case class MediaStats(media_id: Long, media_type: String, width: Long,
+      height: Long, duration_ms: Long, n_units: Long, lum_sum: Long, lum_hash: Long)
+
+  /** The committed ground-truth fixture (media.parquet + truth.parquet,
+    * authored by tools/make_media_fixtures.py with zero shared code
+    * with these decoders). Resolved relative to the launch dir with the
+    * repo-root fallback so Verify and the driver agree on the path.
+    */
+  def fixtureDir: String = {
+    val rel = new java.io.File("fixtures/media")
+    if (rel.isDirectory) rel.getAbsolutePath else "/root/repo/fixtures/media"
+  }
+
+  /** Decode each media item for REAL and reduce the decoded stream to
+    * exact integer digests a SQL engine can compare against authored
+    * truth: dimensions, duration, unit count, luminance sum, and a
+    * 31-rolling 64-bit hash of the full decoded byte sequence (one
+    * wrong byte anywhere flips it). All fixture containers (PNG, BMP,
+    * WAV/PCM, AVI/DIB) are lossless, so equality is exact — this is
+    * what converts q54 from rows-only to a hash-checked oracle row.
+    * Undecodable bytes produce all-zero digests, which can never match
+    * an authored truth row — corruption FAILS the gate rather than
+    * degrading silently.
+    */
+  def decodeStats(media: DataFrame): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, tp, content) =>
+          val none = (0L, 0L, 0L, Array.emptyByteArray)
+          val (w, h, dur, lums) = tp match {
+            case "image" =>
+              ImageIoCodec.decodeDims(content)
+                .map { case (iw, ih, px) => (iw.toLong, ih.toLong, 0L, px) }
+                .getOrElse(none)
+            case "audio" =>
+              WavCodec.decodeWithRate(content)
+                .map { case (rate, sm) =>
+                  (0L, 0L, sm.length.toLong * 1000L / rate, sm)
+                }
+                .getOrElse(none)
+            case _ =>
+              AviCodec.decode(content).map { v =>
+                val px = v.frames.indices.toArray
+                  .flatMap(i => AviCodec.frameLuminance(v, i).getOrElse(Array.emptyByteArray))
+                (v.width.toLong, v.height.toLong, v.durationMs, px)
+              }.getOrElse(none)
+          }
+          var hsh = 1L
+          var sum = 0L
+          var i = 0
+          while (i < lums.length) {
+            val v = lums(i) & 0xff
+            sum += v
+            hsh = hsh * 31 + v
+            i += 1
+          }
+          MediaStats(id, tp, w, h, dur, lums.length.toLong, sum, hsh)
+        }
+      }
   }
 
   /** Columnar view: binary + struct metadata as a DataFrame table shape

@@ -1478,6 +1478,13 @@ object Curation {
   // independently.
   def facilityLocation: Q = {
     val K = 5
+    // each greedy round is a full keyed corpus pass (anti-join +
+    // count) and the oracle unrolls K CTE triples — K is a round
+    // BUDGET, not a tunable. Fail loudly if an edit inflates it
+    // (the Hits.require(iters <= 4) precedent).
+    require(K <= 8,
+      s"q280: K=$K greedy rounds = K corpus passes and K unrolled " +
+        "oracle CTE rounds; the documented budget is K <= 8")
     val roundCtes = (2 to K).map { r =>
       val exclude = (1 until r).map(i => s"SELECT doc_id FROM s$i")
         .mkString(" UNION ALL ")

@@ -1706,7 +1706,7 @@ object Events {
          |  CROSS JOIN (SELECT max(k) AS k FROM x0) x)
          |SELECT CAST(k AS BIGINT) AS n_states,
          |  round(l, 6) AS slem,
-         |  round(ln(10.0) / (-ln(l)), 4) AS mixing_steps
+         |  round(ln(10.0) / (-ln(nullif(l, 0))), 4) AS mixing_steps
          |FROM y8""".stripMargin,
     ) { (s, dir) =>
       val pairs = Tables.events(s, dir)
@@ -1740,26 +1740,39 @@ object Events {
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       val statesArr = mat.map(_._1).distinct.sorted
       val kk = statesArr.length
+      // the documented driver budget: the collected transition matrix
+      // is k² with k = event types. A corpus change that explodes the
+      // type vocabulary must fail loudly, not silently collect it
+      // (the Hits.require(iters <= 4) precedent).
+      require(mat.length <= 10000,
+        s"q289: collected transition matrix has ${mat.length} entries " +
+          s"(k=$kk states); the driver-arithmetic budget is k^2 <= 10000 — " +
+          "a larger state space needs the DataFrame iteration form")
       var xv: Map[String, Double] = statesArr.zipWithIndex.map { case (st, i) =>
         st -> (if (i == 0) 1.0 - 1.0 / kk else -1.0 / kk)
       }.toMap
       var l = Double.NaN
       var dead = false
-      for (_ <- 1 to 8 if !dead) {
+      for (i <- 1 to 8 if !dead) {
         val yv = mat.groupBy(_._2).map { case (to, es) =>
           to -> sumDec12(es.map { case (from, _, p) => rnd(xv(from) * p, 12) })
         }
         l = sumDec12(yv.values.map(v => rnd(math.abs(v), 12)))
-        if (l == 0.0) dead = true
+        // l == 0 mid-chain NULLs the SQL via x_i's /0 (DuckDB x/0 =
+        // NULL) — dead matches that. On the FINAL iteration there is
+        // no x8 division in the SQL: it emits slem = 0.0 and NULLs
+        // only mixing_steps (nullif(l,0) inside ln) — do the same.
+        if (l == 0.0) { if (i < 8) dead = true }
         else xv = statesArr.map(st => st -> rnd(yv.getOrElse(st, 0.0) / l, 12)).toMap
       }
       import s.implicits._
       val out =
         if (dead) Seq((kk.toLong, Option.empty[Double], Option.empty[Double]))
         else Seq((kk.toLong, Some(rnd(l, 6)),
-          // a periodic chain (|λ₂| = 1) has no finite mixing time:
-          // NULL, matching DuckDB's x/0
-          if (-math.log(l) == 0.0) Option.empty[Double]
+          // a periodic chain (|λ₂| = 1) has no finite mixing time, and
+          // l = 0 has no log: NULL, matching DuckDB's x/0 and
+          // ln(nullif(l, 0))
+          if (l == 0.0 || -math.log(l) == 0.0) Option.empty[Double]
           else Some(rnd(math.log(10.0) / -math.log(l), 4))))
       out.toDF("n_states", "slem", "mixing_steps")
     }

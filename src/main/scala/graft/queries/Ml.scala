@@ -683,19 +683,28 @@ object Ml {
     (df, IsolationForestLite.servingSql(model, contamination = 0.05))
   }
 
-  // --- multimodal feature extraction (rows-only) ---------------------------
-  // Rows-only BY NECESSITY: the features derive from REAL binary
-  // decode (PNG/WAV/AVI bytes through the JDK codecs) — SQL engines
-  // cannot decode media. The codecs are fixture-tested to known
-  // pixel/sample values in MultimodalSpec.
-  def multimodalFeatures: Q = Q.rowsOnly("q54_multimodal_features") { (s, dir) =>
-    val corpus = Multimodal.synthesize(s, 500)
-    Multimodal.extractFeatures(corpus, dim = 16).toDF()
-      .groupBy("media_type")
-      .agg(count(lit(1)).as("n"),
-        round(avg("mean_intensity"), 2).as("avg_intensity"),
-        round(avg("byte_entropy"), 3).as("avg_entropy"))
-      .orderBy("media_type")
+  // --- multimodal decode vs authored ground truth (sidecar oracle) ---------
+  // The decode is REAL (PNG/BMP via ImageIO, WAV PCM via AudioSystem,
+  // AVI/DIB via the from-scratch RIFF parser); what used to force
+  // rows-only is that no SQL engine can decode media. The r8 verdict's
+  // conversion: the fixture generator (tools/make_media_fixtures.py)
+  // AUTHORS the expected decode results from the pixel/sample values
+  // it chose — pure-Python struct+zlib encoders, zero shared code with
+  // the JDK decoders — into a truth sidecar parquet; the oracle reads
+  // the sidecar and the driver hash-compares. All four containers are
+  // lossless, so equality is exact: width/height, duration, unit
+  // count, luminance sum, and a 31-rolling hash of the entire decoded
+  // byte stream. MultimodalSpec stays as the deeper pixel-exact gate
+  // and keeps the synthetic-corpus (synthesize/extractFeatures) path
+  // covered.
+  def multimodalFeatures: Q = Q.dynamicOracle("q54_multimodal_features") { (s, dir) =>
+    val fix = Multimodal.fixtureDir
+    val stats = Multimodal.decodeStats(s.read.parquet(s"$fix/media.parquet"))
+      .toDF().orderBy("media_id")
+    (stats,
+      s"""SELECT media_id, media_type, width, height, duration_ms,
+         |  n_units, lum_sum, lum_hash
+         |FROM read_parquet('$fix/truth.parquet') ORDER BY media_id""".stripMargin)
   }
 
   // --- q252: Mann–Whitney rank-sum drift test per source ---------------------

@@ -126,6 +126,14 @@ object Preference {
         acc.add(JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP))).doubleValue
     val wl = matchWl(s, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the documented driver budget: the collected W/L matrix is at
+    // most players² rows (players = distinct sources). A corpus change
+    // that explodes the player vocabulary must fail loudly instead of
+    // silently collecting it (the Hits.require(iters <= 4) precedent).
+    require(wl.length <= 10000,
+      s"q219: collected W/L matrix has ${wl.length} rows; the " +
+        "driver-arithmetic budget is players^2 <= 10000 — a larger " +
+        "player space needs the DataFrame iteration form")
     val pairs = wl.flatMap { case (w, l, n) => Seq(((w, l), n), ((l, w), n)) }
       .groupBy(_._1).map { case (key, v) => key -> v.map(_._2).sum }
     val players = pairs.keysIterator.map(_._1).toSeq.distinct.sorted

@@ -20,11 +20,24 @@ object Scale {
   // (Spark's codegen hll_sketch_agg — fixed memory per group). A
   // monthly refresh unions ONLY the new day's sketches
   // (hll_union_agg, register-wise max — associative, commutative,
-  // idempotent), never rescans the fact table. Rows-only by necessity
-  // (DuckDB's HLL is a different sketch); GraphAggStateSpec gates
-  // union(build(days)) == build(all) exactly and the estimate's
-  // error vs exact; the exact count rides along here for eyeballing.
-  def hllDistinctState: Q = Q.rowsOnly("q136_hll_distinct_state") { (s, dir) =>
+  // idempotent), never rescans the fact table. The q56 split oracle:
+  // DuckDB's HLL is a different sketch, so the estimate itself can't
+  // hash-match — instead the EXACT column hash-matches countDistinct
+  // and the estimate is pinned to its published error bound
+  // (lgConfigK=12 ⇒ σ ≈ 1.04/√4096 ≈ 1.6%; 6% ≈ 3.7σ — the q56 bar)
+  // as `approx_ok`, which the SQL side emits as literal TRUE. A sketch
+  // drifting past its guarantee now FAILS the gate instead of hiding
+  // behind rows-only. Union-associativity — union(build(days)) ==
+  // build(all) register-exact — stays gated in GraphAggStateSpec.
+  def hllDistinctState: Q = Q(
+    "q136_hll_distinct_state",
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS approx_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
     val ev = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
     // state table: one
@@ -36,7 +49,9 @@ object Scale {
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
     monthly.join(exact, "event_type")
-      .select(col("event_type"), col("approx_users"), col("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.06).as("approx_ok"))
       .orderBy("event_type")
   }
 

@@ -238,6 +238,12 @@ object Search {
       // 9-dp HALF_UP scores, +0.0 signed-zero normalization.
       val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getSeq[Float](3).toArray.map(_.toDouble)))
+      // fail loudly if an edit to the candidate window ever breaks the
+      // documented ≤ |qids|×12 collect budget (the Hits.require
+      // precedent for driver-arithmetic sites)
+      require(rows.length <= qids.size * 12,
+        s"q235: collected ${rows.length} candidate rows; the driver " +
+          s"greedy's documented budget is ${qids.size * 12} (|queries| * top-12)")
       def dotd(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { acc += a(i) * b(i); i += 1 }

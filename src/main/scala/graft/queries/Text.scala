@@ -22,7 +22,7 @@ object Text {
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
     lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman,
-    languageMix, maxTokenRun)
+    languageMix, maxTokenRun, substringDedupGlobal)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -937,6 +937,100 @@ object Text {
         (max(col("i")) + 7 - min(col("i")) + 1).as("span_tokens"))
       .select("doc_id", "span_start", "span_end", "n_windows", "span_tokens")
       .orderBy("doc_id", "span_start")
+  }
+
+  // --- q303: exact-substring GLOBAL dedup (cleaned-doc emission) --------------
+  // q95 counts duplicated windows and q204 emits per-doc removal spans;
+  // this is the terminal member of the family — the Lee et al. 2021
+  // "Deduplicating Training Data" cut pass itself, corpus-wide: every
+  // 8-token window that occurs ≥2 times anywhere (cross-doc OR
+  // within-doc) keeps exactly ONE canonical occurrence (the minimal
+  // (doc_id, position), encoded as one BIGINT key so the argmin is a
+  // plain MIN aggregate) and every other occurrence is cut. Cut
+  // windows explode to covered token positions, positions merge into
+  // maximal islands (gaps-and-islands per doc, bounded by doc length),
+  // and each doc emits its post-cut shape: kept/cut token counts, cut
+  // span count, and the first 12 kept tokens as a content witness (so
+  // the oracle pins WHAT survived, not just how much). Shape at scale:
+  // one shuffle on the 128-bit window-hash pair (count + canonical
+  // MIN in the same aggregate, membership join reuses the exchange),
+  // one ≤8× explode of cut windows only, per-doc rollups keyed by
+  // doc_id; the token-array rebuild is per-row bounded arithmetic.
+  // Docs shorter than 8 tokens have no windows and pass through
+  // uncut. The xxhash64 pair is load-bearing exactly as in q204: a
+  // collision would merge unrelated windows and move a cut.
+  def substringDedupGlobal: Q = Q(
+    "q303_substring_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |        doc_id * 1000000 + CAST(i AS BIGINT) AS ok,
+      |        array_to_string(t[i:i+7], ' ') AS win
+      |      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |      WHERE len(t) >= 8),
+      |g AS (SELECT win, count(*) AS cnt, min(ok) AS own FROM w GROUP BY win),
+      |cuts AS (SELECT w.doc_id, w.i FROM w JOIN g USING (win)
+      |         WHERE g.cnt >= 2 AND w.ok <> g.own),
+      |cov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+      |        FROM cuts, UNNEST(range(i, i + 8)) AS v(p)),
+      |isl AS (SELECT doc_id, p,
+      |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |  FROM cov),
+      |spn AS (SELECT doc_id, CAST(count(DISTINCT grp) AS BIGINT) AS n_cut_spans
+      |        FROM isl GROUP BY doc_id),
+      |cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cut,
+      |         list_sort(list(p)) AS cps
+      |       FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(cv.cut, 0) AS BIGINT) AS cut_tokens,
+      |  CAST(len(t.t) - coalesce(cv.cut, 0) AS BIGINT) AS kept_tokens,
+      |  coalesce(spn.n_cut_spans, 0) AS n_cut_spans,
+      |  coalesce(array_to_string(list_transform(
+      |    (list_filter(range(1, len(t.t) + 1),
+      |       x -> NOT list_contains(coalesce(cv.cps, []), x)))[1:12],
+      |    x -> t.t[x]), ' '), '') AS cleaned_prefix
+      |FROM toks t LEFT JOIN cv USING (doc_id) LEFT JOIN spn USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val docs = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n")))
+    // q204's explode-then-hash shape, plus the canonical-occurrence key
+    val wins = Dedup.persistTracked(docs
+      .filter(col("n") >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), (col("n") - 7).cast("int")),
+          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as(Seq("p", "win")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
+        (col("doc_id") * 1000000L + col("p") + 1L).as("ok"),
+        xxhash64(col("win")).as("h1"),
+        xxhash64(lit("graft_w2"), col("win")).as("h2")))
+    val g = wins.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("cnt"), min(col("ok")).as("own"))
+      .filter(col("cnt") >= 2)
+    val cuts = wins.join(g, Seq("h1", "h2")).filter(col("ok") =!= col("own"))
+      .select(col("doc_id"), col("i"))
+    val cov = cuts
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+      .distinct()
+    val spn = cov
+      .withColumn("grp",
+        col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("grp")).as("n_cut_spans"))
+    val cv = cov.groupBy("doc_id")
+      .agg(count(lit(1)).as("cut"), sort_array(collect_list(col("p"))).as("cps"))
+    docs.join(cv, Seq("doc_id"), "left_outer")
+      .join(spn, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("cut"), lit(0L)).as("cut_tokens"),
+        (col("n") - coalesce(col("cut"), lit(0L))).as("kept_tokens"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        concat_ws(" ", transform(
+          slice(array_except(sequence(lit(1L), col("n")),
+            coalesce(col("cps"), array().cast("array<long>"))), 1, 12),
+          x => element_at(col("t"), x.cast("int")))).as("cleaned_prefix"))
+      .orderBy("doc_id")
   }
 
   // --- q205: token autocorrelation (loop-spam detector) ---------------------
@@ -2325,7 +2419,7 @@ object Text {
   // boundary can flip a count.
   def blandAltman: Q = Q(
     "q292_bland_altman",
-    s"""WITH d0 AS (SELECT
+    s"""WITH d0 AS MATERIALIZED (SELECT
        |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4)
        |      - round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
        |        / len(string_split(text, ' ')), 4) AS d
@@ -2335,14 +2429,15 @@ object Text {
        |    CAST(sum(CAST(d * d AS DECIMAL(28,8))) AS DOUBLE) AS sd2
        |  FROM d0),
        |f AS (SELECT n, sd1 / n AS bias,
-       |    sqrt((sd2 - sd1 / n * sd1) / (n - 1)) AS sd FROM m)
+       |    sqrt((sd2 - sd1 / n * sd1) / (n - 1)) AS sd FROM m),
+       |o AS (SELECT CAST(count(*) AS BIGINT) AS n_out FROM d0 CROSS JOIN f
+       |  WHERE d < round(bias - 1.96 * sd, 6)
+       |     OR d > round(bias + 1.96 * sd, 6))
        |SELECT n, round(bias, 6) + 0.0 AS bias, round(sd, 6) AS sd_diff,
        |  round(bias - 1.96 * sd, 6) + 0.0 AS loa_lo,
        |  round(bias + 1.96 * sd, 6) + 0.0 AS loa_hi,
-       |  round(CAST((SELECT count(*) FROM d0 CROSS JOIN f
-       |    WHERE d < round(bias - 1.96 * sd, 6)
-       |       OR d > round(bias + 1.96 * sd, 6)) AS DOUBLE) / n, 4) AS outside_share
-       |FROM f""".stripMargin,
+       |  round(CAST(n_out AS DOUBLE) / n, 4) AS outside_share
+       |FROM f CROSS JOIN o""".stripMargin,
   ) { (s, dir) =>
     val t = TextAnalysis.tokens(col("text"))
     val d0 = graft.dedup.Dedup.persistTracked(Tables.documents(s, dir)

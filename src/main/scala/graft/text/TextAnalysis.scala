@@ -46,8 +46,12 @@ object TextAnalysis {
     * accumulator); equality of RESULTS is what the gate checks.
     */
   def lzPhraseCount(text: Column, cap: Int): Column = {
+    // Spark's split("", "") yields [""] (one empty element) while
+    // DuckDB's string_split('', '') yields [] — an unguarded fold would
+    // count 1 phrase for an empty document where the oracle counts 0.
+    // Guard the empty case explicitly; NULL text stays NULL in both.
     val chars = split(substring(text, 1, cap), "")
-    aggregate(
+    val fold = aggregate(
       chars,
       struct(lit("|").as("d"), lit("").as("cur"), lit(0).as("cnt")),
       (acc, c) => {
@@ -60,6 +64,7 @@ object TextAnalysis {
       },
       acc => acc.getField("cnt") +
         when(acc.getField("cur") =!= "", 1).otherwise(0))
+    when(length(text) === 0, lit(0)).otherwise(fold)
   }
 
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -185,4 +185,21 @@ class MultimodalSpec extends SparkSpec {
     assert(back.schema("content").dataType.typeName === "binary")
     assert(back.count() === 200)
   }
+
+  test("decodeStats reproduces the authored truth sidecar byte-exactly") {
+    // the committed fixture was authored by pure-Python encoders
+    // (tools/make_media_fixtures.py) with expected digests computed
+    // from the CHOSEN pixels/samples, never by decoding — agreement
+    // here proves the JDK decode path end-to-end on all four formats
+    val fix = Multimodal.fixtureDir
+    val cols = Seq("media_id", "media_type", "width", "height",
+      "duration_ms", "n_units", "lum_sum", "lum_hash")
+    val got = Multimodal.decodeStats(spark.read.parquet(s"$fix/media.parquet"))
+      .toDF().select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val want = spark.read.parquet(s"$fix/truth.parquet")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    assert(want.count() === 120)
+    assert(got.exceptAll(want).isEmpty, "decoded stats not in truth")
+    assert(want.exceptAll(got).isEmpty, "truth rows not reproduced")
+  }
 }

@@ -27,6 +27,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q1 <= 1.0 && q2 >= 0.0)
   }
 
+  test("lzPhraseCount: empty text counts 0 phrases (DuckDB string_split parity)") {
+    // Spark's split("", "") yields [""] while DuckDB's string_split
+    // yields [] — the unguarded fold counted 1 phrase on an empty doc.
+    val r = Seq(("", "ab"), ("abcabc", "x")).toDF("t", "u")
+      .select(TextAnalysis.lzPhraseCount(col("t"), 240).as("n")).collect()
+    // "abcabc" parses a|b|c|ab|c(partial) = 5 phrases
+    assert(r.map(_.getInt(0)).toSeq === Seq(0, 5))
+  }
+
+  test("lzPhraseCount: null text stays null") {
+    val r = Seq(Tuple1(Option.empty[String])).toDF("t")
+      .select(TextAnalysis.lzPhraseCount(col("t"), 240).as("n")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("langId picks the marker-dominant language with fixed tie-break") {
     val cases = Seq(
       ("the cat and the dog is here", "en"),
