@@ -13,7 +13,7 @@ object Embeddings {
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
     mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
-    twoNnDimension)
+    twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -592,6 +592,206 @@ object Embeddings {
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${s.sparkContext.applicationId}_$safe"
+  }
+
+  // --- q304: hard-negative mining (contrastive pairs) -----------------------
+  // q164 samples RANDOM different-label negatives; contrastive training
+  // wants the HARD ones — per class, the most-similar vectors from
+  // other classes (the "mine the margin" recipe every embedding-model
+  // pipeline runs). Anchors are the min-vec_id representative of each
+  // label (deterministic, one per class → the panel is |labels|-
+  // bounded); the panel broadcasts into ONE corpus scan (the q101
+  // batched-serving shape — never a per-anchor rescan) and each
+  // anchor's top-3 cross-label cosines come from a window over its own
+  // bounded partition. Similarity is rounded+znormed BEFORE ranking so
+  // a -0.0/0.0 tie can't order differently across engines.
+  def hardNegatives: Q = Q(
+    "q304_hard_negatives",
+    s"""WITH a AS (SELECT label AS anchor_label, min(vec_id) AS anchor_id
+       |           FROM embeddings GROUP BY label),
+       |av AS (SELECT a.anchor_label, a.anchor_id, e.embedding AS qv
+       |       FROM a JOIN embeddings e ON e.vec_id = a.anchor_id),
+       |scored AS (SELECT av.anchor_label, av.anchor_id, e.vec_id, e.label,
+       |    round(${sqlCos("e.embedding", "av.qv")}, 6) + 0.0 AS cos_sim
+       |  FROM embeddings e, av
+       |  WHERE e.label <> av.anchor_label),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_label
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+       |SELECT anchor_label, anchor_id, CAST(rk AS BIGINT) AS rk,
+       |  vec_id AS neg_id, label AS neg_label, cos_sim
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY anchor_label, rk""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.groupBy(col("label").as("anchor_label"))
+      .agg(min(col("vec_id")).as("anchor_id"))
+      .join(e.select(col("vec_id").as("anchor_id"),
+        Similarity.asDouble(col("embedding")).as("qv")), "anchor_id")
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_label"), col("anchor_id"), col("vec_id"), col("label"),
+        znorm(round(Similarity.cosine(Similarity.asDouble(col("embedding")),
+          col("qv")), 6)).as("cos_sim"))
+    val w = Window.partitionBy("anchor_label")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("anchor_label"), col("anchor_id"), col("rk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"), col("cos_sim"))
+      .orderBy("anchor_label", "rk")
+  }
+
+  // ---- shared Lloyd fit for the trained-clustering audits (q305/q306) ------
+  // One k=8, 3-iteration, tol=0 training per (JVM, corpus) — the
+  // q103 build-at-most-once convention. Training is spec-gated
+  // (KMeansSpec: determinism, monotone inertia); the audits embed THIS
+  // run's centroids as SQL literals and DuckDB independently replays
+  // everything downstream (assignment, silhouette, contingency, NMI).
+  private val kmFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+  private def lloydCents(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Array[Double]] =
+    kmFits.computeIfAbsent(dir, _ =>
+      graft.ml.KMeansLite.lloyd(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 3, tol = 0.0).centroids.toSeq)
+
+  /** Per-row array of 9-dp-rounded squared distances to the trained
+    * centroids, in cell order — the shared assignment surface of the
+    * q305/q306 oracles (round-before-compare keeps Spark's
+    * array_position tie-break identical to the oracle's
+    * row_number() OVER (ORDER BY dist, cell)). */
+  private def roundedDistArray(cents: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    array(cents.map(c =>
+      round(graft.functions.SqDist(col("__v"), typedLit(c)), 9)): _*)
+
+  private def sqlCentsLit(cents: Seq[Array[Double]]): String =
+    sqlCentsCte(cents.zipWithIndex.map { case (c, i) => i -> c.toSeq })
+
+  // --- q305: centroid silhouette (clustering-quality audit) ------------------
+  // The standard "is this clustering real" number, in its scalable
+  // simplified form (a = distance to own centroid, b = distance to the
+  // best other centroid — never the O(n²) pairwise original): per
+  // vector s = (√b2 − √a2)/max(√a2, √b2) where a2/b2 are the smallest
+  // and second-smallest 9-dp-rounded squared centroid distances (own
+  // centroid IS the argmin, so a2 = sorted[1], b2 = sorted[2] — one
+  // array_sort per row, no own/other case split). Map-only per-row
+  // k-fold work against literal centroids + one per-cluster aggregate;
+  // s is rounded+znormed before the DECIMAL mean. A vector equal to
+  // two centroids (max = 0) NULLs via try_divide = DuckDB's x/0.
+  def centroidSilhouette: Q = Q.dynamicOracle("q305_centroid_silhouette") { (s, dir) =>
+    val cents = lloydCents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v"))
+    val df = e
+      .withColumn("__d", roundedDistArray(cents))
+      .withColumn("cluster",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .withColumn("__ds", array_sort(col("__d")))
+      .withColumn("a2", element_at(col("__ds"), 1))
+      .withColumn("b2", element_at(col("__ds"), 2))
+      .withColumn("s", znorm(round(try_divide(sqrt(col("b2")) - sqrt(col("a2")),
+        greatest(sqrt(col("a2")), sqrt(col("b2")))), 6)))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        znorm(round(dsum(col("s"), 6) / count(col("s")), 6)).as("mean_silhouette"))
+      .orderBy("cluster")
+    val sql =
+      s"""WITH ${sqlCentsLit(cents)},
+         |d AS (SELECT e.vec_id, c.cell,
+         |    round(${sqlSqDist("e.embedding", "c.cv")}, 9) AS dist
+         |  FROM embeddings e, cents c),
+         |r AS (SELECT vec_id, cell, dist, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rk FROM d),
+         |ab AS (SELECT a.vec_id, a.cell, a.dist AS a2, b.dist AS b2
+         |  FROM r a JOIN r b ON b.vec_id = a.vec_id AND a.rk = 1 AND b.rk = 2),
+         |sil AS (SELECT cell,
+         |    round((sqrt(b2) - sqrt(a2))
+         |      / nullif(greatest(sqrt(a2), sqrt(b2)), 0), 6) + 0.0 AS s
+         |  FROM ab)
+         |SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(s), 6) + 0.0
+         |    AS mean_silhouette
+         |FROM sil GROUP BY cell ORDER BY cluster""".stripMargin
+    (df, sql)
+  }
+
+  // --- q306: cluster ↔ label normalized mutual information --------------------
+  // Does the trained clustering recover the label structure? The
+  // standard external-validity number for "cluster-balanced sampling
+  // is safe": NMI = I(C;L)/√(H(C)·H(L)) from the k×|labels|-bounded
+  // contingency table (one keyed aggregate — the corpus never feeds
+  // anything bigger). Every log term is 9-dp rounded then
+  // DECIMAL-summed; entropies and MI are znormed (a one-cluster or
+  // one-label corpus cancels them to ±0); a degenerate √(H·H) = 0
+  // NULLs the ratio via try_divide, matching DuckDB's x/0.
+  def clusterLabelNmi: Q = Q.dynamicOracle("q306_cluster_label_nmi") { (s, dir) =>
+    val cents = lloydCents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        Similarity.asDouble(col("embedding")).as("__v"))
+    val asn = e.withColumn("__d", roundedDistArray(cents))
+      .select(col("label"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cluster"))
+    val ct = graft.dedup.Dedup.persistTracked(
+      asn.groupBy("cluster", "label").agg(count(lit(1)).as("ncl")))
+    val nc = ct.groupBy("cluster").agg(sum("ncl").as("nc"))
+    val nl = ct.groupBy("label").agg(sum("ncl").as("nl"))
+    val tot = ct.agg(sum("ncl").as("nn"))
+    // double-first products: nn·ncl and nc·nl overflow BIGINT long
+    // before a 100-TB contingency does; both engines multiply in DOUBLE
+    // in the same order
+    val mi = ct.join(nc, "cluster").join(nl, "label").crossJoin(broadcast(tot))
+      .select(round((col("ncl") / col("nn"))
+        * log((col("nn").cast("double") * col("ncl"))
+          / (col("nc").cast("double") * col("nl"))), 9).as("t"))
+      .agg(znorm(round(dsum(col("t"), 9), 9)).as("mi"))
+    def entropy(m: org.apache.spark.sql.DataFrame, cnt: String) =
+      m.crossJoin(broadcast(tot))
+        .select(round((col(cnt) / col("nn")) * log(col(cnt) / col("nn")), 9).as("t"),
+          col(cnt))
+        .agg(znorm(round(-dsum(col("t"), 9), 9)).as("h"),
+          count(lit(1)).as("k"))
+    val hc = entropy(nc, "nc").select(col("h").as("h_cluster"), col("k").as("k_clusters"))
+    val hl = entropy(nl, "nl").select(col("h").as("h_label"), col("k").as("n_labels"))
+    val df = mi.crossJoin(hc).crossJoin(hl)
+      .select(col("k_clusters"), col("n_labels"),
+        znorm(round(col("mi"), 6)).as("mi"),
+        znorm(round(col("h_cluster"), 6)).as("h_cluster"),
+        znorm(round(col("h_label"), 6)).as("h_label"),
+        znorm(round(try_divide(col("mi"),
+          sqrt(col("h_cluster") * col("h_label"))), 6)).as("nmi"))
+    val sql =
+      s"""WITH ${sqlCentsLit(cents)},
+         |d AS (SELECT e.vec_id, e.label, c.cell,
+         |    round(${sqlSqDist("e.embedding", "c.cv")}, 9) AS dist
+         |  FROM embeddings e, cents c),
+         |asn AS (SELECT vec_id, label, cell FROM (
+         |    SELECT vec_id, label, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cell) AS rk FROM d) WHERE rk = 1),
+         |ct AS (SELECT cell, label, count(*) AS ncl FROM asn GROUP BY 1, 2),
+         |nc AS (SELECT cell, sum(ncl) AS nc FROM ct GROUP BY cell),
+         |nl AS (SELECT label, sum(ncl) AS nl FROM ct GROUP BY label),
+         |tot AS (SELECT sum(ncl) AS nn FROM ct),
+         |mi AS (SELECT round(CAST(sum(CAST(round((ncl / nn)
+         |      * ln((CAST(nn AS DOUBLE) * ncl) / (CAST(nc.nc AS DOUBLE) * nl.nl)), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 9) + 0.0 AS mi
+         |  FROM ct JOIN nc USING (cell) JOIN nl USING (label) CROSS JOIN tot),
+         |hc AS (SELECT round(-CAST(sum(CAST(round((nc / nn) * ln(nc / nn), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 9) + 0.0 AS h_cluster,
+         |    CAST(count(*) AS BIGINT) AS k_clusters
+         |  FROM nc CROSS JOIN tot),
+         |hl AS (SELECT round(-CAST(sum(CAST(round((nl / nn) * ln(nl / nn), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 9) + 0.0 AS h_label,
+         |    CAST(count(*) AS BIGINT) AS n_labels
+         |  FROM nl CROSS JOIN tot)
+         |SELECT k_clusters, n_labels,
+         |  round(mi, 6) + 0.0 AS mi,
+         |  round(h_cluster, 6) + 0.0 AS h_cluster,
+         |  round(h_label, 6) + 0.0 AS h_label,
+         |  round(mi / nullif(sqrt(h_cluster * h_label), 0), 6) + 0.0 AS nmi
+         |FROM mi CROSS JOIN hc CROSS JOIN hl""".stripMargin
+    (df, sql)
   }
 
   /** DuckDB fragment: left-fold double-precision dot of lists a·b. */

@@ -22,7 +22,7 @@ object Text {
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
     lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman,
-    languageMix, maxTokenRun, substringDedupGlobal)
+    languageMix, maxTokenRun, substringDedupGlobal, dedupThresholdSweep)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1010,9 +1010,9 @@ object Text {
       .filter(col("cnt") >= 2)
     val cuts = wins.join(g, Seq("h1", "h2")).filter(col("ok") =!= col("own"))
       .select(col("doc_id"), col("i"))
-    val cov = cuts
+    val cov = Dedup.persistTracked(cuts
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
-      .distinct()
+      .distinct())
     val spn = cov
       .withColumn("grp",
         col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
@@ -1020,17 +1020,85 @@ object Text {
       .agg(count_distinct(col("grp")).as("n_cut_spans"))
     val cv = cov.groupBy("doc_id")
       .agg(count(lit(1)).as("cut"), sort_array(collect_list(col("p"))).as("cps"))
-    docs.join(cv, Seq("doc_id"), "left_outer")
-      .join(spn, Seq("doc_id"), "left_outer")
+    // cut and uncut docs emit as INNER ∪ ANTI against the cut-doc
+    // table rather than one left-outer join: the left-outer form has
+    // unique right keys, so a count-only consumer (the bench action)
+    // lets Catalyst eliminate the joins and "measures" a bare doc
+    // scan — the union's cardinality genuinely depends on the dedup
+    // computation, so no action can skip it
+    val withCuts = docs.join(cv.join(spn, Seq("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("n").as("n_tokens"),
-        coalesce(col("cut"), lit(0L)).as("cut_tokens"),
-        (col("n") - coalesce(col("cut"), lit(0L))).as("kept_tokens"),
-        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        col("cut").as("cut_tokens"),
+        (col("n") - col("cut")).as("kept_tokens"),
+        col("n_cut_spans"),
         concat_ws(" ", transform(
-          slice(array_except(sequence(lit(1L), col("n")),
-            coalesce(col("cps"), array().cast("array<long>"))), 1, 12),
+          slice(array_except(sequence(lit(1L), col("n")), col("cps")), 1, 12),
           x => element_at(col("t"), x.cast("int")))).as("cleaned_prefix"))
-      .orderBy("doc_id")
+    val noCuts = docs.join(cv.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        lit(0L).as("cut_tokens"), col("n").as("kept_tokens"),
+        lit(0L).as("n_cut_spans"),
+        concat_ws(" ", slice(col("t"), 1, 12)).as("cleaned_prefix"))
+    withCuts.unionByName(noCuts).orderBy("doc_id")
+  }
+
+  // --- q307: dedup threshold sensitivity sweep ---------------------------------
+  // The report every dedup run owes its owner before anyone picks a
+  // threshold: pair yield and affected-doc count at each candidate
+  // Jaccard cut, from ONE inverted-index pair table (built once at the
+  // loosest threshold, swept with per-threshold filters over the
+  // bounded pair set — never re-paired per cut). Comparisons use the
+  // 4-dp-rounded Jaccard both engines already emit (q40's grid), so no
+  // float boundary can flip a count; thresholds with zero pairs still
+  // report (LEFT join from the threshold axis).
+  def dedupThresholdSweep: Q = {
+    val ths = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    Q(
+      "q307_dedup_threshold_sweep",
+      s"""WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+         |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+         |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |       WHERE len(t) >= 3),
+         |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jac
+         |  FROM pairs
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3),
+         |th AS (SELECT CAST(unnest([${ths.mkString(", ")}]) AS DOUBLE) AS threshold),
+         |e AS (SELECT t.threshold, j.id_a, j.id_b FROM j JOIN th t
+         |      ON j.jac >= t.threshold),
+         |p AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM e GROUP BY 1),
+         |d AS (SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |      FROM (SELECT threshold, unnest([id_a, id_b]) AS doc FROM e) GROUP BY 1)
+         |SELECT t.threshold, coalesce(p.n_pairs, 0) AS n_pairs,
+         |  coalesce(d.n_docs, 0) AS n_docs
+         |FROM th t LEFT JOIN p USING (threshold) LEFT JOIN d USING (threshold)
+         |ORDER BY threshold""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val pairs = Dedup.persistTracked(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.3))
+      val th = ths.toDF("threshold")
+      val e = pairs.crossJoin(broadcast(th))
+        .filter(col("jaccard") >= col("threshold"))
+      val p = e.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val d = e.select(col("threshold"),
+          explode(array(col("id_a"), col("id_b"))).as("doc")).distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+      th.join(p, Seq("threshold"), "left_outer")
+        .join(d, Seq("threshold"), "left_outer")
+        .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("threshold")
+    }
   }
 
   // --- q205: token autocorrelation (loop-spam detector) ---------------------
