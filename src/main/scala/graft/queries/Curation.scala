@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -20,7 +21,7 @@ object Curation {
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
     otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence,
-    waterFilling)
+    waterFilling, neymanAllocation, powerAnalysis)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1692,6 +1693,101 @@ object Curation {
         round(least(col("tok").cast("double"), col("c")), 6).as("allocated"),
         (col("tok") <= col("c")).as("saturated"), col("c").as("water_level"))
       .orderBy("source")
+  }
+
+  /** Per-source quality-score moments shared by the q308/q309
+    * experimental-design pair: count, DECIMAL-exact Σq (4-dp grid) and
+    * Σq² (scale 8 — products of 4-dp values are exact there), plus the
+    * sample standard deviation in q292's moment form. One scan, one
+    * sources-sized aggregate.
+    */
+  private def qualityMoments(s: SparkSession, dir: String): DataFrame = {
+    val sc = Tables.documents(s, dir)
+      .select(col("source"), round(TextAnalysis.qualityScore(col("text")), 4).as("sq"))
+    sc.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sq").cast("decimal(18,4)")).cast("double").as("s1"),
+        sum((col("sq") * col("sq")).cast("decimal(28,8)")).cast("double").as("s2"))
+      .select(col("source"), col("n"),
+        sqrt((col("s2") - col("s1") / col("n") * col("s1")) / (col("n") - 1)).as("sd"))
+  }
+
+  /** The same moments as oracle CTEs (through `v(source, n, sd)`). */
+  private def qualityMomentsSql: String =
+    s"""sc AS (SELECT source, round(${CurationSqlFragments.qualitySql}, 4) AS sq
+       |  FROM documents),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(sq AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(sq * sq AS DECIMAL(28,8))) AS DOUBLE) AS s2
+       |  FROM sc GROUP BY source),
+       |v AS (SELECT source, n, sqrt((s2 - s1 / n * s1) / (n - 1)) AS sd FROM m)""".stripMargin
+
+  // --- q308: Neyman allocation for a stratified eval set -----------------------
+  // Eval-set design as a first-class pipeline op: allocate a fixed
+  // labeling/eval budget (1000 docs) across sources ∝ N_h·σ_h — the
+  // Neyman-optimal stratified design (minimum-variance estimate of
+  // corpus quality for a fixed budget), so high-variance sources get
+  // proportionally more eval slots than proportional sampling would
+  // give them. Per-source weights are 4-dp rounded before the DECIMAL
+  // total (an unordered float Σ across sources would be partitioning-
+  // dependent), shares 6-dp; the integer allocation is floor(share ×
+  // budget) on the exact 6-dp DECIMAL grid — no float boundary can
+  // move a slot. A single-doc source has no variance: its weight is 0
+  // (nothing to measure), sd_quality NULL via the n−1 division.
+  def neymanAllocation: Q = Q(
+    "q308_neyman_allocation",
+    s"""WITH $qualityMomentsSql,
+       |w AS (SELECT source, n, sd, round(n * coalesce(sd, 0), 4) AS wh FROM v),
+       |t AS (SELECT CAST(sum(CAST(wh AS DECIMAL(18,4))) AS DOUBLE) AS tw FROM w)
+       |SELECT source, n AS n_docs, round(sd, 6) AS sd_quality,
+       |  round(wh / tw, 6) + 0.0 AS alloc_share,
+       |  CAST(floor(CAST(round(wh / tw, 6) AS DECIMAL(18,6)) * 1000) AS BIGINT)
+       |    AS n_alloc
+       |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val v = qualityMoments(s, dir)
+    val w = v.select(col("source"), col("n"), col("sd"),
+      round(col("n") * coalesce(col("sd"), lit(0.0)), 4).as("wh"))
+    val t = w.agg(dsum(col("wh"), 4).as("tw"))
+    val share = round(col("wh") / col("tw"), 6)
+    w.crossJoin(broadcast(t))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("sd"), 6).as("sd_quality"),
+        znorm(share).as("alloc_share"),
+        floor(share.cast("decimal(18,6)") * 1000).cast("long").as("n_alloc"))
+      .orderBy("source")
+  }
+
+  // --- q309: A/B power analysis per source --------------------------------------
+  // Before a curation change ships, the owner asks: can this source's
+  // quality even MEASURE a δ = 0.01 lift? Standard two-sample power
+  // closed form n = ⌈2σ²(z_{1−α/2}+z_{power})²/δ²⌉ per arm (α = 0.05,
+  // power = 0.8; z constants as shared literals so both engines run
+  // the identical doubles). `powered` says whether the source itself
+  // holds enough docs to run the test — the go/no-go column. Same
+  // one-scan moments as q308.
+  def powerAnalysis: Q = {
+    val zsum = "2.801585" // z_0.975 + z_0.8 = 1.959964 + 0.841621
+    val delta = "0.01"
+    Q(
+      "q309_power_analysis",
+      s"""WITH $qualityMomentsSql
+         |SELECT source, n AS n_docs, round(sd, 6) AS sd_quality,
+         |  CAST(ceil(2 * sd * sd * ($zsum * $zsum) / ($delta * $delta)) AS BIGINT)
+         |    AS n_required,
+         |  CAST(ceil(2 * sd * sd * ($zsum * $zsum) / ($delta * $delta)) AS BIGINT)
+         |    <= n AS powered
+         |FROM v ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val nReq = ceil(lit(2.0) * col("sd") * col("sd")
+        * (lit(zsum.toDouble) * lit(zsum.toDouble))
+        / (lit(delta.toDouble) * lit(delta.toDouble))).cast("long")
+      qualityMoments(s, dir)
+        .select(col("source"), col("n").as("n_docs"),
+          round(col("sd"), 6).as("sd_quality"),
+          nReq.as("n_required"), (nReq <= col("n")).as("powered"))
+        .orderBy("source")
+    }
   }
 }
 

@@ -22,7 +22,8 @@ object Text {
     streamingNearDupGate, contaminationFraction, filterKappa, nbSourceClassifier,
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
     lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman,
-    languageMix, maxTokenRun, substringDedupGlobal, dedupThresholdSweep)
+    languageMix, maxTokenRun, substringDedupGlobal, dedupThresholdSweep,
+    contextWaste)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1098,6 +1099,61 @@ object Text {
         .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy("threshold")
+    }
+  }
+
+  // --- q310: context-length waste planner ---------------------------------------
+  // q165 reports length percentiles; this prices the actual decision —
+  // for each candidate max_seq_len, what fraction of corpus tokens is
+  // LOST to truncation and what fraction of sequence slots is WASTED
+  // on padding under the simple one-doc-per-sequence policy (the
+  // baseline q153's spanning packer is judged against). ALL integer
+  // arithmetic until the two final ratios: one corpus scan of token
+  // counts crossed with the 4-row candidate axis, exact min/max sums.
+  def contextWaste: Q = {
+    val ls = Seq(64, 128, 256, 512)
+    Q(
+      "q310_context_waste",
+      s"""WITH d AS (SELECT len(string_split(text, ' ')) AS ntok FROM documents),
+         |l AS (SELECT unnest([${ls.mkString(", ")}]) AS seq_len),
+         |m AS (SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS corpus_tokens,
+         |    CAST(sum(CASE WHEN ntok > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS docs_truncated,
+         |    CAST(sum(least(ntok, seq_len)) AS BIGINT) AS tokens_kept,
+         |    CAST(sum(greatest(ntok - seq_len, 0)) AS BIGINT) AS tokens_lost
+         |  FROM d CROSS JOIN l GROUP BY seq_len)
+         |SELECT CAST(seq_len AS BIGINT) AS seq_len, n_docs, docs_truncated,
+         |  tokens_kept, tokens_lost,
+         |  CAST(tokens_lost * 1000000 // corpus_tokens AS DOUBLE) / 1e6
+         |    AS truncated_share,
+         |  CAST((n_docs * seq_len - tokens_kept) * 1000000
+         |    // (n_docs * seq_len) AS DOUBLE) / 1e6 AS padding_share
+         |FROM m ORDER BY seq_len""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      val l = ls.map(_.toLong).toDF("seq_len")
+      d.crossJoin(broadcast(l))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("corpus_tokens"),
+          sum(when(col("ntok") > col("seq_len"), 1).otherwise(0)).cast("long")
+            .as("docs_truncated"),
+          sum(least(col("ntok"), col("seq_len"))).as("tokens_kept"),
+          sum(greatest(col("ntok") - col("seq_len"), lit(0L))).as("tokens_lost"))
+        // shares land on the exact 1e-6 grid by INTEGER division (the
+        // q221 div idiom): a float `round` here hits half-boundary
+        // divergence because n_docs·seq_len is 2^a·5^b-shaped, so
+        // ratios terminate in decimal and sit exactly on .5 ulps
+        .select(col("seq_len"), col("n_docs"), col("docs_truncated"),
+          col("tokens_kept"), col("tokens_lost"),
+          (expr("tokens_lost * 1000000 div corpus_tokens").cast("double") / 1e6)
+            .as("truncated_share"),
+          (expr("(n_docs * seq_len - tokens_kept) * 1000000 div (n_docs * seq_len)")
+            .cast("double") / 1e6).as("padding_share"))
+        .orderBy("seq_len")
     }
   }
 

@@ -777,4 +777,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     graft.dedup.Dedup.clearCaches(spark)
   }
+
+  test("q303 global substring dedup keeps the dedup work under every action") {
+    // the cut/uncut emission is INNER ∪ ANTI: a count-only consumer
+    // (the bench action) must still execute the window/canonical
+    // machinery — the first version's left-outer tail was eliminated
+    // by Catalyst and benched a bare doc scan (COVERAGE.md note)
+    val df = SparkEntry.queries("q303_substring_dedup")(spark, sf)
+    val counted = df.groupBy().count()
+    val p = counted.queryExecution.optimizedPlan.toString
+    assert(p.contains("xxhash64"), "count plan must keep the window-hash dedup work:\n" + p.take(2000))
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q304 hard negatives broadcast the anchor panel; no corpus self-join") {
+    val df = SparkEntry.queries("q304_hard_negatives")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "corpus must never shuffle against itself:\n"
+      + p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q305/q306 assignment is map-only against literal centroids") {
+    for (name <- Seq("q305_centroid_silhouette", "q306_cluster_label_nmi")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the corpus side reads once and assigns per-row (k sq_dist
+      // folds); no crossJoin against a centroid table, no per-row window
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert("FileScan parquet".r.findAllIn(finalPlan(p)).size === 1,
+        s"$name must scan embeddings exactly once:\n" + p.take(2000))
+    }
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q307 threshold sweep builds the pair table once for all thresholds") {
+    val df = SparkEntry.queries("q307_dedup_threshold_sweep")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the persisted 0.3-threshold pair table feeds both per-threshold
+    // aggregates through the cache — the shingle self-join runs once
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
 }
