@@ -22,7 +22,8 @@ object Corpus {
     skipgramPairs, vocabKlDrift, vocabCoverageCurve, cdcChunks, goodTuring,
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
     hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
-    bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve)
+    bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve,
+    sourceQualityDrift)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1580,5 +1581,61 @@ object Corpus {
           .as("novelty_share"),
         round(col("cum").cast("double") / col("n_sh"), 6).as("cum_coverage"))
       .orderBy("decile")
+  }
+
+  // --- q312: per-source quality drift over crawl order --------------------------
+  // q117 fits trends on EVENT volume; the curation twin asks "is this
+  // SOURCE degrading as the crawl progresses" — the early-warning
+  // audit before a source's recent batches pollute the mix. OLS slope
+  // of the 4-dp quality score against doc_id (crawl order) per
+  // source, from exact moments in ONE keyed aggregate: Σx/Σx² are
+  // integer sums, Σy and Σxy are DECIMAL-exact at scale 4 (doc_id ×
+  // 4-dp score terminates there), and the cancelling closed form runs
+  // on doubles multiplied in the same order in both engines
+  // (double-first products — n·Σx² overflows BIGINT long before a
+  // 100-TB crawl does). Slope is reported per 1000 docs (a per-doc
+  // slope rounds to zero at 6 dp), znormed; a single-doc source NULLs
+  // via the vanishing denominator (DuckDB's x/0). The verdict label
+  // compares the ROUNDED slope so both engines label identically.
+  def sourceQualityDrift: Q = Q(
+    "q312_source_quality_drift",
+    s"""WITH d AS (SELECT source, doc_id,
+       |    round(${TextSqlFragments.qualitySql("string_split(text, ' ')")}, 4) AS q
+       |  FROM documents),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(doc_id) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(q AS DECIMAL(18,4)) * doc_id) AS DOUBLE) AS sxy,
+       |    CAST(sum(doc_id * doc_id) AS BIGINT) AS sxx
+       |  FROM d GROUP BY source),
+       |f AS (SELECT source, n, round(sy / n, 6) AS avg_quality,
+       |    round(1000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) + 0.0
+       |      AS slope_per_1k
+       |  FROM m)
+       |SELECT source, n AS n_docs, avg_quality, slope_per_1k,
+       |  CASE WHEN slope_per_1k > 0 THEN 'improving'
+       |       WHEN slope_per_1k < 0 THEN 'degrading' ELSE 'flat' END AS verdict
+       |FROM f ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val m = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sx"),
+        sum(col("q").cast("decimal(18,4)")).cast("double").as("sy"),
+        sum(col("q").cast("decimal(18,4)") * col("doc_id")).cast("double").as("sxy"),
+        sum(col("doc_id") * col("doc_id")).as("sxx"))
+    val slope = znorm(round(lit(1000.0)
+      * (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+      / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6))
+    m.select(col("source"), col("n").as("n_docs"),
+        round(col("sy") / col("n"), 6).as("avg_quality"),
+        slope.as("slope_per_1k"))
+      .withColumn("verdict",
+        when(col("slope_per_1k") > 0, "improving")
+          .when(col("slope_per_1k") < 0, "degrading").otherwise("flat"))
+      .orderBy("source")
   }
 }

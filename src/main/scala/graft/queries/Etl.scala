@@ -16,7 +16,7 @@ object Etl {
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
     keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
-    fdDiscovery, recordLinkage, zorderLayout, linkageClusters)
+    fdDiscovery, recordLinkage, zorderLayout, linkageClusters, ivmRetract)
 
   // --- q199: approximate functional-dependency discovery --------------------
   // Schema profiling's other half next to q188's FK inclusion: for
@@ -411,6 +411,45 @@ object Etl {
       .unionByName(partial(oldOrders, deltaCust)) // A_old ⋈ ΔB
       .groupBy("c_nationkey")
       .agg(sum("pn").as("n_orders"), sum("pr").cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  // --- q311: IVM with retractions (delete batch) ------------------------------
+  // q163 maintains the join view under INSERT deltas; real pipelines
+  // also delete (GDPR erasure, bad-batch rollback). The standard
+  // retraction encoding: the delete batch joins exactly like an
+  // insert delta but contributes NEGATIVE (count, sum) rows, the
+  // merge is the same keyed re-aggregate, and a group whose count
+  // reaches zero DROPS from the view (the subtlety an insert-only
+  // rule never exercises). Revenue stays DECIMAL through the
+  // subtraction — exact at any partitioning. The oracle recomputes
+  // the view from scratch on the surviving rows, so the hash match
+  // proves V_old ⊖ (ΔD ⋈ dim) == V(all ∖ ΔD).
+  def ivmRetract: Q = Q(
+    "q311_ivm_retract",
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 97 <> 0
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    def view(o: DataFrame): DataFrame =
+      o.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("pr"))
+    val stored = view(ord) // the pre-batch view
+    val retract = view(ord.filter(col("o_orderkey") % 97 === 0))
+      .select(col("c_nationkey"), (-col("pn")).as("pn"), (-col("pr")).as("pr"))
+    stored.unionByName(retract)
+      .groupBy("c_nationkey")
+      .agg(sum("pn").as("n_orders"), sum("pr").as("r"))
+      .filter(col("n_orders") > 0) // a fully-retracted group leaves the view
+      .select(col("c_nationkey"), col("n_orders"),
+        col("r").cast("double").as("revenue"))
       .orderBy("c_nationkey")
   }
 
