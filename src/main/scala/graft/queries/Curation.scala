@@ -21,7 +21,7 @@ object Curation {
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
     otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence,
-    waterFilling, neymanAllocation, powerAnalysis)
+    waterFilling, neymanAllocation, powerAnalysis, redactionAudit)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -882,6 +882,67 @@ object Curation {
           regexp_replace(withPii, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
           "\\+?[0-9][0-9-]{6,}", "<PHONE>").as("redacted"))
       .orderBy("doc_id")
+  }
+
+  // --- q313: redaction audit (verify the control, not just run it) -------------
+  // Defense-in-depth for q74: after the redaction pass, SCAN the
+  // output with the same PII patterns and report per-pattern hit
+  // counts before vs after — the audit row a compliance review asks
+  // for ("prove the scrubber caught everything it claims to catch").
+  // hits_after must be zero for every covered pattern; a regression in
+  // either engine's regex semantics (or a pattern edit that stops
+  // matching its own redaction witness) turns the row red. Per-row
+  // regexp counting inside codegen, one scan, a 2-row report.
+  def redactionAudit: Q = Q(
+    "q313_redaction_audit",
+    """WITH w AS (SELECT
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.com or call +1-555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents),
+      |r AS (SELECT raw,
+      |    regexp_replace(
+      |      regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g') AS red
+      |  FROM w),
+      |c AS (SELECT
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+'))) AS BIGINT)
+      |      AS email_before,
+      |    CAST(sum(len(regexp_extract_all(red, '[a-z0-9._]+@[a-z0-9.]+'))) AS BIGINT)
+      |      AS email_after,
+      |    CAST(sum(len(regexp_extract_all(raw, '\+?[0-9][0-9-]{6,}'))) AS BIGINT)
+      |      AS phone_before,
+      |    CAST(sum(len(regexp_extract_all(red, '\+?[0-9][0-9-]{6,}'))) AS BIGINT)
+      |      AS phone_after
+      |  FROM r)
+      |SELECT 'email' AS pattern, n_docs, email_before AS hits_before,
+      |  email_after AS hits_after FROM c
+      |UNION ALL
+      |SELECT 'phone', n_docs, phone_before, phone_after FROM c
+      |ORDER BY pattern""".stripMargin,
+  ) { (s, dir) =>
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val phoneRe = "\\+?[0-9][0-9-]{6,}"
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val red = regexp_replace(
+      regexp_replace(raw, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    def hits(c: org.apache.spark.sql.Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val c = Tables.documents(s, dir)
+      .select(hits(raw, emailRe).as("eb"), hits(red, emailRe).as("ea"),
+        hits(raw, phoneRe).as("pb"), hits(red, phoneRe).as("pa"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("eb").as("email_before"), sum("ea").as("email_after"),
+        sum("pb").as("phone_before"), sum("pa").as("phone_after"))
+    c.select(lit("email").as("pattern"), col("n_docs"),
+        col("email_before").as("hits_before"), col("email_after").as("hits_after"))
+      .unionByName(c.select(lit("phone").as("pattern"), col("n_docs"),
+        col("phone_before").as("hits_before"), col("phone_after").as("hits_after")))
+      .orderBy("pattern")
   }
 
   private def stopSql = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")

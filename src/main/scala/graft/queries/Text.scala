@@ -23,7 +23,7 @@ object Text {
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
     lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman,
     languageMix, maxTokenRun, substringDedupGlobal, dedupThresholdSweep,
-    contextWaste)
+    contextWaste, dupPairExplanation, lshBandPlanner)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -1154,6 +1154,154 @@ object Text {
           (expr("(n_docs * seq_len - tokens_kept) * 1000000 div (n_docs * seq_len)")
             .cast("double") / 1e6).as("padding_share"))
         .orderBy("seq_len")
+    }
+  }
+
+  // --- q314: near-dup pair explanation (rarest shared evidence) ----------------
+  // The debugging op behind every dedup false-positive report: for
+  // each q40-threshold pair, the 3 RAREST shared shingles (global
+  // document frequency ascending) — rare shared 3-grams explain a
+  // match; common ones are just register. The pair set is the bounded
+  // q40 output, shared shingles come from two keyed joins of the pair
+  // table against the capped inverted index (fan-out ≤ pair count ×
+  // doc length), df is one keyed aggregate joined back, and the top-3
+  // window partitions per pair — bounded everywhere. Strings stay the
+  // join key here (they ARE the output payload; the hash-pair
+  // optimization q40 uses has nothing to carry).
+  def dupPairExplanation: Q = Q(
+    "q314_dup_pair_explain",
+    """WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+      |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+      |       WHERE len(t) >= 3),
+      |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS shingle_df FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT id_a, id_b FROM pairs
+      |         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |shared AS (SELECT n.id_a, n.id_b, a.shingle
+      |           FROM near n JOIN sh a ON a.doc_id = n.id_a
+      |                       JOIN sh b ON b.doc_id = n.id_b
+      |                        AND b.shingle = a.shingle),
+      |rk AS (SELECT id_a, id_b, shingle, shingle_df,
+      |    row_number() OVER (PARTITION BY id_a, id_b
+      |      ORDER BY shingle_df, shingle) AS rk
+      |  FROM shared JOIN dfq USING (shingle))
+      |SELECT id_a, id_b, CAST(rk AS BIGINT) AS rk, shingle, shingle_df
+      |FROM rk WHERE rk <= 3
+      |ORDER BY id_a, id_b, rk""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val base = Dedup.exactRepresentatives(docs, "doc_id", "text")
+    val sh0 = Dedup.shingleTable(base, "doc_id", "text", 3)
+    val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000).select("shingle")
+    val sh = Dedup.persistTracked(sh0.join(hot, Seq("shingle"), "left_anti"))
+    val dfq = sh.groupBy("shingle").agg(count(lit(1)).as("shingle_df"))
+    // pairs come from THIS index (one build feeds pairing, df, and the
+    // evidence joins through the persist) rather than a second
+    // jaccardPairs-internal hashed index — measured ~40% of the query
+    // explicit aliases, never positional toDF — a positional rename of
+    // a join-bearing plan collapses id_a/id_b to one attribute (the
+    // q206 self-join trap)
+    val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = shA.join(shB, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select("id_a", "id_b")
+    val shared = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+    val w = Window.partitionBy("id_a", "id_b")
+      .orderBy(col("shingle_df"), col("shingle"))
+    shared.join(dfq, "shingle")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("id_a", "id_b", "rk", "shingle", "shingle_df")
+      .orderBy("id_a", "id_b", "rk")
+  }
+
+  // --- q315: LSH banding planner grounded on the measured pair histogram --------
+  // q206 measures the s-curve the CHOSEN banding produces; this picks
+  // the banding — for every (bands, rows) factorization of the
+  // 16-component signature, the expected candidate recall over the
+  // corpus's ACTUAL ≥0.5-Jaccard pairs and the expected false-candidate
+  // mass from its measured [0.3, 0.5) pairs, using the collision
+  // closed form p(s) = 1 − (1 − s^r)^b on each pair's 4-dp Jaccard.
+  // One bounded pair table (built once at the 0.3 floor) × a 5-row
+  // axis; per-pair terms 9-dp rounded then DECIMAL-summed. The planner
+  // conditions on pairs ≥ 0.3 by construction (below the floor the
+  // index never pairs them) — stated so nobody reads exp_fp as an
+  // absolute count.
+  def lshBandPlanner: Q = {
+    val brs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    Q(
+      "q315_lsh_band_planner",
+      s"""WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+         |sh0 AS (SELECT DISTINCT doc_id, shingle FROM toks,
+         |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |       WHERE len(t) >= 3),
+         |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jac
+         |  FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3),
+         |axis AS (SELECT * FROM (VALUES ${brs.map { case (b, r) => s"($b, $r)" }.mkString(", ")}) v(b, r)),
+         |p AS (SELECT b, r, jac,
+         |    round(1.0 - pow(1.0 - pow(jac, r), b), 9) AS pc
+         |  FROM j CROSS JOIN axis)
+         |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+         |  round(pow(1.0 / b, 1.0 / r), 4) AS implied_threshold,
+         |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+         |  round(CAST(sum(CASE WHEN jac >= 0.5
+         |      THEN CAST(pc AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+         |    AS DOUBLE) / nullif(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0), 6)
+         |    AS exp_recall_at_05,
+         |  round(CAST(sum(CASE WHEN jac < 0.5
+         |      THEN CAST(pc AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+         |    AS DOUBLE), 2) AS exp_fp_candidates
+         |FROM p GROUP BY b, r ORDER BY bands""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val j = Dedup.persistTracked(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.3)
+          .select(col("jaccard").as("jac")))
+      val axis = brs.toDF("b", "r")
+      val p = j.crossJoin(broadcast(axis))
+        .select(col("b"), col("r"), col("jac"),
+          round(lit(1.0) - pow(lit(1.0) - pow(col("jac"), col("r")), col("b")), 9)
+            .as("pc"))
+      p.groupBy("b", "r")
+        .agg(
+          sum(when(col("jac") >= 0.5, 1).otherwise(0)).cast("long").as("n_true_pairs"),
+          round(try_divide(
+            sum(when(col("jac") >= 0.5, col("pc").cast("decimal(18,9)"))
+              .otherwise(lit(0).cast("decimal(18,9)"))).cast("double"),
+            sum(when(col("jac") >= 0.5, 1).otherwise(0)).cast("double")), 6)
+            .as("exp_recall_at_05"),
+          round(sum(when(col("jac") < 0.5, col("pc").cast("decimal(18,9)"))
+            .otherwise(lit(0).cast("decimal(18,9)"))).cast("double"), 2)
+            .as("exp_fp_candidates"))
+        .select(col("b").cast("long").as("bands"),
+          col("r").cast("long").as("rows_per_band"),
+          round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 4).as("implied_threshold"),
+          col("n_true_pairs"), col("exp_recall_at_05"), col("exp_fp_candidates"))
+        .orderBy("bands")
     }
   }
 
