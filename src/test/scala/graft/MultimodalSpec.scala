@@ -198,7 +198,7 @@ class MultimodalSpec extends SparkSpec {
       .toDF().select(cols.map(org.apache.spark.sql.functions.col): _*)
     val want = spark.read.parquet(s"$fix/truth.parquet")
       .select(cols.map(org.apache.spark.sql.functions.col): _*)
-    assert(want.count() === 120)
+    assert(want.count() === 130) // 120 decodable + 10 authored-corrupt
     assert(got.exceptAll(want).isEmpty, "decoded stats not in truth")
     assert(want.exceptAll(got).isEmpty, "truth rows not reproduced")
   }

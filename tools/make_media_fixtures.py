@@ -149,6 +149,18 @@ def main():
         add(mid, "video", "avi-dib", avi_bytes(w, h, fps, frames),
             w, h, len(frames) * (1000000 // fps) // 1000, lums)
         mid += 1
+    # corrupt class: bytes no decoder recognizes. The engine's decode
+    # contract is all-zero digests (empty luminance stream, hash seed 1)
+    # — authored here as truth so the DEGRADE path is oracle-checked,
+    # not just never exercised.
+    for _ in range(5):
+        content = bytes(rnd.randrange(256) for _ in range(200 + rnd.randrange(300)))
+        add(mid, "image", "corrupt", content, 0, 0, 0, [])
+        mid += 1
+    for _ in range(5):
+        content = b"RIFF" + bytes(rnd.randrange(256) for _ in range(100))
+        add(mid, "video", "corrupt", content, 0, 0, 0, [])
+        mid += 1
 
     import os
     os.makedirs(OUT, exist_ok=True)
