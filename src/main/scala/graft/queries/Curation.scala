@@ -21,7 +21,8 @@ object Curation {
     dupWeightedTokens, splitAssignment, splitLeakage, clusterAwareSplit,
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
     otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence,
-    waterFilling, neymanAllocation, powerAnalysis, redactionAudit)
+    waterFilling, neymanAllocation, powerAnalysis, redactionAudit,
+    budgetQualityCut, shardMixingAudit, anovaSources, temperatureSweep)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -1848,6 +1849,275 @@ object Curation {
           round(col("sd"), 6).as("sd_quality"),
           nReq.as("n_required"), (nReq <= col("n")).as("powered"))
         .orderBy("source")
+    }
+  }
+
+  // --- q318: token-budget quality cut ----------------------------------------
+  // "Keep the best docs until the token budget is full" without a
+  // corpus sort: the q247 histogram-cumsum trick on the 4-dp quality
+  // grid. One scan builds the (score → docs, tokens) histogram; the
+  // cumulative window runs over that bounded table (≤10⁴ rows at any
+  // corpus size, never doc-count rows); the cutoff is the largest
+  // score whose score-descending cumulative token mass reaches the
+  // budget (25% of corpus tokens), and the report re-aggregates the
+  // SAME histogram — three passes over a tiny table after one corpus
+  // scan. Mean qualities are DECIMAL(18,4)·count products (exact on
+  // the grid); an empty rest side (cutoff = min score) yields NULL in
+  // both engines; the selected−rest lift is znormed.
+  def budgetQualityCut: Q = Q(
+    "q318_budget_quality_cut",
+    s"""WITH q AS (SELECT round((${CurationSqlFragments.qualitySql}), 4) AS sc,
+       |    len(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT sc, count(*) AS docs, CAST(sum(w) AS BIGINT) AS toks
+       |      FROM q GROUP BY sc),
+       |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+       |             CAST(sum(docs) AS BIGINT) AS ndocs,
+       |             CAST(floor(CAST(sum(toks) AS BIGINT) / 4.0) AS BIGINT) AS budget
+       |      FROM h),
+       |c AS (SELECT sc, CAST(sum(toks) OVER (ORDER BY sc DESC) AS BIGINT) AS cum
+       |      FROM h),
+       |thr AS (SELECT max(sc) AS cutoff FROM c, t WHERE cum >= budget)
+       |SELECT cutoff,
+       |  CAST(sum(CASE WHEN sc >= cutoff THEN docs END) AS BIGINT) AS n_docs_sel,
+       |  CAST(sum(CASE WHEN sc >= cutoff THEN toks END) AS BIGINT) AS tokens_sel,
+       |  budget AS budget_tokens, total AS total_tokens,
+       |  round(CAST(sum(CASE WHEN sc >= cutoff THEN toks END) AS BIGINT)
+       |    / CAST(budget AS DOUBLE), 6) AS utilization,
+       |  round(CAST(sum(CASE WHEN sc >= cutoff
+       |      THEN CAST(sc AS DECIMAL(18,4)) * docs END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN sc >= cutoff THEN docs END) AS DOUBLE), 6)
+       |    AS mean_q_sel,
+       |  round(CAST(sum(CASE WHEN sc < cutoff
+       |      THEN CAST(sc AS DECIMAL(18,4)) * docs END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN sc < cutoff THEN docs END) AS DOUBLE), 6)
+       |    AS mean_q_rest,
+       |  round(CAST(sum(CASE WHEN sc >= cutoff
+       |        THEN CAST(sc AS DECIMAL(18,4)) * docs END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN sc >= cutoff THEN docs END) AS DOUBLE)
+       |    - CAST(sum(CASE WHEN sc < cutoff
+       |        THEN CAST(sc AS DECIMAL(18,4)) * docs END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN sc < cutoff THEN docs END) AS DOUBLE), 6) + 0.0
+       |    AS q_lift
+       |FROM h, t, thr
+       |GROUP BY cutoff, budget, total""".stripMargin,
+  ) { (s, dir) =>
+    val h = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(round(TextAnalysis.qualityScore(col("text")), 4).as("sc"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+      .groupBy("sc")
+      .agg(count(lit(1)).as("docs"), sum(col("w")).as("toks")))
+    val tot = h.agg(sum(col("toks")).as("total"), sum(col("docs")).as("ndocs"))
+      .select(col("total"), col("ndocs"),
+        floor(col("total") / lit(4.0)).cast("long").as("budget"))
+    val cum = h
+      .withColumn("cum", sum(col("toks")).over(Window.orderBy(col("sc").desc)))
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("budget"))
+      .agg(max(col("sc")).as("cutoff"))
+    def dq = col("sc").cast("decimal(18,4)") * col("docs")
+    val selQ = sum(when(col("sc") >= col("cutoff"), dq)).cast("double") /
+      sum(when(col("sc") >= col("cutoff"), col("docs"))).cast("double")
+    val restQ = sum(when(col("sc") < col("cutoff"), dq)).cast("double") /
+      sum(when(col("sc") < col("cutoff"), col("docs"))).cast("double")
+    h.crossJoin(broadcast(thr)).crossJoin(broadcast(tot))
+      .groupBy("cutoff", "budget", "total")
+      .agg(
+        sum(when(col("sc") >= col("cutoff"), col("docs"))).as("n_docs_sel"),
+        sum(when(col("sc") >= col("cutoff"), col("toks"))).as("tokens_sel"),
+        round(sum(when(col("sc") >= col("cutoff"), col("toks"))).cast("double") /
+          col("budget").cast("double"), 6).as("utilization"),
+        round(selQ, 6).as("mean_q_sel"),
+        round(restQ, 6).as("mean_q_rest"),
+        znorm(round(selQ - restQ, 6)).as("q_lift"))
+      .select(col("cutoff"), col("n_docs_sel"), col("tokens_sel"),
+        col("budget").as("budget_tokens"), col("total").as("total_tokens"),
+        col("utilization"), col("mean_q_sel"), col("mean_q_rest"), col("q_lift"))
+  }
+
+  // --- q319: shard source-mixing audit ---------------------------------------
+  // Is the training shuffle actually mixed? Sequential shard packing
+  // (q73's running-offset assignment) preserves crawl order, so a
+  // shard can end up all-one-source — the data-loader pathology that
+  // makes per-batch gradients source-correlated. Per (lang, shard):
+  // doc/token mass, distinct sources, and the source-distribution
+  // entropy (9-dp p·ln p terms DECIMAL-summed, the q306 discipline;
+  // single-source shards hit the −0.0 cancellation and are znormed).
+  // Work = q73's per-lang window + two keyed aggregates; the entropy
+  // reduction runs on the (lang, shard, source) table, ≤ sources× the
+  // shard count, never corpus-wide state.
+  def shardMixingAudit: Q = Q(
+    "q319_shard_mixing",
+    """WITH a AS (SELECT doc_id, lang, source,
+      |    len(string_split(text, ' ')) AS w,
+      |    CAST(floor((CAST(sum(len(string_split(text, ' '))) OVER
+      |        (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+      |      - len(string_split(text, ' '))) / 2000.0) AS BIGINT) AS shard
+      |  FROM documents),
+      |g AS (SELECT lang, shard, source, count(*) AS c, CAST(sum(w) AS BIGINT) AS toks
+      |      FROM a GROUP BY lang, shard, source),
+      |n AS (SELECT lang, shard, CAST(sum(c) AS BIGINT) AS n_docs,
+      |             CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |             count(*) AS n_sources
+      |      FROM g GROUP BY lang, shard),
+      |e AS (SELECT g.lang, g.shard,
+      |    CAST(sum(CAST(round((CAST(c AS DOUBLE) / n_docs)
+      |        * ln(CAST(c AS DOUBLE) / n_docs), 9) AS DECIMAL(18,9))) AS DOUBLE) AS s
+      |  FROM g JOIN n ON n.lang = g.lang AND n.shard = g.shard
+      |  GROUP BY g.lang, g.shard)
+      |SELECT n.lang, n.shard, n.n_docs, n.n_tokens,
+      |  CAST(n.n_sources AS BIGINT) AS n_sources,
+      |  round(-e.s, 9) + 0.0 AS source_entropy
+      |FROM n JOIN e ON e.lang = n.lang AND e.shard = n.shard
+      |ORDER BY n.lang, n.shard""".stripMargin,
+  ) { (s, dir) =>
+    val ntok = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val g = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), ntok.cast("long").as("w"))
+      .withColumn("shard",
+        floor((sum(col("w")).over(w) - col("w")) / 2000.0).cast("long"))
+      .groupBy("lang", "shard", "source")
+      .agg(count(lit(1)).as("c"), sum(col("w")).as("toks")))
+    val n = g.groupBy("lang", "shard")
+      .agg(sum(col("c")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        count(lit(1)).as("n_sources"))
+    val p = col("c").cast("double") / col("n_docs")
+    val e = g.join(n.select("lang", "shard", "n_docs"), Seq("lang", "shard"))
+      .groupBy("lang", "shard")
+      .agg(dsum(round(p * log(p), 9), 9).as("s"))
+    n.join(e, Seq("lang", "shard"))
+      .select(col("lang"), col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_sources"), znorm(round(-col("s"), 9)).as("source_entropy"))
+      .orderBy("lang", "shard")
+  }
+
+  // --- q322: one-way ANOVA across sources -------------------------------------
+  // "Do the sources differ in quality AT ALL" — the omnibus test run
+  // before q273's pairwise permutation machinery is worth pointing at
+  // anything: F = (SSB/(k−1))/(SSW/(n−k)) and effect size η² = SSB/SST
+  // over the 4-dp quality signal. Per-source (n, Σq, Σq²) moments are
+  // DECIMAL-exact from one scan (the q308 idiom); SST comes from the
+  // independently decimal-summed GLOBAL moments, and SSB's Σ_h S_h²/n_h
+  // is 9-dp-rounded per source then DECIMAL-summed — a raw float Σ
+  // across sources would be partitioning-dependent. Degenerate corpora
+  // (one source, zero within-variance) NULL via try_divide; the
+  // subtraction-born SSB/SSW are znormed.
+  def anovaSources: Q = Q(
+    "q322_anova_sources",
+    s"""WITH sc AS (SELECT source, round((${CurationSqlFragments.qualitySql}), 4) AS sq
+       |  FROM documents),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(sq AS DECIMAL(18,4))) AS DOUBLE) AS s1
+       |  FROM sc GROUP BY source),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(sq AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(sq * sq AS DECIMAL(28,8))) AS DOUBLE) AS s2
+       |  FROM sc),
+       |b AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(CAST(round(s1 * s1 / n, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sb
+       |  FROM m),
+       |f AS (SELECT k, g.n,
+       |    round(sb - s1 * s1 / g.n, 9) + 0.0 AS ssb,
+       |    round((s2 - s1 * s1 / g.n) - (sb - s1 * s1 / g.n), 9) + 0.0 AS ssw,
+       |    round(s2 - s1 * s1 / g.n, 9) + 0.0 AS sst
+       |  FROM b, g)
+       |SELECT k AS k_sources, n AS n_docs,
+       |  CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within,
+       |  CASE WHEN ssw / (n - k) = 0 THEN NULL
+       |       ELSE round((ssb / (k - 1)) / (ssw / (n - k)), 6) + 0.0 END AS f_stat,
+       |  CASE WHEN sst = 0 THEN NULL
+       |       ELSE round(ssb / sst, 6) + 0.0 END AS eta_sq
+       |FROM f""".stripMargin,
+  ) { (s, dir) =>
+    val sc = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq")))
+    val m = sc.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sq").cast("decimal(18,4)")).cast("double").as("s1"))
+    val g = sc.agg(count(lit(1)).as("n"),
+      sum(col("sq").cast("decimal(18,4)")).cast("double").as("s1"),
+      sum((col("sq") * col("sq")).cast("decimal(28,8)")).cast("double").as("s2"))
+    val b = m.agg(count(lit(1)).as("k"),
+      sum(round(col("s1") * col("s1") / col("n"), 9).cast("decimal(28,9)"))
+        .cast("double").as("sb"))
+    val f = b.crossJoin(broadcast(g))
+      .select(col("k"), col("n"),
+        znorm(round(col("sb") - col("s1") * col("s1") / col("n"), 9)).as("ssb"),
+        znorm(round((col("s2") - col("s1") * col("s1") / col("n"))
+          - (col("sb") - col("s1") * col("s1") / col("n")), 9)).as("ssw"),
+        znorm(round(col("s2") - col("s1") * col("s1") / col("n"), 9)).as("sst"))
+    f.select(col("k").as("k_sources"), col("n").as("n_docs"),
+      (col("k") - 1).as("df_between"), (col("n") - col("k")).as("df_within"),
+      znorm(round(try_divide(col("ssb") / (col("k") - 1),
+        col("ssw") / (col("n") - col("k"))), 6)).as("f_stat"),
+      znorm(round(try_divide(col("ssb"), col("sst")), 6)).as("eta_sq"))
+  }
+
+  // --- q325: temperature-sweep mixture planner --------------------------------
+  // q87 EXECUTES one temperature; this prices the whole dial before
+  // anyone samples: for each α in the mT5/XLM-R sweep, the implied
+  // language shares w_l ∝ n_l^α and the numbers that decide the choice
+  // — effective language count exp(H(w)) (how many languages the
+  // mixture "really" trains on), the dominant share, and the smallest
+  // language's upsampling factor w_min·N/n_min (how many epochs of the
+  // low-resource tail the mixture implies — the overfitting risk
+  // number). One corpus scan to the languages-sized count table; the
+  // sweep is a langs×4 axis. pow terms 9-dp rounded then
+  // DECIMAL-summed (a float Σ across langs would be order-dependent);
+  // the min-n language is tie-broken by name.
+  def temperatureSweep: Q = {
+    val taus = Seq(0.25, 0.5, 0.75, 1.0)
+    Q(
+      "q325_temperature_sweep",
+      s"""WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts),
+         |mn AS (SELECT lang AS min_lang, n AS min_n FROM counts
+         |       ORDER BY n, lang LIMIT 1),
+         |axis AS (SELECT * FROM (VALUES ${taus.map(t => s"($t)").mkString(", ")}) v(tau)),
+         |terms AS (SELECT tau, lang, n, round(pow(CAST(n AS DOUBLE), tau), 9) AS t
+         |  FROM counts CROSS JOIN axis),
+         |z AS (SELECT tau, CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE) AS z
+         |  FROM terms GROUP BY tau),
+         |w AS (SELECT terms.tau, lang, n, t / z AS w FROM terms JOIN z ON z.tau = terms.tau),
+         |agg AS (SELECT w.tau,
+         |    CAST(sum(CAST(round(w * ln(w), 9) AS DECIMAL(18,9))) AS DOUBLE) AS s,
+         |    round(max(w), 6) AS max_share, round(min(w), 6) AS min_share
+         |  FROM w GROUP BY w.tau),
+         |up AS (SELECT w.tau, round(w.w * nn / min_n, 4) AS upsample_min
+         |  FROM w JOIN mn ON w.lang = min_lang CROSS JOIN tot)
+         |SELECT agg.tau, round(exp(-s), 4) AS eff_langs,
+         |  max_share, min_share, upsample_min
+         |FROM agg JOIN up ON up.tau = agg.tau
+         |ORDER BY agg.tau""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val counts = Dedup.persistTracked(Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n")))
+      val tot = counts.agg(sum(col("n")).as("nn"))
+      val mnRow = counts.orderBy(col("n"), col("lang")).limit(1)
+        .select(col("lang").as("min_lang"), col("n").as("min_n"))
+      val axis = taus.toDF("tau")
+      val terms = counts.crossJoin(broadcast(axis))
+        .select(col("tau"), col("lang"), col("n"),
+          round(pow(col("n").cast("double"), col("tau")), 9).as("t"))
+      val z = terms.groupBy("tau")
+        .agg(sum(col("t").cast("decimal(28,9)")).cast("double").as("z"))
+      val w = Dedup.persistTracked(terms.join(z, "tau")
+        .select(col("tau"), col("lang"), col("n"), (col("t") / col("z")).as("w")))
+      val agg = w.groupBy("tau")
+        .agg(dsum(round(col("w") * log(col("w")), 9), 9).as("s"),
+          round(max(col("w")), 6).as("max_share"),
+          round(min(col("w")), 6).as("min_share"))
+      val up = w.join(broadcast(mnRow), col("lang") === col("min_lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau"),
+          round(col("w") * col("nn") / col("min_n"), 4).as("upsample_min"))
+      agg.join(up, "tau")
+        .select(col("tau"), round(exp(-col("s")), 4).as("eff_langs"),
+          col("max_share"), col("min_share"), col("upsample_min"))
+        .orderBy("tau")
     }
   }
 }

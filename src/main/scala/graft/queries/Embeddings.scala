@@ -13,7 +13,8 @@ object Embeddings {
     labelNoise, dimCorrelation, sourceCentroidDrift, int8QuantAudit, dimEnergyCurve,
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
     mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
-    twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi)
+    twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi,
+    labelConfusionMatrix, ivfProbePlanner)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -2103,4 +2104,141 @@ object Embeddings {
         .orderBy("source")
     }
   }
+
+  // --- q321: inter-label centroid confusion matrix ---------------------------
+  // Which classes are geometrically confusable BEFORE training a
+  // classifier on this corpus: the label×label cosine matrix of class
+  // centroids. q46 ranks within-label pairs, q225 measures each
+  // label's own dispersion, q305/q306 audit the unsupervised
+  // clustering — this is the supervised between-class margin map (high
+  // centroid cosine + high dispersion = expect confusion; the pair a
+  // labeling vendor should re-review). Corpus-scale work is ONE
+  // posexplode + keyed (label, dim) moment aggregate (q193's 9-dp
+  // DECIMAL discipline); the matrix itself is a labels×labels join on
+  // the dim key over the tiny centroid table. Zero-norm centroids NULL
+  // via try_divide; cancelling dot products znormed.
+  def labelConfusionMatrix: Q = Q(
+    "q321_label_confusion",
+    """WITH dims AS (SELECT vec_id, label, CAST(i AS INTEGER) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |m AS (SELECT label, i,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*) AS m FROM dims GROUP BY label, i),
+      |nv AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      |nrm AS (SELECT label,
+      |    CAST(sum(CAST(round(m * m, 9) AS DECIMAL(18,9))) AS DOUBLE) AS mm
+      |  FROM m GROUP BY label),
+      |dot AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(CAST(round(a.m * b.m, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      |  FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+      |  CASE WHEN sqrt(xa.mm) * sqrt(xb.mm) = 0 THEN NULL
+      |       ELSE round(dot / (sqrt(xa.mm) * sqrt(xb.mm)), 6) + 0.0 END
+      |    AS centroid_cos
+      |FROM dot
+      |JOIN nv na ON na.label = label_a JOIN nv nb ON nb.label = label_b
+      |JOIN nrm xa ON xa.label = label_a JOIN nrm xb ON xb.label = label_b
+      |ORDER BY label_a, label_b""".stripMargin,
+  ) { (s, dir) =>
+    val dims = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x"))
+    val m = graft.dedup.Dedup.persistTracked(dims
+      .groupBy("label", "i")
+      .agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("m")))
+    val nv = Tables.embeddings(s, dir).groupBy("label")
+      .agg(count(lit(1)).as("n"))
+    val nrm = m.groupBy("label")
+      .agg(dsum(round(col("m") * col("m"), 9), 9).as("mm"))
+    val dot = m.as("a").join(m.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(dsum(round(col("a.m") * col("b.m"), 9), 9).as("dot"))
+    dot
+      .join(nv.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+      .join(nv.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+      .join(nrm.select(col("label").as("label_a"), col("mm").as("mma")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("mm").as("mmb")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        znorm(round(try_divide(col("dot"), sqrt(col("mma")) * sqrt(col("mmb"))), 6))
+          .as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  // --- q323: IVF probe-cost planner --------------------------------------------
+  // q217/q218 price the approximation's QUALITY; this prices its COST:
+  // for each candidate nProbe over the shared k=8 Lloyd fit, the mean
+  // number of candidate vectors a query would scan (Σ sizes of its
+  // nProbe nearest cells, averaged corpus-wide) and the scan fraction
+  // vs brute force — plus the max-cell share, the imbalance number
+  // that says whether one hot cell makes nProbe=1 already expensive.
+  // Per-vector work is the map-only k-distance fold + an 8-row ranking
+  // window; cell sizes come from the rk=1 assignment; all sums are
+  // integers until the final divisions. dynamicOracle: DuckDB replays
+  // ranking, sizes, and the cost model from this run's centroid
+  // literals (training spec-gated in KMeansSpec, q305 convention).
+  def ivfProbePlanner: Q = Q.dynamicOracle("q323_ivf_probe_planner") { (s, dir) =>
+    val probes = Seq(1, 2, 4, 8)
+    val cents = lloydCents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v"))
+    val ranked = graft.dedup.Dedup.persistTracked(e
+      .withColumn("__d", roundedDistArray(cents))
+      .select(col("vec_id"), posexplode(col("__d")).as(Seq("cell", "dist")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("dist"), col("cell")))))
+    val sz = ranked.filter(col("rk") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("size"))
+    val pvAggs = probes.map(p => sum(when(col("rk") <= p, col("size"))).as(s"s$p"))
+    val perVec = ranked.join(sz, "cell")
+      .groupBy("vec_id")
+      .agg(pvAggs.head, pvAggs.tail: _*)
+    val tAggs = probes.map(p => sum(col(s"t$p")).as(s"t$p"))
+    val t = perVec
+      .select((probes.map(p => col(s"s$p").as(s"t$p")) :+ lit(1L).as("one")): _*)
+      .agg(tAggs.head, (tAggs.tail :+ sum(col("one")).as("nv")): _*)
+    val mx = sz.agg(max(col("size")).as("mx"))
+    import s.implicits._
+    val axis = probes.toDF("p")
+    val tp = probes.tail.foldLeft(when(col("p") === probes.head, col(s"t${probes.head}"))) {
+      (acc, p) => acc.when(col("p") === p, col(s"t$p"))
+    }
+    val df = t.crossJoin(broadcast(mx)).crossJoin(broadcast(axis))
+      .select(col("p").cast("long").as("nprobe"),
+        round(tp.cast("double") / col("nv"), 4).as("mean_candidates"),
+        round(tp.cast("double") / col("nv") / col("nv"), 6).as("scan_fraction"),
+        round(col("mx").cast("double") / col("nv"), 6).as("max_cell_share"))
+      .orderBy("nprobe")
+    val sql =
+      s"""WITH ${sqlCentsLit(cents)},
+         |d AS (SELECT e.vec_id, c.cell,
+         |    round(${sqlSqDist("e.embedding", "c.cv")}, 9) AS dist
+         |  FROM embeddings e, cents c),
+         |r AS (SELECT vec_id, cell, dist, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rk FROM d),
+         |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM r
+         |       WHERE rk = 1 GROUP BY cell),
+         |pv AS (SELECT vec_id,
+         |    ${probes.map(p => s"CAST(sum(CASE WHEN rk <= $p THEN sz END) AS BIGINT) AS s$p")
+              .mkString(",\n    ")}
+         |  FROM r JOIN sz USING (cell) GROUP BY vec_id),
+         |t AS (SELECT ${probes.map(p => s"CAST(sum(s$p) AS BIGINT) AS t$p").mkString(", ")},
+         |    CAST(count(*) AS BIGINT) AS nv FROM pv),
+         |mx AS (SELECT max(sz) AS mx FROM sz),
+         |axis AS (SELECT * FROM (VALUES ${probes.map(p => s"($p)").mkString(", ")}) v(p))
+         |SELECT CAST(p AS BIGINT) AS nprobe,
+         |  round(CAST(${pickSql(probes, "t")} AS DOUBLE) / nv, 4) AS mean_candidates,
+         |  round(CAST(${pickSql(probes, "t")} AS DOUBLE) / nv / nv, 6) AS scan_fraction,
+         |  round(CAST(mx AS DOUBLE) / nv, 6) AS max_cell_share
+         |FROM t, mx, axis ORDER BY nprobe""".stripMargin
+    (df, sql)
+  }
+
+  private def pickSql(probes: Seq[Int], pfx: String): String =
+    s"CASE p ${probes.map(p => s"WHEN $p THEN $pfx$p").mkString(" ")} END"
 }

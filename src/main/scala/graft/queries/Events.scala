@@ -17,7 +17,7 @@ object Events {
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
     seasonalDecompose, skylineDays, gapRegularity, markovPerplexity,
-    sprtMonitor, spectralGap)
+    sprtMonitor, spectralGap, lateArrivalAudit)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1776,5 +1776,57 @@ object Events {
           else Some(rnd(math.log(10.0) / -math.log(l), 4))))
       out.toDF("n_states", "slem", "mixing_steps")
     }
+  }
+
+  // --- q324: late-arrival (watermark) audit -----------------------------------
+  // Before choosing `withWatermark` for the streaming jobs, measure
+  // what a given allowed-lateness would actually DROP: replaying the
+  // feed in ingest order (event_id — the generator's arrival
+  // sequence), an event is late iff its event time trails the running
+  // max event time of everything that arrived BEFORE it by more than
+  // the 10-minute watermark — exactly Structured Streaming's per-batch
+  // drop rule. Per event type (the unit a Kafka-partitioned source
+  // tracks): totals, late counts/share, and the worst lateness in
+  // integer microseconds (the q176 µs discipline — no float time
+  // arithmetic anywhere). One per-type ordered window, one keyed
+  // aggregate; the window state is a single running max.
+  def lateArrivalAudit: Q = Q(
+    "q324_late_arrival_audit",
+    """WITH o AS (SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY event_type
+      |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS hwm
+      |  FROM events),
+      |l AS (SELECT event_type,
+      |    CASE WHEN hwm IS NOT NULL AND t_us < hwm - 600000000 THEN 1 ELSE 0 END
+      |      AS is_late,
+      |    CASE WHEN hwm IS NOT NULL AND t_us < hwm - 600000000
+      |         THEN hwm - 600000000 - t_us END AS late_us
+      |  FROM o)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(is_late) AS BIGINT) AS n_late,
+      |  round(CAST(sum(is_late) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS late_share,
+      |  CAST(max(late_us) AS BIGINT) AS max_lateness_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    val wmUs = 600000000L // 10 min
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("hwm", max(col("t_us")).over(w))
+    val isLate = when(col("hwm").isNotNull && col("t_us") < col("hwm") - wmUs, 1)
+      .otherwise(0)
+    val lateUs = when(col("hwm").isNotNull && col("t_us") < col("hwm") - wmUs,
+      col("hwm") - wmUs - col("t_us"))
+    o.select(col("event_type"), isLate.as("is_late"), lateUs.as("late_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_late")).cast("long").as("n_late"),
+        round(sum(col("is_late")).cast("long") / count(lit(1)).cast("double"), 6)
+          .as("late_share"),
+        max(col("late_us")).cast("long").as("max_lateness_us"))
+      .orderBy("event_type")
   }
 }

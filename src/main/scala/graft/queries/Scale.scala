@@ -11,7 +11,7 @@ import graft.{Q, Tables}
 object Scale {
 
   val all: Seq[Q] = Seq(rollup, approxDistinct, approxPercentile, groupingSets,
-    saltedSkewJoin, cmsHeavyHitters, hllDistinctState)
+    saltedSkewJoin, cmsHeavyHitters, hllDistinctState, bloomPlanner)
 
   // --- q136: incremental distinct-count maintenance (mergeable HLL) --------
   // The sketch family's member of the q126/q135 refresh contract:
@@ -224,5 +224,57 @@ object Scale {
       .select(col("o_orderpriority"), col("p90_exact"),
         (abs(col("approx") - col("exact_raw")) / col("exact_raw") <= 0.02).as("approx_ok"))
       .orderBy("o_orderpriority")
+  }
+
+  // --- q320: bloom-filter sizing planner --------------------------------------
+  // Sizes the q92 decontamination filter before anyone builds it: for
+  // each target false-positive rate, the optimal bit count
+  // m = ⌈−n·ln p / ln²2⌉ and hash count k = ⌊m/n·ln 2 + 0.5⌋ over the
+  // corpus's MEASURED distinct-document count (the q39 (xxhash64, len)
+  // key), plus the realized FPR (1 − e^(−kn/m))^k those integer
+  // choices actually deliver and the filter's MiB footprint. One
+  // corpus scan for the scalar n, a 3-row axis, closed-form columns.
+  // Transcendental terms are 6/9-dp rounded BEFORE ceil/pow (the q221
+  // exp discipline) so both engines step from identical grid points —
+  // a raw ceil(libm product) could straddle an integer boundary.
+  def bloomPlanner: Q = {
+    val fprs = Seq(0.01, 0.001, 0.0001)
+    Q(
+      "q320_bloom_planner",
+      s"""WITH n AS (SELECT count(DISTINCT text) AS n_keys FROM documents),
+         |axis AS (SELECT * FROM (VALUES ${fprs.map(p => s"($p)").mkString(", ")}) v(p)),
+         |plan AS (SELECT p, n_keys,
+         |    CAST(ceil(round(-n_keys * ln(p) / (ln(2) * ln(2)), 6)) AS BIGINT) AS m_bits
+         |  FROM axis, n),
+         |k AS (SELECT p, n_keys, m_bits,
+         |    CAST(floor(round(CAST(m_bits AS DOUBLE) / n_keys * ln(2), 6) + 0.5)
+         |      AS BIGINT) AS k_hashes
+         |  FROM plan)
+         |SELECT p AS target_fpr, CAST(n_keys AS BIGINT) AS n_keys, m_bits, k_hashes,
+         |  round(CAST(m_bits AS DOUBLE) / 8 / 1048576, 4) AS mib,
+         |  round(pow(1.0 - round(exp(-CAST(k_hashes AS DOUBLE) * n_keys / m_bits), 9),
+         |    CAST(k_hashes AS DOUBLE)), 9) AS realized_fpr
+         |FROM k ORDER BY target_fpr DESC""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val n = Tables.documents(s, dir)
+        .agg(countDistinct(struct(xxhash64(col("text")), length(col("text"))))
+          .as("n_keys"))
+      val axis = fprs.toDF("p")
+      val mBits = ceil(round(-col("n_keys") * log(col("p")) /
+        (log(lit(2.0)) * log(lit(2.0))), 6)).cast("long")
+      val kH = floor(round(col("m_bits").cast("double") / col("n_keys") *
+        log(lit(2.0)), 6) + lit(0.5)).cast("long")
+      axis.crossJoin(broadcast(n))
+        .withColumn("m_bits", mBits)
+        .withColumn("k_hashes", kH)
+        .select(col("p").as("target_fpr"), col("n_keys"), col("m_bits"),
+          col("k_hashes"),
+          round(col("m_bits").cast("double") / 8 / 1048576, 4).as("mib"),
+          round(pow(lit(1.0) - round(exp(-col("k_hashes").cast("double") *
+            col("n_keys") / col("m_bits")), 9),
+            col("k_hashes").cast("double")), 9).as("realized_fpr"))
+        .orderBy(col("target_fpr").desc)
+    }
   }
 }

@@ -23,7 +23,8 @@ object Text {
     gopherRules, fleissKappa, winnowing, watermarkDetect, kendallTau,
     lzCompressibility, readability, positionalEntropy, mcnemarGates, blandAltman,
     languageMix, maxTokenRun, substringDedupGlobal, dedupThresholdSweep,
-    contextWaste, dupPairExplanation, lshBandPlanner)
+    contextWaste, dupPairExplanation, lshBandPlanner, canonDedupLadder,
+    dupSourceMatrix)
 
   // --- q171: containment (asymmetric-overlap) pairs ------------------------
   // The dedup-family member Jaccard can't see: a short document
@@ -2839,6 +2840,127 @@ object Text {
         element_at(split(col("acc"), ";"), 3).cast("int").cast("long").as("max_run"),
         (element_at(split(col("acc"), ";"), 3).cast("int") >= 5).as("is_loopy"))
       .orderBy("doc_id")
+  }
+
+  // --- q316: canonicalization-ladder dedup accounting -----------------------
+  // How many duplicates does each normalization level expose beyond
+  // plain byte equality? The industry fuzzy-exact dedup recipe
+  // (RefinedWeb/Dolma) hashes a CANONICALIZED body: casefold, strip
+  // punctuation, collapse whitespace; a stricter rung sorts the token
+  // bag (catches shuffled boilerplate). Per source: distinct-content
+  // counts at each rung of the ladder plus the increments — the
+  // accounting that decides whether the cheap canonical pass is worth
+  // scheduling before the n-gram machinery. All three distinct counts
+  // run in ONE aggregate over fixed-width (xxhash64, length) keys (the
+  // q39 contract: the shuffle compares 12-byte keys, never document
+  // bodies; the ORACLE counts distinct raw strings, so agreeing with
+  // it demonstrates collision-free equivalence at this SF). The corpus
+  // generator emits lowercase-alnum text, so `canon_extra` is zero
+  // here — the rungs are exercised on punctuated fixtures in
+  // CanonDedupSpec; zero increments still hash-check the plumbing.
+  def canonDedupLadder: Q = Q(
+    "q316_canon_dedup_ladder",
+    """WITH c AS (SELECT source, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                        ' +', ' ', 'g')) AS canon,
+      |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS bag
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT text) AS d_raw,
+      |  count(DISTINCT canon) AS d_canon,
+      |  count(DISTINCT bag) AS d_bag,
+      |  count(DISTINCT text) - count(DISTINCT canon) AS canon_extra,
+      |  count(DISTINCT text) - count(DISTINCT bag) AS bag_extra
+      |FROM c GROUP BY source ORDER BY source""".stripMargin,
+  ) { (s, dir) =>
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val bag = array_join(array_sort(TextAnalysis.tokens(col("text"))), " ")
+    def key(c: org.apache.spark.sql.Column) = struct(xxhash64(c), length(c))
+    Tables.documents(s, dir)
+      .select(col("source"), key(col("text")).as("kr"), key(canon).as("kc"),
+        key(bag).as("kb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("kr")).as("d_raw"),
+        countDistinct(col("kc")).as("d_canon"),
+        countDistinct(col("kb")).as("d_bag"))
+      .select(col("source"), col("n_docs"), col("d_raw"), col("d_canon"),
+        col("d_bag"), (col("d_raw") - col("d_canon")).as("canon_extra"),
+        (col("d_raw") - col("d_bag")).as("bag_extra"))
+      .orderBy("source")
+  }
+
+  // --- q317: cross-source duplicate attribution matrix ----------------------
+  // WHERE do the exact duplicates come from — mirrored content between
+  // feeds (cross-source pairs) or re-crawls within one feed
+  // (intra-source pairs)? q114 measures shingle-level source overlap
+  // pre-dedup; this attributes the byte-identical duplicate mass q39
+  // actually removes. Per exact-dup group (the q39 (xxhash64, len)
+  // key), per-source copy counts c_s collapse the group to a
+  // ≤|sources|-row profile; pair mass between source rows is closed-
+  // form (c_a·c_b cross, C(c,2) within) — the sources²-bounded keyed
+  // self-join on the group key, NEVER a copies² doc-level pair join
+  // (a boilerplate group with 10⁶ copies contributes |sources|² rows,
+  // not 10¹²). The full source×source axis emits zeros so a dup-free
+  // corpus still reports (this one is dup-free at sf0.01 — the dup
+  // path is exercised at sf0.1 and on the duplicated hot corpus).
+  def dupSourceMatrix: Q = Q(
+    "q317_dup_source_matrix",
+    """WITH g AS (SELECT text, source, count(*) AS c FROM documents
+      |           GROUP BY text, source),
+      |tot AS (SELECT text, sum(c) AS n FROM g GROUP BY text),
+      |dup AS (SELECT g.text, g.source, g.c FROM g JOIN tot ON g.text = tot.text
+      |        WHERE tot.n >= 2),
+      |cross_p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs,
+      |         count(*) AS n_groups
+      |       FROM dup a JOIN dup b ON a.text = b.text AND a.source < b.source
+      |       GROUP BY 1, 2),
+      |within AS (SELECT source AS source_a, source AS source_b,
+      |         CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pairs,
+      |         count(*) AS n_groups
+      |       FROM dup WHERE c >= 2 GROUP BY 1, 2),
+      |m AS (SELECT * FROM cross_p UNION ALL SELECT * FROM within),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |axis AS (SELECT a.source AS source_a, b.source AS source_b
+      |         FROM srcs a JOIN srcs b ON a.source <= b.source)
+      |SELECT axis.source_a, axis.source_b,
+      |  CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_dup_pairs,
+      |  CAST(COALESCE(m.n_groups, 0) AS BIGINT) AS n_groups
+      |FROM axis LEFT JOIN m
+      |  ON m.source_a = axis.source_a AND m.source_b = axis.source_b
+      |ORDER BY axis.source_a, axis.source_b""".stripMargin,
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val g = docs.groupBy(xxhash64(col("text")).as("th"),
+        length(col("text")).as("tl"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val dup = Dedup.persistTracked {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("th", "tl")
+      g.withColumn("n", sum(col("c")).over(w)).filter(col("n") >= 2).drop("n")
+    }
+    val crossP = dup.as("a").join(dup.as("b"),
+        col("a.th") === col("b.th") && col("a.tl") === col("b.tl") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(col("a.c") * col("b.c")).cast("long").as("n_pairs"),
+        count(lit(1)).as("n_groups"))
+    val within = dup.filter(col("c") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_pairs"),
+        count(lit(1)).as("n_groups"))
+      .select(col("source_a"), col("source_a").as("source_b"),
+        col("n_pairs"), col("n_groups"))
+    val m = crossP.unionByName(within)
+    val srcs = docs.select("source").distinct()
+    val axis = srcs.as("a").join(srcs.as("b"), col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    axis.join(m, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"))
+      .orderBy("source_a", "source_b")
   }
 }
 

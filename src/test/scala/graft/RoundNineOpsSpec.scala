@@ -68,4 +68,241 @@ class RoundNineOpsSpec extends SparkSpec {
       s"expected recall must not fall with bands: ${recalls.toSeq}")
     graft.dedup.Dedup.clearCaches(spark)
   }
+
+  test("q316: each canonicalization rung exposes its duplicate class") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_canon").toString
+    // d1/d2 differ only in case+punctuation (the canon rung's catch);
+    // d3/d4 are token permutations (the bag rung's catch)
+    Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "alpha beta"), (4L, "beta alpha"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Text.canonDedupLadder.fn(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("d_raw")) === 4L)
+    assert(r.getLong(r.fieldIndex("d_canon")) === 3L, "canon must merge d1/d2")
+    assert(r.getLong(r.fieldIndex("d_bag")) === 3L, "bag must merge d3/d4")
+    assert(r.getLong(r.fieldIndex("canon_extra")) === 1L)
+    assert(r.getLong(r.fieldIndex("bag_extra")) === 1L)
+  }
+
+  test("q317: dup pair mass is c_a*c_b across sources and C(c,2) within") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_dupsrc").toString
+    // T1: 2 copies in A (1 within-A pair); T2: 1 in A + 2 in B
+    // (2 cross pairs, 1 within-B pair); one unique doc in C
+    Seq((1L, "t one", "A"), (2L, "t one", "A"),
+      (3L, "t two", "A"), (4L, "t two", "B"), (5L, "t two", "B"),
+      (6L, "solo", "C"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Text.dupSourceMatrix.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(r.fieldIndex("n_dup_pairs")), r.getLong(r.fieldIndex("n_groups")))).toMap
+    assert(out.size === 6, "full 3-source upper-triangular axis incl. zeros")
+    assert(out(("A", "A")) === ((1L, 1L)))
+    assert(out(("A", "B")) === ((2L, 1L)))
+    assert(out(("B", "B")) === ((1L, 1L)))
+    assert(out(("A", "C")) === ((0L, 0L)))
+    assert(out(("B", "C")) === ((0L, 0L)))
+    assert(out(("C", "C")) === ((0L, 0L)))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q318: the histogram cut selects the top-quality stratum at 2x budget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_budget").toString
+    // 4 docs of 50 non-stopword tokens (quality 1.0) + 4 docs of 50
+    // stopwords (quality 0.5): total 400 tokens, budget 100, so the
+    // quality-1.0 stratum (200 tokens) alone crosses the budget.
+    val good = (1 to 50).map(i => s"w$i").mkString(" ")
+    val bad = Array.fill(50)("the").mkString(" ")
+    val rows = (1L to 4L).map(i => (i, good)) ++ (5L to 8L).map(i => (i, bad))
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Curation.budgetQualityCut.fn(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getDouble(r.fieldIndex("cutoff")) === 1.0)
+    assert(r.getLong(r.fieldIndex("n_docs_sel")) === 4L)
+    assert(r.getLong(r.fieldIndex("tokens_sel")) === 200L)
+    assert(r.getLong(r.fieldIndex("budget_tokens")) === 100L)
+    assert(r.getDouble(r.fieldIndex("utilization")) === 2.0)
+    assert(r.getDouble(r.fieldIndex("mean_q_sel")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("mean_q_rest")) === 0.5)
+    assert(r.getDouble(r.fieldIndex("q_lift")) === 0.5)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q319: single-source shard entropy is canonical +0.0; 50/50 shard is ln 2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_mix").toString
+    // 1000-token docs, 2000-token shards: shard 0 = d1,d2 (both sA),
+    // shard 1 = d3 (sA) + d4 (sB)
+    val body = (1 to 1000).map(i => s"t$i").mkString(" ")
+    Seq((1L, "sA"), (2L, "sA"), (3L, "sA"), (4L, "sB"))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit(body))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Curation.shardMixingAudit.fn(spark, dir).collect()
+    assert(out.length === 2)
+    val s0 = out(0); val s1 = out(1)
+    assert(s0.getLong(s0.fieldIndex("n_sources")) === 1L)
+    val e0 = s0.getDouble(s0.fieldIndex("source_entropy"))
+    assert(e0 === 0.0 &&
+      java.lang.Double.doubleToRawLongBits(e0) === 0L,
+      "single-source entropy must be canonical +0.0")
+    assert(s1.getLong(s1.fieldIndex("n_sources")) === 2L)
+    assert(math.abs(s1.getDouble(s1.fieldIndex("source_entropy")) - math.log(2.0)) < 1e-8)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q320: bloom plan matches the closed form and realized fpr tracks target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_bloom").toString
+    (1L to 100L).map(i => (i, s"unique doc body $i"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Scale.bloomPlanner.fn(spark, dir).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    assert(out.keySet === Set(0.01, 0.001, 0.0001))
+    val r = out(0.01)
+    // n=100, p=0.01: m = ceil(100*ln(100)/ln^2 2) = 959, k = round(m/n*ln2) = 7
+    assert(r.getLong(r.fieldIndex("m_bits")) === 959L)
+    assert(r.getLong(r.fieldIndex("k_hashes")) === 7L)
+    val fpr = r.getDouble(r.fieldIndex("realized_fpr"))
+    assert(fpr > 0.005 && fpr < 0.0125, s"realized fpr $fpr should track 0.01")
+  }
+
+  test("q322: separated sources yield a large F; identical sources cancel to +0.0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_anova").toString
+    // source A: quality-1.0 docs; source B: quality-0.5 docs → SSW=0,
+    // SSB>0 → F is NULL-guarded infinite? No: SSW=0 → try_divide NULL
+    val good = (1 to 50).map(i => s"w$i").mkString(" ")
+    val bad = Array.fill(50)("the").mkString(" ")
+    ((1L to 4L).map(i => (i, good, "A")) ++ (5L to 8L).map(i => (i, bad, "B")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = queries.Curation.anovaSources.fn(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("k_sources")) === 2L)
+    assert(r.isNullAt(r.fieldIndex("f_stat")), "zero within-variance must NULL F")
+    assert(r.getDouble(r.fieldIndex("eta_sq")) === 1.0)
+    // identical sources: SSB cancels → F = +0.0 (bit-checked), eta 0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_r9_anova2").toString
+    ((1L to 4L).map(i => (i, if (i % 2 == 0) good else bad, "A")) ++
+      (5L to 8L).map(i => (i, if (i % 2 == 0) good else bad, "B")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir2/documents.parquet")
+    val r2 = queries.Curation.anovaSources.fn(spark, dir2).collect().head
+    val f2 = r2.getDouble(r2.fieldIndex("f_stat"))
+    assert(f2 === 0.0 && java.lang.Double.doubleToRawLongBits(f2) === 0L,
+      "balanced identical sources must give canonical +0.0 F")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q324: an 11-minute-stale event is late by exactly 60s; in-order feed is clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_late").toString
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 06:$min%02d:00")
+    val rows = Seq(
+      // type a: strictly in-order → zero late
+      (1L, t(0), 1L, "a", 1.0, "{}"), (2L, t(5), 1L, "a", 1.0, "{}"),
+      (3L, t(10), 1L, "a", 1.0, "{}"),
+      // type b: hwm reaches 06:20, then an event stamped 06:09 arrives
+      // → 09:00 < 20:00 − 10:00 fails by 60s... it IS late by 60s
+      (4L, t(0), 2L, "b", 1.0, "{}"), (5L, t(20), 2L, "b", 1.0, "{}"),
+      (6L, t(9), 2L, "b", 1.0, "{}"),
+      // type c: 10 minutes behind exactly = NOT late (strict <)
+      (7L, t(20), 3L, "c", 1.0, "{}"), (8L, t(10), 3L, "c", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.Events.lateArrivalAudit.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(out("a").fieldIndex("n_late")) === 0L)
+    assert(out("b").getLong(out("b").fieldIndex("n_late")) === 1L)
+    assert(out("b").getLong(out("b").fieldIndex("max_lateness_us")) === 60000000L)
+    assert(out("c").getLong(out("c").fieldIndex("n_late")) === 0L,
+      "exactly-at-watermark events are kept (strict <)")
+  }
+
+  test("q323: probe cost is monotone in nprobe and reaches full scan at k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_ivf").toString
+    // 8 well-separated singleton-axis groups with unequal sizes
+    val sizes = Seq(8, 6, 5, 4, 3, 3, 2, 1)
+    var id = 0L
+    val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+      (0 until n).map { j =>
+        id += 1
+        val v = Array.fill(8)(0f); v(g) = 1f; v((g + 1) % 8) = 0.001f * (j + 1)
+        (id, v, g)
+      }
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.Embeddings.ivfProbePlanner.fn(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))
+    val means = out.map(r => r.getDouble(r.fieldIndex("mean_candidates")))
+    assert(means.sliding(2).forall { case Array(x, y) => y >= x },
+      s"probe cost must be monotone: ${means.toSeq}")
+    val last = out.last
+    assert(last.getDouble(last.fieldIndex("scan_fraction")) === 1.0,
+      "probing all k cells must scan the whole corpus")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q325: tau=1 reproduces raw shares; cooling flattens the mixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_temp").toString
+    ((1L to 8L).map(i => (i, "alpha beta gamma", "en")) ++
+      (9L to 10L).map(i => (i, "uno dos tres", "fr")))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Curation.temperatureSweep.fn(spark, dir).collect()
+      .sortBy(_.getDouble(0))
+    assert(out.length === 4)
+    val at1 = out.last
+    assert(at1.getDouble(0) === 1.0)
+    assert(at1.getDouble(at1.fieldIndex("max_share")) === 0.8)
+    assert(at1.getDouble(at1.fieldIndex("upsample_min")) === 1.0,
+      "tau=1 is natural sampling: no upsampling of the smallest language")
+    val eff = out.map(r => r.getDouble(r.fieldIndex("eff_langs")))
+    assert(eff.sliding(2).forall { case Array(x, y) => y <= x },
+      s"cooling tau must flatten the mixture: ${eff.toSeq}")
+    val up = out.map(r => r.getDouble(r.fieldIndex("upsample_min")))
+    assert(up.sliding(2).forall { case Array(x, y) => y <= x },
+      s"upsampling of the tail must grow as tau cools: ${up.toSeq}")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q321: antipodal label centroids score -1, coincident ones +1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_conf").toString
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 4).map { j =>
+        val v = Array.fill(8)(0f)
+        v(0) = if (g == 1) -1f else 1f // labels 0 and 2 coincide; 1 is antipodal
+        (g * 4L + j + 1L, v, g)
+      }
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.Embeddings.labelConfusionMatrix.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(r.fieldIndex("centroid_cos"))).toMap
+    assert(out.size === 3)
+    assert(out((0, 1)) === -1.0)
+    assert(out((0, 2)) === 1.0)
+    assert(out((1, 2)) === -1.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
 }

@@ -133,6 +133,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q324's batch audit predicts the structured-streaming watermark drop") {
+    // replay q324's type-b fixture (hwm reaches 06:20, then an event
+    // stamped 06:09 arrives → late by 60s; a 06:10 event is exactly AT
+    // the watermark and must survive) through a real 10-minute
+    // withWatermark aggregation on 1-second windows: the dropped set
+    // must be exactly the rows the batch audit counts as late.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 06:$min%02d:00")
+    val src = MemoryStream[Event]
+    val agg = src.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 second"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("wm_audit")
+      .outputMode("append").start()
+    try {
+      // arrival order = the audit's event_id order, one micro-batch
+      // each so the watermark advances exactly like the running max
+      for ((m, id) <- Seq(0 -> 1L, 20 -> 2L, 9 -> 3L, 10 -> 4L, 25 -> 5L, 40 -> 6L))
+        { src.addData(Event(id, t(m), 1L, "b", 1.0)); q.processAllAvailable() }
+      val emitted = spark.table("wm_audit").collect()
+        .map(_.getStruct(0).getTimestamp(0)).toSet
+      assert(!emitted.contains(t(9)), "the 60s-late event must be dropped")
+      assert(emitted.contains(t(10)), "the exactly-at-watermark event must survive")
+      assert(Set(0, 20, 25).forall(m => emitted.contains(t(m))))
+    } finally q.stop()
+  }
+
   test("ingestMerge upserts each micro-batch into the parquet table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
