@@ -22,7 +22,8 @@ object Curation {
     dataConstrainedEpochs, filterParity, importanceReweight, filterShapley,
     otsuThreshold, ebShrinkage, facilityLocation, bestOfN, sourceInfluence,
     waterFilling, neymanAllocation, powerAnalysis, redactionAudit,
-    budgetQualityCut, shardMixingAudit, anovaSources, temperatureSweep)
+    budgetQualityCut, shardMixingAudit, anovaSources, temperatureSweep,
+    sourceDatacard)
 
   // --- q190: duplicate-cluster size distribution ----------------------------
   // The dedup-mass audit over q71's components: how many clusters of
@@ -2119,6 +2120,59 @@ object Curation {
           col("max_share"), col("min_share"), col("upsample_min"))
         .orderBy("tau")
     }
+  }
+
+  // --- q327: per-source data card -----------------------------------------------
+  // The datasheet row a corpus release ships per source: volume (docs,
+  // tokens), mean quality, exact-duplicate share, and the dominant
+  // language with its share — the one-glance summary every other
+  // audit drills into. One corpus scan feeds a per-source aggregate
+  // (counts, DECIMAL quality sum, distinct (xxhash64, len) content
+  // keys) plus a (source, lang)-bounded argmax window for the
+  // dominant language; integer ratios divide once at the end.
+  def sourceDatacard: Q = Q(
+    "q327_source_datacard",
+    s"""WITH base AS (SELECT source, lang, text,
+       |    round((${CurationSqlFragments.qualitySql}), 4) AS sq,
+       |    len(string_split(text, ' ')) AS w FROM documents),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(sq AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+       |    count(DISTINCT text) AS d_raw
+       |  FROM base GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang),
+       |tl AS (SELECT source, lang AS top_lang, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, lang) AS rk FROM lc) WHERE rk = 1)
+       |SELECT m.source, n_docs, n_tokens,
+       |  round(s1 / n_docs, 6) AS mean_quality,
+       |  round(CAST(n_docs - d_raw AS DOUBLE) / n_docs, 6) AS dup_share,
+       |  top_lang, round(CAST(c AS DOUBLE) / n_docs, 6) AS top_lang_share
+       |FROM m JOIN tl ON tl.source = m.source
+       |ORDER BY m.source""".stripMargin,
+  ) { (s, dir) =>
+    val base = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("sq"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+        struct(xxhash64(col("text")), length(col("text"))).as("k")))
+    val m = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"),
+        sum(col("sq").cast("decimal(18,4)")).cast("double").as("s1"),
+        countDistinct(col("k")).as("d_raw"))
+    val lc = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val tl = lc.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c"))
+    m.join(tl, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("s1") / col("n_docs"), 6).as("mean_quality"),
+        round((col("n_docs") - col("d_raw")).cast("double") / col("n_docs"), 6)
+          .as("dup_share"),
+        col("top_lang"),
+        round(col("c").cast("double") / col("n_docs"), 6).as("top_lang_share"))
+      .orderBy("source")
   }
 }
 

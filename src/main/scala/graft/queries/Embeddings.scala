@@ -14,7 +14,7 @@ object Embeddings {
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
     mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
     twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi,
-    labelConfusionMatrix, ivfProbePlanner)
+    labelConfusionMatrix, ivfProbePlanner, contextPack)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -2241,4 +2241,60 @@ object Embeddings {
 
   private def pickSql(probes: Seq[Int], pfx: String): String =
     s"CASE p ${probes.map(p => s"WHEN $p THEN $pfx$p").mkString(" ")} END"
+
+  // --- q326: RAG context packing under a token budget --------------------------
+  // The step between retrieval and the prompt: for each query, walk
+  // its exact cosine top-10 in rank order and admit hits while the
+  // running token total stays within the 150-token context budget —
+  // the greedy stop-fill packer, with every candidate row emitted
+  // (included flag + cumulative tokens) so the truncation decision is
+  // auditable. Corpus-scale work is ONE broadcast-panel scan (the
+  // q304/q101 shape) + a per-query ranking window; token counts join
+  // from documents on the shared id; the packing window runs over ≤10
+  // rows per query. Rounded-cosine rank with id tie-break keeps both
+  // engines' greedy walks identical.
+  def contextPack: Q = Q(
+    "q326_context_pack",
+    s"""WITH p AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 4),
+       |pv AS (SELECT p.query_id, e.embedding AS qv
+       |       FROM p JOIN embeddings e ON e.vec_id = p.query_id),
+       |scored AS (SELECT pv.query_id, e.vec_id,
+       |    round(${sqlCos("e.embedding", "pv.qv")}, 6) + 0.0 AS cos_sim
+       |  FROM embeddings e, pv WHERE e.vec_id <> pv.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rk FROM scored),
+       |top AS (SELECT * FROM ranked WHERE rk <= 10),
+       |wt AS (SELECT t.query_id, t.rk, t.vec_id, t.cos_sim,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM top t JOIN documents d ON d.doc_id = t.vec_id),
+       |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY query_id ORDER BY rk)
+       |    AS BIGINT) AS cum_tok FROM wt)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS doc_id, cos_sim,
+       |  n_tok, cum_tok, cum_tok <= 150 AS included
+       |FROM c ORDER BY query_id, rk""".stripMargin,
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val panel = e.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    val scored = e.crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        znorm(round(Similarity.cosine(Similarity.asDouble(col("embedding")),
+          col("qv")), 6)).as("cos_sim"))
+    val top = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+    val wt = top.join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+      "vec_id")
+    wt.withColumn("cum_tok",
+        sum(col("n_tok")).over(Window.partitionBy("query_id").orderBy("rk")))
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("doc_id"), col("cos_sim"), col("n_tok"), col("cum_tok"),
+        (col("cum_tok") <= 150).as("included"))
+      .orderBy("query_id", "rk")
+  }
 }

@@ -17,7 +17,7 @@ object Events {
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
     seasonalDecompose, skylineDays, gapRegularity, markovPerplexity,
-    sprtMonitor, spectralGap, lateArrivalAudit)
+    sprtMonitor, spectralGap, lateArrivalAudit, dailyTrending)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1828,5 +1828,41 @@ object Events {
           .as("late_share"),
         max(col("late_us")).cast("long").as("max_lateness_us"))
       .orderBy("event_type")
+  }
+
+  // --- q328: daily trending event types -----------------------------------------
+  // The "what spiked today" dashboard tile: per day, the top-3 event
+  // types by count with their share of the day's traffic. One keyed
+  // (day, type) aggregate; the ranking window runs over the
+  // ≤|types|-row per-day table, never the event stream; day emitted
+  // as an ISO string (the registry's cross-engine date convention).
+  def dailyTrending: Q = Q(
+    "q328_daily_trending",
+    """WITH c AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+      |      '%Y-%m-%d') AS day,
+      |    event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS day_total FROM c GROUP BY day),
+      |r AS (SELECT c.day, event_type, cnt, day_total,
+      |    row_number() OVER (PARTITION BY c.day ORDER BY cnt DESC, event_type) AS rk
+      |  FROM c JOIN t ON t.day = c.day)
+      |SELECT day, CAST(rk AS BIGINT) AS rk, event_type,
+      |  CAST(cnt AS BIGINT) AS cnt,
+      |  round(CAST(cnt AS DOUBLE) / day_total, 6) AS day_share
+      |FROM r WHERE rk <= 3 ORDER BY day, rk""".stripMargin,
+  ) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("day").agg(sum(col("cnt")).as("day_total"))
+    c.join(t, "day")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("day").orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+      .select(col("day"), col("rk").cast("long").as("rk"), col("event_type"),
+        col("cnt"), round(col("cnt").cast("double") / col("day_total"), 6)
+          .as("day_share"))
+      .orderBy("day", "rk")
   }
 }

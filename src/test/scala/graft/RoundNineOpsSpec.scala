@@ -286,6 +286,73 @@ class RoundNineOpsSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("q326: packing admits a rank-prefix and cuts exactly at the budget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_pack").toString
+    // 8 vectors; panel = 4 smallest ids; every doc is 60 tokens, so
+    // each query fits exactly 2 hits in the 150-token context
+    val rows = (1L to 8L).map { i =>
+      val v = Array.fill(8)(0f); v(0) = 1f; v(1) = 0.01f * i
+      (i, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val body = (1 to 60).map(i => s"t$i").mkString(" ")
+    (1L to 8L).map(i => (i, body, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Embeddings.contextPack.fn(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(1L, 2L, 3L, 4L))
+    for ((_, rs) <- byQ) {
+      val inc = rs.filter(_.getBoolean(rs.head.fieldIndex("included")))
+      assert(inc.map(_.getLong(rs.head.fieldIndex("rk"))).sorted.toSeq === Seq(1L, 2L),
+        "exactly the top-2 hits fit 150 tokens")
+      assert(inc.map(_.getLong(rs.head.fieldIndex("cum_tok"))).max === 120L)
+    }
+  }
+
+  test("q327: the data card reports dup share and dominant language exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_card").toString
+    Seq((1L, "alpha beta gamma", "en", "A"), (2L, "alpha beta gamma", "en", "A"),
+      (3L, "delta epsilon zeta", "fr", "A"),
+      (4L, "unique text here", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.Curation.sourceDatacard.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(a.fieldIndex("n_docs")) === 3L)
+    assert(a.getLong(a.fieldIndex("n_tokens")) === 9L)
+    assert(a.getDouble(a.fieldIndex("dup_share")) === 0.333333)
+    assert(a.getString(a.fieldIndex("top_lang")) === "en")
+    assert(a.getDouble(a.fieldIndex("top_lang_share")) === 0.666667)
+    val b = out("B")
+    assert(b.getDouble(b.fieldIndex("dup_share")) === 0.0)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q328: per-day top-3 ranks by count with type tie-break") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_trend").toString
+    var id = 0L
+    val rows = Seq("a" -> 3, "b" -> 2, "c" -> 1, "d" -> 1).flatMap { case (t, n) =>
+      (1 to n).map { _ =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf("2024-03-05 10:00:00"), 1L, t, 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.Events.dailyTrending.fn(spark, dir).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getString(2)).toSeq === Seq("a", "b", "c"),
+      "count order with lexicographic tie-break (c before d)")
+    assert(out.head.getString(0) === "2024-03-05")
+    assert(out.head.getDouble(out.head.fieldIndex("day_share")) ===
+      math.rint(3.0 / 7.0 * 1e6) / 1e6)
+  }
+
   test("q321: antipodal label centroids score -1, coincident ones +1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r9_conf").toString
     val rows = (0 until 3).flatMap { g =>
