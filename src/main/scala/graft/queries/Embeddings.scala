@@ -14,7 +14,7 @@ object Embeddings {
     annRecallCurve, annNdcg, pcaPower, embeddingDispersion, embeddingPsi,
     mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
     twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi,
-    labelConfusionMatrix, ivfProbePlanner, contextPack)
+    labelConfusionMatrix, ivfProbePlanner, contextPack, hubnessAudit)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1823,27 +1823,7 @@ object Embeddings {
        |FROM d5 JOIN nb ON nb.vec_id = d5.vec_id
        |ORDER BY lof DESC NULLS LAST, d5.vec_id LIMIT 20""".stripMargin,
   ) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-      .groupBy(col("label"), col("embedding"))
-      .agg(min("vec_id").as("vec_id"), count(lit(1)).cast("long").as("n_dup"))
-      // tiny grouping shuffle: respread before the pairwise block
-      // (the exactRepresentatives re-repartition rule)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("label"), col("n_dup"),
-        Similarity.asDouble(col("embedding")).as("v"),
-        Similarity.norm(Similarity.asDouble(col("embedding"))).as("nrm"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("n_dup"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val p = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), col("label"), col("n_dup"),
-        znorm(round(lit(1) - Similarity.dot(col("va"), col("vb"))
-          / (col("na") * col("nb")), 6)).as("d"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(col("d"), col("id_b"))
-    val k = graft.dedup.Dedup.persistTracked(
-      p.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5))
+    val k = blockedKnn5(s, dir)
     val d5 = k.filter(col("rk") === 5)
       .select(col("id_a").as("vec_id"), col("label"), col("n_dup"),
         col("d").as("knn_dist"))
@@ -2241,6 +2221,77 @@ object Embeddings {
 
   private def pickSql(probes: Seq[Int], pfx: String): String =
     s"CASE p ${probes.map(p => s"WHEN $p THEN $pfx$p").mkString(" ")} END"
+
+  // --- q329: ANN hubness audit ---------------------------------------------------
+  // The high-dimensional pathology that silently degrades every kNN
+  // consumer (label noise q167, LOF q248, ANN serving): a few "hub"
+  // vectors appear in a disproportionate share of other vectors'
+  // top-k lists, so retrieval keeps returning them regardless of the
+  // query. k-occurrence N₅(v) = how many top-5 lists contain v,
+  // counted over the SAME label-blocked exact-kNN table q248 ranks
+  // (identical persisted plan → CacheManager serves both queries from
+  // one build); a uniform neighborhood graph has N₅ ≈ 5, so the
+  // emitted ratio N₅/5 is the hub amplification. Top-15 hubs by
+  // (N₅ desc, id).
+  def hubnessAudit: Q = Q(
+    "q329_hubness_audit",
+    s"""WITH grp AS (SELECT label, embedding, min(vec_id) AS vec_id,
+       |    CAST(count(*) AS BIGINT) AS n_dup
+       |  FROM embeddings GROUP BY label, embedding),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       |    round(1 - ${sqlCos("a.embedding", "b.embedding")}, 6) + 0.0 AS d
+       |  FROM grp a JOIN grp b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |k AS (SELECT id_a, id_b, label, d,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rk FROM p),
+       |occ AS (SELECT id_b AS vec_id, CAST(count(*) AS BIGINT) AS n5
+       |        FROM k WHERE rk <= 5 GROUP BY id_b),
+       |lab AS (SELECT vec_id, label FROM grp)
+       |SELECT occ.vec_id, lab.label, n5,
+       |  round(CAST(n5 AS DOUBLE) / 5.0, 4) AS hub_ratio
+       |FROM occ JOIN lab ON lab.vec_id = occ.vec_id
+       |ORDER BY n5 DESC, occ.vec_id LIMIT 15""".stripMargin,
+  ) { (s, dir) =>
+    val k = blockedKnn5(s, dir)
+    val occ = k.groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n5"))
+    val lab = k.select(col("id_a").as("vec_id"), col("label")).distinct()
+    occ.join(lab, "vec_id")
+      .select(col("vec_id"), col("label"), col("n5"),
+        round(col("n5").cast("double") / 5.0, 4).as("hub_ratio"))
+      .orderBy(col("n5").desc, col("vec_id")).limit(15)
+  }
+
+  /** The label-blocked exact top-5 neighbor table shared by q248 (LOF)
+    * and q329 (hubness): exact-duplicate collapse to min-id
+    * representatives, within-label cosine distances (6-dp, znormed),
+    * per-vector top-5 by (d, id). Persisted once per corpus —
+    * CacheManager dedupes the identical plan across the two queries.
+    */
+  private def blockedKnn5(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .groupBy(col("label"), col("embedding"))
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).cast("long").as("n_dup"))
+      // tiny grouping shuffle: respread before the pairwise block
+      // (the exactRepresentatives re-repartition rule)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), col("n_dup"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.norm(Similarity.asDouble(col("embedding"))).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("n_dup"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val p = a.join(b, Seq("label")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"), col("n_dup"),
+        znorm(round(lit(1) - Similarity.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6)).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("d"), col("id_b"))
+    graft.dedup.Dedup.persistTracked(
+      p.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5))
+  }
 
   // --- q326: RAG context packing under a token budget --------------------------
   // The step between retrieval and the prompt: for each query, walk

@@ -16,7 +16,7 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
     frequentPairs, labelPropagation, clusteringCoefficient, degreePowerLaw,
-    textrankKeywords)
+    textrankKeywords, kcorePeel)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -209,6 +209,22 @@ object Graph {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct(),
       "c", "custSuppPairs")
 
+  /** The persisted ≥190-shared-customers supplier projection (sa < sb)
+    * — the pair join is the dominant cost of the co-purchase graph
+    * family, so q131 (triangles), q263 (power law) and q330 (k-core)
+    * all build THIS identical plan and CacheManager serves them from
+    * one materialization per (JVM, corpus).
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cs = custSupp(s, dir)
+    graft.dedup.Dedup.persistTracked(cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
+      .select("sa", "sb"))
+  }
+
   // def, not val: `val all` above runs at object init, before vals
   // declared below it (the Embeddings.EmbDim rule)
   private def CustSuppSql =
@@ -251,12 +267,7 @@ object Graph {
       |          UNION ALL SELECT c AS id FROM tri) GROUP BY id)
       |SELECT id, n_tri FROM pern ORDER BY n_tri DESC, id LIMIT 15""".stripMargin,
   ) { (s, dir) =>
-    val cs = custSupp(s, dir)
-    val e = cs.as("a").join(cs.as("b"),
-        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
-      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
-      .select("sa", "sb")
+    val e = coPurchaseEdges(s, dir)
     graft.operators.Triangles.perNode(e.select(col("sa").as("src"), col("sb").as("dst")))
       .orderBy(col("n_tri").desc, col("id")).limit(15)
   }
@@ -444,12 +455,7 @@ object Graph {
       |  round(1.0 + t.n / t.sl, 4) AS alpha
       |FROM t CROSS JOIN ne""".stripMargin,
   ) { (s, dir) =>
-    val cs = custSupp(s, dir)
-    val e = graft.dedup.Dedup.persistTracked(cs.as("a").join(cs.as("b"),
-        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
-      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
-      .select("sa", "sb"))
+    val e = coPurchaseEdges(s, dir)
     val deg = e.select(col("sa").as("id")).unionByName(e.select(col("sb").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val mn = deg.agg(min("d").as("dmin"))
@@ -502,12 +508,7 @@ object Graph {
       |FROM deg LEFT JOIN pern ON pern.id = deg.id
       |ORDER BY deg.id""".stripMargin,
   ) { (s, dir) =>
-    val cs = custSupp(s, dir)
-    val e = graft.dedup.Dedup.persistTracked(cs.as("a").join(cs.as("b"),
-        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
-      .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 190)
-      .select("sa", "sb"))
+    val e = coPurchaseEdges(s, dir)
     val deg = e.select(col("sa").as("id")).unionByName(e.select(col("sb").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val pern = graft.operators.Triangles
@@ -596,5 +597,59 @@ object Graph {
         .select(col("tok").as("keyword"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("keyword")).limit(15)
     }
+  }
+
+  // --- q330: k-core peeling (k = 3, three rounds) ----------------------------
+  // The degeneracy-ordering primitive behind community seeds and
+  // graph sparsification: repeatedly delete nodes of degree < 3 and
+  // report who remains. Each round is ONE keyed degree aggregate +
+  // an induced-subgraph semi-join on the surviving node set — the
+  // scale shape of iterative peeling (never an adjacency matrix);
+  // rounds are unrolled plan composition over the SAME q131
+  // co-purchase projection (suppliers sharing ≥190 customers), each
+  // round's edge set persisted because the next round reads it twice
+  // (degree + induce). Three rounds bound the plan like Hits'
+  // iters<=4; `settled` reports per-node whether the residual degree
+  // certifies the 3-core locally (FALSE rows mean another round would
+  // still peel). The oracle unrolls all three rounds as CTEs.
+  def kcorePeel: Q = Q(
+    "q330_kcore_peel",
+    s"""WITH $CustSuppSql,
+       |ep AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+       |       GROUP BY 1, 2 HAVING count(*) >= 190),
+       |e0 AS (SELECT sa AS src, sb AS dst FROM ep
+       |       UNION ALL SELECT sb, sa FROM ep),
+       |d1 AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+       |k1 AS (SELECT src AS id FROM d1 WHERE d >= 3),
+       |e1 AS (SELECT e0.src, e0.dst FROM e0
+       |       JOIN k1 a ON a.id = e0.src JOIN k1 b ON b.id = e0.dst),
+       |d2 AS (SELECT src, count(*) AS d FROM e1 GROUP BY src),
+       |k2 AS (SELECT src AS id FROM d2 WHERE d >= 3),
+       |e2 AS (SELECT e1.src, e1.dst FROM e1
+       |       JOIN k2 a ON a.id = e1.src JOIN k2 b ON b.id = e1.dst),
+       |d3 AS (SELECT src, count(*) AS d FROM e2 GROUP BY src),
+       |k3 AS (SELECT src AS id FROM d3 WHERE d >= 3),
+       |e3 AS (SELECT e2.src, e2.dst FROM e2
+       |       JOIN k3 a ON a.id = e2.src JOIN k3 b ON b.id = e2.dst),
+       |df AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+       |       FROM e3 GROUP BY src)
+       |SELECT id, degree, degree >= 3 AS settled
+       |FROM df ORDER BY id""".stripMargin,
+  ) { (s, dir) =>
+    val ep = coPurchaseEdges(s, dir)
+    var e = graft.dedup.Dedup.persistTracked(
+      ep.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionByName(ep.select(col("sb").as("src"), col("sa").as("dst"))))
+    for (_ <- 1 to 3) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("src").as("id"))
+      e = graft.dedup.Dedup.persistTracked(e
+        .join(keep.select(col("id").as("src")), "src")
+        .join(keep.select(col("id").as("dst")), "dst")
+        .select("src", "dst"))
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      .select(col("id"), col("degree"), (col("degree") >= 3).as("settled"))
+      .orderBy("id")
   }
 }

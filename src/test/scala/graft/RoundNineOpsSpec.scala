@@ -353,6 +353,44 @@ class RoundNineOpsSpec extends SparkSpec {
       math.rint(3.0 / 7.0 * 1e6) / 1e6)
   }
 
+  test("q329: a centroid vector hubs every top-5 list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_hub").toString
+    // vector 1 sits at the center; 2..7 sit on distinct orthogonal
+    // offsets, so each is closer to the hub than to any sibling
+    val hub = { val v = Array.fill(8)(0f); v(0) = 1f; v }
+    val rows = (1L, hub, 0) +: (2L to 7L).map { i =>
+      val v = Array.fill(8)(0f); v(0) = 1f; v((i - 1).toInt) = 0.6f
+      (i, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = queries.Embeddings.hubnessAudit.fn(spark, dir).collect()
+    val top = out.head
+    assert(top.getLong(0) === 1L, "the centroid must rank as the top hub")
+    assert(top.getLong(top.fieldIndex("n5")) === 6L,
+      "the hub appears in all six other top-5 lists")
+    assert(top.getDouble(top.fieldIndex("hub_ratio")) === 1.2)
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q330: the pendant peels in round one; the 4-clique settles as the 3-core") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_core").toString
+    // customers 1..190 buy from suppliers 1..4 (every clique pair
+    // shares 190 customers); customers 191..380 buy from {1, 5} only,
+    // so supplier 5 hangs off the clique by one edge
+    val orders = (1L to 380L).map(c => (c, c)) // o_orderkey = o_custkey
+    val li = (1L to 190L).flatMap(c => (1L to 4L).map(sp => (c, sp))) ++
+      (191L to 380L).flatMap(c => Seq((c, 1L), (c, 5L)))
+    orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    li.toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val out = queries.Graph.kcorePeel.fn(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L),
+      "only the clique survives; the pendant supplier 5 peels in round 1")
+    assert(out.forall(r => r.getLong(r.fieldIndex("degree")) === 3L))
+    assert(out.forall(_.getBoolean(out.head.fieldIndex("settled"))))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("q321: antipodal label centroids score -1, coincident ones +1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r9_conf").toString
     val rows = (0 until 3).flatMap { g =>
