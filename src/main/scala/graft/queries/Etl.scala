@@ -16,7 +16,8 @@ object Etl {
     scd2History, columnProfile, histogram, aggStateMerge, histQuantileState,
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
     keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
-    fdDiscovery, recordLinkage, zorderLayout, linkageClusters, ivmRetract)
+    fdDiscovery, recordLinkage, zorderLayout, linkageClusters, ivmRetract,
+    benfordAudit)
 
   // --- q199: approximate functional-dependency discovery --------------------
   // Schema profiling's other half next to q188's FK inclusion: for
@@ -1164,6 +1165,60 @@ object Etl {
             || (col("dim") === "day" && col("v").between(col("dlo"), col("dhi"))),
             1.0).otherwise(0.0)), 4).as("files_scanned_frac"))
         .orderBy("layout", "query_dim")
+    }
+  }
+
+  // --- q332: Benford first-digit audit -------------------------------------------
+  // The classic fabricated-data screen: naturally-occurring monetary
+  // values follow P(d) = log10(1 + 1/d) on the leading digit; a
+  // synthetic or truncated feed bends the curve. Per digit 1–9:
+  // observed count/share vs the Benford expectation and the χ² term —
+  // one scan into a 9-row aggregate, every share an integer ratio,
+  // the expectation a 9-dp-rounded literal so both engines compare
+  // identical grid points. (The generator's uniform-ish prices FAIL
+  // Benford — the audit's point is to say so, and the oracle agrees.)
+  def benfordAudit: Q = {
+    // the Benford expectation as 9-dp literals shared VERBATIM by both
+    // engines — computing log10 in each engine risks a last-ulp libm
+    // divergence exactly at a rounding boundary
+    val ps = (1 to 9).map(u => u -> BigDecimal(math.log10(1.0 + 1.0 / u))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Q(
+    "q332_benford_audit",
+    s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+      |ax AS (SELECT * FROM (VALUES ${ps.map { case (u, p) => s"($u, $p)" }.mkString(", ")})
+      |       v(digit, p))
+      |SELECT ax.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+      |  round(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / n.n, 6) AS obs_share,
+      |  round(p, 6) AS exp_share,
+      |  round((COALESCE(o.n_obs, 0) - n.n * p) * (COALESCE(o.n_obs, 0) - n.n * p)
+      |    / (n.n * p), 6) AS chi2_term
+      |FROM ax LEFT JOIN o ON o.digit = ax.digit CROSS JOIN n
+      |ORDER BY ax.digit""".stripMargin,
+  ) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val o = graft.dedup.Dedup.persistTracked(
+      d.groupBy("digit").agg(count(lit(1)).as("n_obs")))
+    val n = o.agg(sum(col("n_obs")).cast("long").as("n"))
+    val ax = ps.toDF("digit", "p")
+    broadcast(ax).join(o, Seq("digit"), "left").crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(coalesce(col("n_obs"), lit(0L)).cast("double") / col("n"), 6)
+          .as("obs_share"),
+        round(col("p"), 6).as("exp_share"),
+        round((coalesce(col("n_obs"), lit(0L)) - col("n") * col("p"))
+          * (coalesce(col("n_obs"), lit(0L)) - col("n") * col("p"))
+          / (col("n") * col("p")), 6).as("chi2_term"))
+      .orderBy("digit")
     }
   }
 }

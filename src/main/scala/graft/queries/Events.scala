@@ -17,7 +17,7 @@ object Events {
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
     seasonalDecompose, skylineDays, gapRegularity, markovPerplexity,
-    sprtMonitor, spectralGap, lateArrivalAudit, dailyTrending)
+    sprtMonitor, spectralGap, lateArrivalAudit, dailyTrending, changepoint)
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day
@@ -1827,6 +1827,81 @@ object Events {
         round(sum(col("is_late")).cast("long") / count(lit(1)).cast("double"), 6)
           .as("late_share"),
         max(col("late_us")).cast("long").as("max_lateness_us"))
+      .orderBy("event_type")
+  }
+
+  // --- q331: single changepoint detection (binary segmentation, round 1) --------
+  // CUSUM (q251) raises the alarm; this LOCATES the break: per event
+  // type, the split of the daily-count series minimizing
+  // SSE_left + SSE_right — the first round of binary segmentation,
+  // equivalently the max-likelihood single mean-shift point. Every
+  // candidate's SSE comes from integer prefix sums (Σn, Σn² cumulative
+  // windows over the ≤days-sized daily table — never a per-candidate
+  // rescan); the argmin ranks on the 6-dp-rounded SSE with day
+  // tie-break. `var_explained` = 1 − SSE_split/SSE_flat (znormed; a
+  // constant series NULLs via the zero flat SSE).
+  def changepoint: Q = Q(
+    "q331_changepoint",
+    """WITH daily AS (SELECT event_type,
+      |    strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(n) AS BIGINT) AS sc, CAST(sum(n * n) AS BIGINT) AS scc
+      |  FROM daily GROUP BY 1),
+      |pre AS (SELECT event_type, day, n,
+      |    CAST(sum(n) OVER w AS BIGINT) AS cs,
+      |    CAST(sum(n * n) OVER w AS BIGINT) AS css,
+      |    CAST(row_number() OVER w AS BIGINT) AS i
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |cand AS (SELECT p.event_type, p.day, p.i, m.nd, m.sc, p.cs,
+      |    round((p.css - CAST(p.cs AS DOUBLE) * p.cs / p.i)
+      |      + ((m.scc - p.css)
+      |         - CAST(m.sc - p.cs AS DOUBLE) * (m.sc - p.cs) / (m.nd - p.i)), 6)
+      |      AS sse,
+      |    round(CAST(m.scc AS DOUBLE) - CAST(m.sc AS DOUBLE) * m.sc / m.nd, 6)
+      |      AS sse_flat
+      |  FROM pre p JOIN m ON m.event_type = p.event_type WHERE p.i < m.nd),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY sse, day) AS rk FROM cand)
+      |SELECT event_type, day AS split_day, nd AS n_days,
+      |  round(CAST(cs AS DOUBLE) / i, 4) AS mean_before,
+      |  round(CAST(sc - cs AS DOUBLE) / (nd - i), 4) AS mean_after,
+      |  CASE WHEN sse_flat = 0 THEN NULL
+      |       ELSE round(1.0 - sse / sse_flat, 6) + 0.0 END AS var_explained
+      |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+  ) { (s, dir) =>
+    val daily = graft.dedup.Dedup.persistTracked(Tables.events(s, dir)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sc"),
+        sum(col("n") * col("n")).as("scc"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pre = daily
+      .withColumn("cs", sum(col("n")).over(w))
+      .withColumn("css", sum(col("n") * col("n")).over(w))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val cand = pre.join(m, "event_type").filter(col("i") < col("nd"))
+      .withColumn("sse",
+        round((col("css") - col("cs").cast("double") * col("cs") / col("i"))
+          + ((col("scc") - col("css"))
+            - (col("sc") - col("cs")).cast("double") * (col("sc") - col("cs"))
+              / (col("nd") - col("i"))), 6))
+      .withColumn("sse_flat",
+        round(col("scc").cast("double")
+          - col("sc").cast("double") * col("sc") / col("nd"), 6))
+    cand.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("sse"), col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"), col("nd").as("n_days"),
+        round(col("cs").cast("double") / col("i"), 4).as("mean_before"),
+        round((col("sc") - col("cs")).cast("double") / (col("nd") - col("i")), 4)
+          .as("mean_after"),
+        when(col("sse_flat") === 0, lit(null).cast("double"))
+          .otherwise(znorm(round(lit(1.0) - col("sse") / col("sse_flat"), 6)))
+          .as("var_explained"))
       .orderBy("event_type")
   }
 

@@ -391,6 +391,54 @@ class RoundNineOpsSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
+  test("q331: a clean mean shift is located exactly with var_explained 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_cpt").toString
+    var id = 0L
+    // type a: 2/day for days 1-5, then 8/day for days 6-10; type b constant
+    val rows = (1 to 10).flatMap { d =>
+      val n = if (d <= 5) 2 else 8
+      (1 to n).map { _ =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), 1L, "a", 1.0, "{}")
+      }
+    } ++ (1 to 10).flatMap { d =>
+      (1 to 3).map { _ =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), 1L, "b", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = queries.Events.changepoint.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getString(a.fieldIndex("split_day")) === "2024-01-05")
+    assert(a.getDouble(a.fieldIndex("mean_before")) === 2.0)
+    assert(a.getDouble(a.fieldIndex("mean_after")) === 8.0)
+    assert(a.getDouble(a.fieldIndex("var_explained")) === 1.0)
+    assert(out("b").isNullAt(out("b").fieldIndex("var_explained")),
+      "a constant series has zero flat SSE and must NULL, not divide")
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q332: first-digit counts, Benford expectations, and zero-digit rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_benford").toString
+    // 30 prices with digit 1, 10 with digit 2, none elsewhere
+    val rows = (1L to 30L).map(i => (i, 19.5)) ++ (31L to 40L).map(i => (i, 250.0))
+    rows.toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = queries.Etl.benfordAudit.fn(spark, dir).collect()
+    assert(out.length === 9, "all nine digits report, observed or not")
+    val byD = out.map(r => r.getInt(0) -> r).toMap
+    assert(byD(1).getLong(byD(1).fieldIndex("n_obs")) === 30L)
+    assert(byD(2).getLong(byD(2).fieldIndex("n_obs")) === 10L)
+    assert(byD(9).getLong(byD(9).fieldIndex("n_obs")) === 0L)
+    assert(byD(1).getDouble(byD(1).fieldIndex("obs_share")) === 0.75)
+    assert(byD(1).getDouble(byD(1).fieldIndex("exp_share")) === 0.30103)
+    assert(out.forall(r => r.getDouble(r.fieldIndex("chi2_term")) >= 0.0))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
   test("q321: antipodal label centroids score -1, coincident ones +1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r9_conf").toString
     val rows = (0 until 3).flatMap { g =>
