@@ -128,6 +128,9 @@ def main():
         run_verify(sf_dir, out_dir)
 
     con = duckdb.connect()
+    # keep DuckDB spill files out of the repo (committed .tmp blobs once
+    # bloated git history to ~600MB packed)
+    con.execute("SET temp_directory='/tmp/duckdb_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
