@@ -17,7 +17,7 @@ object Etl {
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
     keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
     fdDiscovery, recordLinkage, zorderLayout, linkageClusters, ivmRetract,
-    benfordAudit)
+    benfordAudit, dbtGenericTests)
 
   // --- q199: approximate functional-dependency discovery --------------------
   // Schema profiling's other half next to q188's FK inclusion: for
@@ -544,6 +544,118 @@ object Etl {
       .withColumn("violation_rate",
         round(col("n_violations").cast("double") / col("n_checked"), 6))
       .orderBy("check_name")
+  }
+
+  // --- q333: dbt generic-test constraint suite ------------------------------
+  // The declarative vocabulary the reference CONFIGURES but never ships
+  // (dbt_project.yml:9 sets test-paths; README.md:203-205 and
+  // airflow_dags.py:98 invoke `dbt test` against zero test files): the
+  // four dbt generic tests — unique / not_null / accepted_values /
+  // relationships — as a constraint-suite API (warehouse.Quality.checks)
+  // returning one pass/fail audit row per constraint. Where q159 hand-
+  // writes each probe, this is the schema.yml form: constraints are
+  // DATA, the engine derives the plan — scan-local tests fold into one
+  // conditional aggregate per table, each relationship is one keyed
+  // LEFT ANTI join reduced to a scalar. The suite includes genuinely
+  // failing rows on this corpus ((l_orderkey, l_linenumber) is NOT a
+  // lineitem key here — 14k surplus rows at sf0.01), so the pass flag
+  // is exercised in both directions and the oracle certifies the
+  // violation arithmetic, not just zeros.
+  def dbtGenericTests: Q = Q(
+    "q333_dbt_generic_tests",
+    """WITH checks AS (
+      |  SELECT 'customer' AS table_name, 'not_null' AS check_type,
+      |    'c_name' AS target,
+      |    CAST((SELECT count(*) - count(c_name) FROM customer) AS BIGINT)
+      |      AS n_violations
+      |  UNION ALL SELECT 'customer', 'relationships',
+      |    'c_nationkey->nation.n_nationkey',
+      |    CAST((SELECT count(*) FROM customer c
+      |      LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+      |        ON c.c_nationkey = p.n_nationkey
+      |      WHERE c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL) AS BIGINT)
+      |  UNION ALL SELECT 'customer', 'unique', 'c_custkey',
+      |    CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer
+      |      WHERE c_custkey IS NOT NULL) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'accepted_values', 'l_linestatus',
+      |    CAST((SELECT count(*) FROM lineitem WHERE l_linestatus IS NOT NULL
+      |      AND CAST(l_linestatus AS VARCHAR) NOT IN ('O', 'F')) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'accepted_values', 'l_returnflag',
+      |    CAST((SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+      |      AND CAST(l_returnflag AS VARCHAR) NOT IN ('A', 'N', 'R')) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'not_null', 'l_quantity',
+      |    CAST((SELECT count(*) - count(l_quantity) FROM lineitem) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'relationships',
+      |    'l_orderkey->orders.o_orderkey',
+      |    CAST((SELECT count(*) FROM lineitem l
+      |      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+      |        ON l.l_orderkey = p.o_orderkey
+      |      WHERE l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'relationships',
+      |    'l_partkey->part.p_partkey',
+      |    CAST((SELECT count(*) FROM lineitem l
+      |      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      |        ON l.l_partkey = p.p_partkey
+      |      WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'relationships',
+      |    'l_suppkey->supplier.s_suppkey',
+      |    CAST((SELECT count(*) FROM lineitem l
+      |      LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+      |        ON l.l_suppkey = p.s_suppkey
+      |      WHERE l.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem', 'unique', 'l_orderkey,l_linenumber',
+      |    CAST((SELECT count(*) FROM lineitem
+      |        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+      |      - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |          FROM lineitem
+      |          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) d)
+      |      AS BIGINT)
+      |  UNION ALL SELECT 'orders', 'accepted_values', 'o_orderstatus',
+      |    CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+      |      AND CAST(o_orderstatus AS VARCHAR) NOT IN ('O', 'F', 'P')) AS BIGINT)
+      |  UNION ALL SELECT 'orders', 'not_null', 'o_custkey',
+      |    CAST((SELECT count(*) - count(o_custkey) FROM orders) AS BIGINT)
+      |  UNION ALL SELECT 'orders', 'not_null', 'o_orderdate',
+      |    CAST((SELECT count(*) - count(o_orderdate) FROM orders) AS BIGINT)
+      |  UNION ALL SELECT 'orders', 'relationships',
+      |    'o_custkey->customer.c_custkey',
+      |    CAST((SELECT count(*) FROM orders o
+      |      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+      |        ON o.o_custkey = p.c_custkey
+      |      WHERE o.o_custkey IS NOT NULL AND p.c_custkey IS NULL) AS BIGINT)
+      |  UNION ALL SELECT 'orders', 'unique', 'o_orderkey',
+      |    CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders
+      |      WHERE o_orderkey IS NOT NULL) AS BIGINT))
+      |SELECT table_name, check_type, target, n_violations,
+      |  n_violations = 0 AS passed
+      |FROM checks ORDER BY table_name, check_type, target""".stripMargin,
+  ) { (s, dir) =>
+    import graft.warehouse.Quality
+    import graft.warehouse.Quality.{Relationship, TableChecks}
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    Quality.checks(Seq(
+      TableChecks("orders", ord,
+        unique = Seq(Seq("o_orderkey")),
+        notNull = Seq("o_custkey", "o_orderdate"),
+        acceptedValues = Seq("o_orderstatus" -> Seq("O", "F", "P")),
+        relationships = Seq(Relationship("o_custkey", cust, "customer", "c_custkey"))),
+      TableChecks("lineitem", Tables.lineitem(s, dir),
+        unique = Seq(Seq("l_orderkey", "l_linenumber")),
+        notNull = Seq("l_quantity"),
+        acceptedValues = Seq(
+          "l_returnflag" -> Seq("A", "N", "R"),
+          "l_linestatus" -> Seq("O", "F")),
+        relationships = Seq(
+          Relationship("l_orderkey", ord, "orders", "o_orderkey"),
+          Relationship("l_partkey", Tables.part(s, dir), "part", "p_partkey"),
+          Relationship("l_suppkey", Tables.supplier(s, dir), "supplier", "s_suppkey"))),
+      TableChecks("customer", cust,
+        unique = Seq(Seq("c_custkey")),
+        notNull = Seq("c_name"),
+        relationships = Seq(
+          Relationship("c_nationkey", Tables.nation(s, dir), "nation", "n_nationkey"))),
+    ))
   }
 
   // --- q135: incremental quantile maintenance (mergeable histogram) --------

@@ -1786,9 +1786,12 @@ object Events {
   // max event time of everything that arrived BEFORE it by more than
   // the 10-minute watermark — exactly Structured Streaming's per-batch
   // drop rule. Per event type (the unit a Kafka-partitioned source
-  // tracks): totals, late counts/share, and the worst lateness in
-  // integer microseconds (the q176 µs discipline — no float time
-  // arithmetic anywhere). One per-type ordered window, one keyed
+  // tracks): totals, late counts/share, and the worst EXCESS beyond
+  // the watermark in integer microseconds (hwm − 600s − t_us, i.e.
+  // how much LARGER an allowed-lateness would have to be to keep the
+  // event — an 11-minute-stale event reads 60s, not 660s; consumers
+  // sizing a watermark add their current allowance back; the q176 µs
+  // discipline — no float time arithmetic anywhere). One per-type ordered window, one keyed
   // aggregate; the window state is a single running max.
   def lateArrivalAudit: Q = Q(
     "q324_late_arrival_audit",
@@ -1807,7 +1810,7 @@ object Events {
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(sum(is_late) AS BIGINT) AS n_late,
       |  round(CAST(sum(is_late) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS late_share,
-      |  CAST(max(late_us) AS BIGINT) AS max_lateness_us
+      |  CAST(max(late_us) AS BIGINT) AS excess_lateness_us
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
   ) { (s, dir) =>
     val wmUs = 600000000L // 10 min
@@ -1826,7 +1829,7 @@ object Events {
         sum(col("is_late")).cast("long").as("n_late"),
         round(sum(col("is_late")).cast("long") / count(lit(1)).cast("double"), 6)
           .as("late_share"),
-        max(col("late_us")).cast("long").as("max_lateness_us"))
+        max(col("late_us")).cast("long").as("excess_lateness_us"))
       .orderBy("event_type")
   }
 

@@ -230,7 +230,7 @@ class RoundNineOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     assert(out("a").getLong(out("a").fieldIndex("n_late")) === 0L)
     assert(out("b").getLong(out("b").fieldIndex("n_late")) === 1L)
-    assert(out("b").getLong(out("b").fieldIndex("max_lateness_us")) === 60000000L)
+    assert(out("b").getLong(out("b").fieldIndex("excess_lateness_us")) === 60000000L)
     assert(out("c").getLong(out("c").fieldIndex("n_late")) === 0L,
       "exactly-at-watermark events are kept (strict <)")
   }
