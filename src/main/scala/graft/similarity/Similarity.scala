@@ -245,6 +245,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental IVF index maintenance — the daily-append path a real
+    * 100 TB embedding store needs next to [[writeIvfIndex]]'s batch
+    * build. New vectors are assigned to the NEAREST PERSISTED centroid
+    * (map-only: k codegen sq_dist folds per row, no retraining, no
+    * shuffle before the write) and merged into their cell partitions
+    * via the touched-partition rewrite shared with
+    * [[graft.warehouse.Merge.upsertBucketed]]: only the ≤ nProbe-style
+    * handful of cell dirs the delta hashes to are read (partition
+    * pruning) and swapped; every other cell's files stay
+    * byte-identical. Re-ingesting an id with the same vector is
+    * idempotent (same assignment ⇒ replaced in place by the id
+    * anti-join); CHANGING an id's vector may move it across cells, so
+    * callers mutating vectors must delete first — the same contract as
+    * any partition-pruned merge whose partition key is derived from
+    * the payload.
+    *
+    * Drift guard: appends skew the quantizer over time (new data
+    * drifts from the centroids the cells were built on). After the
+    * merge, ONE aggregate computes per-cell sizes; when the largest
+    * cell exceeds `skewBound` × the mean, the index is REBUILT from
+    * all vectors (fresh Lloyd's at the same nCells) and swapped in via
+    * the two-rename pattern. Returns true iff the rebuild ran.
+    * Driver traffic: the nCells centroid sidecar, the touched-cell id
+    * list (≤ nCells ints), and one scalar stats row — nothing
+    * corpus-sized.
+    */
+  def upsertIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String,
+      skewBound: Double = 8.0): Boolean = {
+    val centRows = spark.read.parquet(path + "/centroids").orderBy("cell").collect()
+    require(centRows.length <= 65536,
+      s"upsertIvf($path): ${centRows.length} centroids exceed the driver-side sidecar budget")
+    val cents = centRows
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray).toSeq
+    val assigned = graft.ml.KMeansLite
+      .assign(delta.withColumn("__v", asDouble(col(vecCol))), "__v", cents)
+      .drop("__v", "dist").withColumnRenamed("cluster", "cell")
+    val live = spark.read.parquet(path + "/vectors")
+    val aligned = assigned.select(live.columns.map(col).toSeq: _*)
+    // cell ids are bounded by nCells — a scalar-sized collect
+    val touched = aligned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val affected = live.filter(col("cell").isin(touched: _*)) // pruned scan
+    val merged = affected.join(aligned.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(aligned)
+    graft.warehouse.Merge.swapInPartitions(spark, path + "/vectors", merged, "cell")
+    // drift check: one aggregate over the index, scalar result (mean is
+    // over NON-EMPTY cells — an emptied-out cell is itself drift)
+    val st = spark.read.parquet(path + "/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), avg("n").as("mean")).head()
+    val recluster = st.getLong(0) > skewBound * st.getDouble(1)
+    if (recluster) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val rebuilt = path + ".rebuild"
+      // train + stage against the LIVE index (reads finish before the
+      // swap), then two-rename the whole index dir into place
+      writeIvfIndex(spark.read.parquet(path + "/vectors").drop("cell"),
+        idCol, vecCol, nCells = cents.length, path = rebuilt)
+      val old = new org.apache.hadoop.fs.Path(
+        path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+      fs.rename(new org.apache.hadoop.fs.Path(path), old)
+      fs.rename(new org.apache.hadoop.fs.Path(rebuilt),
+        new org.apache.hadoop.fs.Path(path))
+      fs.delete(old, true)
+    }
+    recluster
+  }
+
   /** The query vector's (table_id, bucket) coordinates, computed in
     * plain Scala from the seeded hyperplanes — no Spark job, so a
     * serving path can prune partitions before any scan starts.

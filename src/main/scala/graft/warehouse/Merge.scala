@@ -170,16 +170,27 @@ object Merge {
     val touched = incoming.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
     val affected = target.filter(col(BucketCol).isin(touched: _*))
     val merged = upsert(affected, incoming, keys)
-    // stage the merged buckets, then swap each dir in; displaced dirs go
-    // to a sibling per-invocation trash dir (NOT `<dir>.old` inside the
-    // table, which partition discovery would misread as a partition
-    // value; and NOT a fixed name, which a crashed run's retry would
-    // delete before anything could be recovered from it). Cleanup of a
-    // crashed invocation's trash is best-effort/manual by design — the
-    // two-rename window is the same recoverability contract as
-    // [[rewriteTable]]; true atomicity needs a metastore commit.
+    swapInPartitions(spark, tablePath, merged, BucketCol)
+  }
+
+  /** Stage `merged` (rows for the touched `partCol` values ONLY) and
+    * swap each staged partition dir into the live table — the
+    * partition-scoped rewrite shared by [[upsertBucketed]] and the IVF
+    * index upsert. Displaced dirs go to a sibling per-invocation trash
+    * dir (NOT `<dir>.old` inside the table, which partition discovery
+    * would misread as a partition value; and NOT a fixed name, which a
+    * crashed run's retry would delete before anything could be
+    * recovered from it). Cleanup of a crashed invocation's trash is
+    * best-effort/manual by design — the two-rename window is the same
+    * recoverability contract as [[rewriteTable]]; true atomicity needs
+    * a metastore commit.
+    */
+  private[graft] def swapInPartitions(spark: SparkSession, tablePath: String,
+      merged: DataFrame, partCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(tablePath + ".tmppart")
-    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp.toString)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     val trash = new Path(tablePath + ".oldpart-" +
       java.util.UUID.randomUUID().toString.take(8))
     fs.mkdirs(trash)

@@ -39,6 +39,75 @@ class RoundTenOpsSpec extends SparkSpec {
       "two non-null orphans; the null FK is exempt")
   }
 
+  test("upsertIvf: delta merges into nearest cells, re-upsert is idempotent, untouched cell dirs stay byte-identical") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // two well-separated groups on orthogonal axes; seeds (two lowest
+    // ids) land one per group so Lloyd separates them cleanly
+    def vec(axis: Int, jitter: Double) =
+      Array.tabulate(4)(i => if (i == axis) 1.0f + jitter.toFloat else jitter.toFloat * 0.1f)
+    val base = ((0L to 9L).map(i => (i, vec(0, 0.01 * i))) ++
+      (10L to 19L).map(i => (i, vec(1, 0.01 * (i - 10))))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_r10_ups").toString + "/idx"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", nCells = 2, path = idx)
+    def dirState = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(idx + "/vectors"))
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq.sorted
+        }.toMap
+    }
+    val before = dirState
+    // delta: axis-0 vectors only — exactly one cell is touched
+    val delta = (100L to 104L).map(i => (i, vec(0, 0.05))).toDF("vec_id", "embedding")
+    val reclustered = Similarity.upsertIvf(spark, idx, delta, "vec_id", "embedding")
+    assert(!reclustered, "balanced append must not trip the drift guard")
+    val after = dirState
+    val untouched = before.keys.filter(k => after.get(k).contains(before(k)))
+    assert(untouched.size === 1,
+      s"exactly one cell dir (the axis-1 cell) must be byte-identical; got $untouched")
+    val live = spark.read.parquet(idx + "/vectors")
+    assert(live.count() === 25)
+    assert(live.select("vec_id").distinct().count() === 25)
+    // delta landed in the axis-0 cell: same cell as the axis-0 base ids
+    val cellOf = live.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((100L to 104L).forall(i => cellOf(i) == cellOf(0L)))
+    // idempotence: replaying the same delta replaces, never duplicates
+    Similarity.upsertIvf(spark, idx, delta, "vec_id", "embedding")
+    assert(spark.read.parquet(idx + "/vectors").count() === 25)
+    // the merged index serves: a fresh axis-0 query's top neighbors are
+    // axis-0 ids (nProbe=2 = all cells, so ranking is exact cosine)
+    val top = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0, 0.0), k = 5, nProbe = 2).collect().map(_.getLong(0))
+    assert(top.forall(id => id < 10 || id >= 100), s"axis-0 query got ${top.toSeq}")
+  }
+
+  test("upsertIvf: a skewed delta trips the drift guard and the index is rebuilt") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    def vec(axis: Int, jitter: Double) =
+      Array.tabulate(4)(i => if (i == axis) 1.0f + jitter.toFloat else jitter.toFloat * 0.1f)
+    val base = ((0L to 9L).map(i => (i, vec(0, 0.01 * i))) ++
+      (10L to 19L).map(i => (i, vec(1, 0.01 * (i - 10))))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_r10_drift").toString + "/idx"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", nCells = 2, path = idx)
+    // 60 new axis-0 vectors: cell sizes become (70, 10) — max/mean = 1.75
+    val delta = (100L to 159L).map(i => (i, vec(0, 0.001 * (i - 100)))).toDF("vec_id", "embedding")
+    val reclustered = Similarity.upsertIvf(spark, idx, delta, "vec_id", "embedding",
+      skewBound = 1.5)
+    assert(reclustered, "70/10 split exceeds skewBound 1.5 — must rebuild")
+    // rebuilt index is complete and still serves both regions
+    val live = spark.read.parquet(idx + "/vectors")
+    assert(live.count() === 80)
+    assert(spark.read.parquet(idx + "/centroids").count() === 2)
+    val top = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+      Array(0.0, 1.0, 0.0, 0.0), k = 3, nProbe = 2).collect().map(_.getLong(0))
+    assert(top.forall(id => id >= 10 && id <= 19), s"axis-1 query got ${top.toSeq}")
+  }
+
   test("Quality.checks: a clean table passes every constraint") {
     import spark.implicits._
     val t = Seq((1L, "a", "O"), (2L, "b", "F")).toDF("id", "name", "st")
