@@ -41,36 +41,116 @@ object PageRank {
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** Shared setup: (deg, ed, n) — the persisted degree table, the
+    * degree-annotated edge list hash-partitioned by src BEFORE the
+    * persist (every iteration's join reads the cached partitioning
+    * instead of re-exchanging the big edge side), and the node count
+    * as a 1-row broadcastable scalar (the C4 cross-scalar idiom, never
+    * a driver collect — plan construction launches zero jobs).
+    */
+  private def prepare(edges0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+    // `mark` (min dst per src) rides the degree aggregate for free: it
+    // flags exactly one edge per source (edges are distinct), which is
+    // how [[runObserved]] emits one prev-rank carrier row per node
+    // without a second pass or a node-sized union branch.
+    val deg = graft.dedup.Dedup.persistTracked(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg"), min(col("dst")).as("mark"))
+        .select(col("src").as("id"), col("outdeg"), col("mark")))
+    val ed = graft.dedup.Dedup.persistTracked(
+      e.join(deg.withColumnRenamed("id", "src"), "src").repartition(col("src")))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    (deg, ed, n)
+  }
+
+  private def oneStep(ed: DataFrame, n: DataFrame, ranks: DataFrame,
+      damping: Double): DataFrame =
+    ed.join(ranks, ed("src") === ranks("id"))
+      .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+      .groupBy("dst")
+      .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("m"))
+      .crossJoin(broadcast(n))
+      .select(col("dst").as("id"),
+        ((lit(1.0) - lit(damping)) / col("nn") + lit(damping) * col("m")).as("pr"))
+
   /** `iters` power iterations of r(v) = (1-d)/N + d·Σ_{u→v} r(u)/deg(u),
     * uniform 1/N start. Returns (id, pr) for every node.
     */
   def run(edges0: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
-    val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-    val deg = graft.dedup.Dedup.persistTracked(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("id"), col("outdeg")))
-    // Degree-annotated edges, hash-partitioned by src BEFORE the
-    // persist: every iteration's join reads the cached partitioning
-    // instead of re-exchanging the (big) edge side.
-    val ed = graft.dedup.Dedup.persistTracked(
-      e.join(deg.withColumnRenamed("id", "src"), "src").repartition(col("src")))
-    // N is a 1-row broadcast scalar (the C4 cross-scalar idiom), never
-    // a driver collect — plan construction launches zero jobs.
-    val n = deg.agg(count(lit(1)).as("nn"))
-
+    val (deg, ed, n) = prepare(edges0)
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("nn")).as("pr"))
-    for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, ed("src") === ranks("id"))
-        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+    for (_ <- 1 to iters) ranks = oneStep(ed, n, ranks, damping)
+    ranks
+  }
+
+  /** [[run]] with convergence observability — the piece a fixed
+    * unrolled iteration count lacks at 100× scale, where you cannot
+    * tell whether `iters` sufficed without re-running: each iteration
+    * emits its L1 residual Σ|pr_i − pr_{i-1}| as an observed metric
+    * (`graft_pr__res<i>_h<semanticHash>` — the [[graft.dedup.Dedup]]
+    * observe discipline: the name is a deterministic function of the
+    * subtree so CacheManager's identical-plan dedupe keeps firing, and
+    * recording it costs no extra job), and the output carries a
+    * per-node `settled` flag: |pr − prev_pr| < relTol·pr at the final
+    * iteration. FALSE rows mean another iteration would still move
+    * that node by more than relTol — the q330 `settled` contract.
+    *
+    * Plan shape: STILL one exchange per iteration, and `ranks` is
+    * referenced exactly ONCE per iteration — both constraints are
+    * load-bearing. The previous rank reaches the new one not by a
+    * second join but by riding the contribution shuffle: the ONE
+    * edge per source flagged by `mark` (min dst, computed for free
+    * in the degree aggregate) explodes into its contribution (key =
+    * dst) plus a single carrier row (key = src, the source's own
+    * pr); every other edge row passes through one-to-one. The SAME
+    * groupBy then recovers prev_pr as `max` over the per-node
+    * singleton next to the summed contributions, so the shuffle
+    * grows by |nodes| rows, not |edges|. Three rejected cuts,
+    * measured on the q125 bench (11.5 s same-window reference):
+    * joining each iteration against a persisted previous vector
+    * (extra join + 5 materialization barriers → 18.6 s), a union
+    * referencing `ranks` twice per iteration (lineage doubles per
+    * iteration → 2^iters logical subtrees → 42.8 s), and an
+    * unconditional 2-way explode (2× pre-aggregate rows → 17.6 s).
+    * The residual sum is DECIMAL-cast — associative-exact,
+    * partitioning-independent — and pr values are bit-identical to
+    * [[run]]'s, so an SQL oracle joining r_i with r_{i-1}
+    * reproduces `settled` exactly.
+    */
+  def runObserved(edges0: DataFrame, iters: Int, damping: Double = 0.85,
+      relTol: Double = 1e-3): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val (deg, ed, n) = prepare(edges0)
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("nn")).as("pr"))
+    var out: DataFrame = null
+    val nullD = lit(null).cast("double")
+    for (i <- 1 to iters) {
+      val contrib = struct(col("dst").as("k"),
+        (col("pr") / col("outdeg")).as("c"), nullD.as("p"))
+      val carrier = struct(col("src").as("k"), nullD.as("c"), col("pr").as("p"))
+      val stepped = ed.join(ranks, ed("src") === ranks("id"))
+        .select(explode(when(col("dst") === col("mark"), array(contrib, carrier))
+          .otherwise(array(contrib))).as("x"))
+        .select(col("x.k").as("dst"), col("x.c").as("c"), col("x.p").as("p"))
         .groupBy("dst")
-        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("m"))
+        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("m"),
+          max(col("p")).as("__prev")) // carrier copies are bit-identical
         .crossJoin(broadcast(n))
         .select(col("dst").as("id"),
-          ((lit(1.0) - lit(damping)) / col("nn") + lit(damping) * col("m")).as("pr"))
+          ((lit(1.0) - lit(damping)) / col("nn") + lit(damping) * col("m")).as("pr"),
+          col("__prev"))
+      val observed = stepped.observe(
+        s"graft_pr__res${i}_h${stepped.queryExecution.analyzed.semanticHash()}",
+        sum(abs(col("pr") - col("__prev")).cast("decimal(28,18)"))
+          .cast("double").as("l1_residual"))
+      out = observed.select(col("id"), col("pr"),
+        (abs(col("pr") - col("__prev")) < lit(relTol) * col("pr")).as("settled"))
+      ranks = out.select("id", "pr")
     }
-    ranks
+    out
   }
 }
 

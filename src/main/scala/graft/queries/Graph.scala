@@ -321,9 +321,15 @@ object Graph {
   // Nodes: customers (2k) and suppliers (2k+1); edges: "c bought from
   // s", symmetrized so the bipartite walk is well-defined and no mass
   // dangles. Five unrolled power iterations in the oracle replicate
-  // operators.PageRank.run exactly: contributions are DECIMAL(28,18)-
-  // summed (associative-exact), the rest is bit-identical IEEE double
-  // arithmetic, so the hash check covers the whole iteration chain.
+  // operators.PageRank.runObserved exactly: contributions are
+  // DECIMAL(28,18)-summed (associative-exact), the rest is
+  // bit-identical IEEE double arithmetic, so the hash check covers the
+  // whole iteration chain. Convergence observability (the at-scale
+  // piece a fixed unrolled count lacks): each iteration emits its L1
+  // residual as a graft_pr__res<i> observed metric, and the output's
+  // `settled` flag (|r5 − r4| < 1e-3·r5 per node, the q330 contract)
+  // is itself oracle-checked via the r5 ⋈ r4 join — so "did 5
+  // iterations suffice" is answered by the query, not by faith.
   def pagerank: Q = {
     val iterCtes = (1 to 5).map { i =>
       s"""r$i AS (SELECT g.dst AS id,
@@ -342,8 +348,10 @@ object Graph {
          |n AS (SELECT count(*) AS nn FROM deg),
          |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT nn FROM n) AS pr FROM deg),
          |$iterCtes
-         |SELECT id, round(pr, 12) AS pr FROM r5
-         |ORDER BY pr DESC, id LIMIT 20""".stripMargin,
+         |SELECT r5.id, round(r5.pr, 12) AS pr,
+         |  abs(r5.pr - r4.pr) < 0.001 * r5.pr AS settled
+         |FROM r5 JOIN r4 ON r5.id = r4.id
+         |ORDER BY pr DESC, r5.id LIMIT 20""".stripMargin,
     ) { (s, dir) =>
       // distinct BEFORE symmetrizing (matches the oracle's e CTE):
       // undirected()'s own dedup then runs on 2×|pairs| rows instead
@@ -352,9 +360,9 @@ object Graph {
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val ranks = graft.operators.PageRank.run(
+      val ranks = graft.operators.PageRank.runObserved(
         graft.operators.PageRank.undirected(edges), iters = 5)
-      ranks.select(col("id"), round(col("pr"), 12).as("pr"))
+      ranks.select(col("id"), round(col("pr"), 12).as("pr"), col("settled"))
         .orderBy(col("pr").desc, col("id")).limit(20)
     }
   }

@@ -108,6 +108,50 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(top.forall(id => id >= 10 && id <= 19), s"axis-1 query got ${top.toSeq}")
   }
 
+  test("PageRank.runObserved: per-iteration L1 residuals are observable and shrink; settled certifies convergence") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val metrics = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val Res = """graft_pr__res(\d+)_h.*""".r
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach {
+          case (Res(i), row) if !row.isNullAt(0) => metrics.put(i.toInt, row.getDouble(0))
+          case _ => ()
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // star graph: center/leaf ranks oscillate toward the fixpoint, so
+      // residuals shrink geometrically but are NOT yet under 1e-3
+      // relative after 6 iterations — settled must say so honestly
+      val star = PageRank.undirected(
+        Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst"))
+      val out = PageRank.runObserved(star, iters = 6).collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (metrics.size < 6 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(metrics.size >= 6, s"expected 6 residual metrics, got $metrics")
+      assert(metrics.get(6) < metrics.get(1),
+        s"L1 residual must shrink: ${metrics.get(1)} -> ${metrics.get(6)}")
+      assert(metrics.get(6) > 0.0)
+      assert(out.length === 5)
+      // a regular graph IS the uniform fixpoint: residual 0 from the
+      // first iteration, every node settled immediately
+      metrics.clear()
+      val ring = PageRank.undirected(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+      val rout = PageRank.runObserved(ring, iters = 2).collect()
+      assert(rout.forall(_.getBoolean(2)), s"uniform graph must settle: ${rout.toSeq}")
+      val d2 = System.currentTimeMillis() + 30000
+      while (metrics.size < 2 && System.currentTimeMillis() < d2) Thread.sleep(100)
+      assert(metrics.get(1) === 0.0 && metrics.get(2) === 0.0,
+        s"uniform fixpoint has zero residual, got $metrics")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("Quality.checks: a clean table passes every constraint") {
     import spark.implicits._
     val t = Seq((1L, "a", "O"), (2L, "b", "F")).toDF("id", "name", "st")
