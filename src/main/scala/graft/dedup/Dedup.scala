@@ -35,8 +35,32 @@ object Dedup {
   val DefaultHotKeyCap = 1000
 
   // Persist handles created by this object, so cleanup releases exactly
-  // our intermediates and nothing else in the session cache.
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // our intermediates and nothing else in the session cache. The ledger
+  // is SIZE-BOUNDED: a long-lived session sweeping many corpora used to
+  // grow the tracked set without limit until a manual clearCaches —
+  // past `maxTracked` live handles the least-recently-REGISTERED one is
+  // evicted (unpersisted; any plan still referencing it just recomputes,
+  // so eviction is never a correctness event). Keyed by the analyzed
+  // plan's semanticHash so re-persisting an identical plan TOUCHES the
+  // existing entry (CacheManager dedupes those to one cache entry
+  // anyway) instead of double-counting it. Evictions are driver-side
+  // ledger events, not plan metrics, so they surface through the logger
+  // + [[evictionCount]] rather than an observed metric.
+  private val ledger = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession, Int), DataFrame](16, 0.75f, true)
+
+  /** Upper bound on live tracked persists (override with
+    * -Dgraft.cache.maxTracked=N; spec-tunable). Generous by default —
+    * the bound exists to cap unattended growth, not to fight the
+    * within-run reuse that makes shared intermediates pay.
+    */
+  @volatile private[graft] var maxTracked: Int =
+    sys.props.get("graft.cache.maxTracked").map(_.toInt).getOrElse(256)
+
+  private val evictions = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Total LRU evictions forced by the [[maxTracked]] budget. */
+  private[graft] def evictionCount: Long = evictions.get
 
   // Hot-key drop reporting is attached as an observed metric on the
   // capped plan, so *constructing* a pairs DataFrame launches no Spark
@@ -95,14 +119,25 @@ object Dedup {
     */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tracked.add(p)
+    track(p)
     p
   }
 
-  /** Register an already-persisted handle for [[clearCaches]] release
-    * (used by [[Clusters]] for its converged label table).
+  /** Register an already-persisted handle in the bounded ledger for
+    * [[clearCaches]] / LRU release.
     */
-  private[dedup] def track(df: DataFrame): Unit = tracked.add(df)
+  private[dedup] def track(df: DataFrame): Unit = ledger.synchronized {
+    ledger.put((df.sparkSession, df.queryExecution.analyzed.semanticHash()), df)
+    while (ledger.size > maxTracked) {
+      val it = ledger.entrySet().iterator()
+      val eldest = it.next()
+      it.remove()
+      eldest.getValue.unpersist(blocking = false)
+      evictions.incrementAndGet()
+      log.warn(s"cache ledger over budget ($maxTracked live persists): " +
+        s"evicted LRU intermediate h${eldest.getKey._2} (recomputable, not a data loss)")
+    }
+  }
 
   private val trackedRdds =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
@@ -120,8 +155,10 @@ object Dedup {
     * checkpoint blocks released here, which cannot recompute.
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    var d = tracked.poll()
-    while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+    ledger.synchronized {
+      ledger.values().forEach(_.unpersist(blocking = false))
+      ledger.clear()
+    }
     var r = trackedRdds.poll()
     while (r != null) { r.unpersist(blocking = false); r = trackedRdds.poll() }
     componentsMemo.clear()

@@ -152,6 +152,35 @@ class RoundTenOpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("cache ledger: past the budget the LRU persist is evicted; identical plans touch; eviction is not a correctness event") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    Dedup.clearCaches(spark)
+    val saved = Dedup.maxTracked
+    try {
+      Dedup.maxTracked = 2
+      val base = Dedup.evictionCount
+      val a = Dedup.persistTracked(Seq(1, 2).toDF("a"))
+      val b = Dedup.persistTracked(Seq(3, 4).toDF("b"))
+      // re-registering an identical plan must TOUCH a (move to MRU),
+      // not insert a third entry
+      Dedup.persistTracked(Seq(1, 2).toDF("a"))
+      assert(Dedup.evictionCount === base, "touch must not evict")
+      val c = Dedup.persistTracked(Seq(5, 6).toDF("c")) // b is now LRU
+      assert(Dedup.evictionCount === base + 1)
+      assert(b.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+        "the least-recently-registered persist must be the one evicted")
+      assert(a.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+        "the touched entry must survive")
+      assert(c.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+      // an evicted frame recomputes — eviction is a cost event only
+      assert(b.collect().map(_.getInt(0)).sorted.toSeq === Seq(3, 4))
+    } finally {
+      Dedup.maxTracked = saved
+      Dedup.clearCaches(spark)
+    }
+  }
+
   test("Quality.checks: a clean table passes every constraint") {
     import spark.implicits._
     val t = Seq((1L, "a", "O"), (2L, "b", "F")).toDF("id", "name", "st")
