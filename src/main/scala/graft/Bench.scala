@@ -30,6 +30,10 @@ object Bench {
     // (substring match, like tools/check.py --only) for fast iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_BENCH_ACTION=count re-enables the pre-round-10 action
+    // for A/B evidence only — count() lets Catalyst skip real work (see
+    // below); "noop" (default) is the honest measurement.
+    val useCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
@@ -42,7 +46,17 @@ object Bench {
       for ((name, fn) <- names) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // noop-format write, NOT count(): a count-only action lets
+          // Catalyst eliminate work that cannot change the row count —
+          // outer joins against unique keys (the q303 bug), windows and
+          // aggregates that feed only output columns, even whole join
+          // chains (71 of 331 queries lost spine nodes under count; see
+          // graft.BenchHonesty). The noop sink consumes every output
+          // column and keeps the final sort, so the measured plan IS
+          // the plan the correctness gate executes, minus I/O.
+          val df = fn(spark, sfDir)
+          if (useCount) df.count()
+          else df.write.mode("overwrite").format("noop").save()
           val dt = (System.nanoTime() - t0) / 1e9
           if (!best.contains(name) || (dt < best(name) && best(name) >= 0) || best(name) < 0)
             best(name) = dt

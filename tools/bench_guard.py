@@ -30,6 +30,14 @@ import sys
 REGRESSION_FACTOR = 1.5
 MAX_RERUNS = 2
 
+# Streaming-family queries: each pays a fixed per-query streaming-
+# harness overhead (~1-2 s) that swamps the data cost at sf0.1, so a
+# single 3-run sample has a wide noise band (round 9: q77 read 1.51x
+# its mixed reference and 1.20x quiet-vs-quiet with ZERO code changes).
+# The guard therefore always gives the family one dedicated extra
+# 3-run pass (min-of-6 total) before any regression verdict.
+STREAMING = ["q62", "q77", "q88", "q96", "q122", "q215"]
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OPEN_PKGS = [
@@ -40,7 +48,7 @@ OPEN_PKGS = [
 ]
 
 
-def run_bench(sf_dir):
+def run_bench(sf_dir, only=None):
     cp = os.path.join(REPO, "target/scala-2.13/classes") + ":" + ":".join(
         sorted(glob.glob("/opt/spark/jars/*.jar")))
     cmd = ["java"]
@@ -49,6 +57,8 @@ def run_bench(sf_dir):
     cmd += ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
             "-Xmx8g", "-cp", cp, "graft.Bench"]
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
     out = subprocess.run(cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
                          stderr=subprocess.DEVNULL, check=True, text=True).stdout
     line = out.strip().splitlines()[-1]
@@ -86,7 +96,21 @@ def main():
                     help="reference BENCH json (default: newest BENCH_r*.json)")
     ap.add_argument("--out", default=None,
                     help="write the final min-of-N result JSON line here")
+    ap.add_argument("--exempt-file", default=None,
+                    help="file of query names (one per line, # comments) "
+                         "excluded from the regression verdict — for "
+                         "documented measurement-methodology changes "
+                         "(e.g. the round-10 count->noop bench-action "
+                         "switch), never for hiding a real regression")
     args = ap.parse_args()
+
+    exempt = set()
+    if args.exempt_file:
+        with open(args.exempt_file) as f:
+            exempt = {ln.strip() for ln in f
+                      if ln.strip() and not ln.startswith("#")}
+        print(f"exempt from regression verdict: {len(exempt)} queries "
+              f"({args.exempt_file})")
 
     ref_path = args.ref or newest_artifact()
     ref = {}
@@ -100,13 +124,24 @@ def main():
     result = run_bench(args.sf)
     best = dict(result["queries"])
 
+    # streaming family: one dedicated extra 3-run pass (min-of-6) before
+    # any verdict — its fixed harness overhead needs the deeper floor
+    stream_only = [q for q in best if any(q.startswith(s + "_") for s in STREAMING)]
+    if stream_only:
+        print(f"streaming family min-of-6 pass ({len(stream_only)} queries) ...",
+              flush=True)
+        srerun = run_bench(args.sf, only=STREAMING)
+        for q, t in srerun["queries"].items():
+            if q in best and t >= 0:
+                best[q] = min(best[q], t)
+
     def over_bar(times):
         # both relative AND absolute slack: a 0.1s query jittering to
         # 0.16s is fixed-overhead noise, not a regression worth a
         # full re-run
         return sorted(
             (q, t, ref[q]) for q, t in times.items()
-            if q in ref and ref[q] > 0.05
+            if q in ref and ref[q] > 0.05 and q not in exempt
             and t > REGRESSION_FACTOR * ref[q] and t - ref[q] > 0.25)
 
     suspicious = over_bar(best)
