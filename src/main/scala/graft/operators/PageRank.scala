@@ -152,6 +152,88 @@ object PageRank {
     }
     out
   }
+
+  /** Personalized PageRank: teleport mass restricted to the seed set —
+    * r(v) = (1-d)·1[seed(v)]/|S| + d·Σ_{u→v} r(u)/deg(u), started from
+    * the teleport vector itself. `isSeed` is a boolean Column over
+    * `col("id")` and must be a PURE function of the id (no data joins),
+    * so the per-iteration teleport term is a map-side expression and
+    * each iteration still pays exactly [[run]]'s one exchange. |S| and
+    * N ride one broadcast scalar row (never a driver collect); the
+    * contribution sum keeps [[run]]'s DECIMAL(28,18) exactness, so an
+    * SQL oracle unrolling the same iterations hash-matches. Same
+    * caller contract as [[run]] (no dangling nodes).
+    */
+  def personalized(edges0: DataFrame, isSeed: org.apache.spark.sql.Column,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val (deg, ed, n0) = prepare(edges0)
+    // (nn, ns) in one broadcastable scalar row
+    val n = deg.agg(count(lit(1)).as("nn"),
+      sum(when(isSeed, 1L).otherwise(0L)).as("ns"))
+    def teleport = when(isSeed, lit(1.0) / col("ns")).otherwise(lit(0.0))
+    var ranks = deg.crossJoin(broadcast(n)).select(col("id"), teleport.as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("m"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("id"), col("m"), col("ns"))
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) * teleport + lit(damping) * col("m")).as("pr"))
+    }
+    ranks
+  }
+}
+
+/** Hop distances by unrolled Bellman-Ford relaxation — the
+  * shortest-path primitive behind hop plots, effective-diameter
+  * estimates, and seed-proximity features, in the same
+  * one-exchange-per-round shape as [[PageRank]]: each round relaxes
+  * d(v) = min(d(v), min over in-neighbors d(u)+1) with the previous
+  * distance riding the SAME groupBy as a carrier row (the `mark`
+  * min-dst flag — one carrier per node, so `ranks`-style state is
+  * referenced exactly once per round and the lineage stays linear).
+  * Distances are exact integers, so the SQL oracle (UNION ALL of the
+  * relax and carry rows per round) matches bit for bit.
+  */
+object Bfs {
+
+  /** Distance ceiling standing in for +∞ (exact integer arithmetic —
+    * Int.MaxValue would overflow the +1 relaxation).
+    */
+  val Unreached = 999999L
+
+  /** `rounds` relaxations from `seeds` (a 1-column id frame, usually a
+    * broadcastable handful). Returns (id, d) for EVERY node of
+    * `edges0`; nodes farther than `rounds` hops (or disconnected) keep
+    * d = [[Unreached]]. Caller contract: every node appears as a
+    * src (symmetrized graphs satisfy this by construction).
+    */
+  def hops(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+    val ed = graft.dedup.Dedup.persistTracked(
+      e.groupBy("src").agg(min(col("dst")).as("mark"))
+        .join(e, "src").repartition(col("src")))
+    val s = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct().withColumn("__s", lit(1))
+    var d = ed.select(col("src").as("id")).distinct()
+      .join(broadcast(s), Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("__s").isNotNull, lit(0L)).otherwise(lit(Unreached)).as("d"))
+    for (_ <- 1 to rounds) {
+      val relax = struct(col("dst").as("k"), (col("d") + 1L).as("v"))
+      val carry = struct(col("src").as("k"), col("d").as("v"))
+      d = ed.join(d, ed("src") === d("id"))
+        .select(explode(when(col("dst") === col("mark"), array(relax, carry))
+          .otherwise(array(relax))).as("x"))
+        .groupBy(col("x.k").as("id"))
+        .agg(min(col("x.v")).as("d"))
+    }
+    d
+  }
 }
 
 /** Triangle counting by degree-ordered orientation (Schank/Wagner

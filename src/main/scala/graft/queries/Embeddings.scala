@@ -15,7 +15,7 @@ object Embeddings {
     mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
     twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi,
     labelConfusionMatrix, ivfProbePlanner, contextPack, hubnessAudit,
-    annIvfUpsert)
+    annIvfUpsert, annIvfDelete)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -841,7 +841,8 @@ object Embeddings {
     * sqdist folds are the same left folds the codegen SqDist runs, so
     * cell ranks are bit-identical across engines.
     */
-  private def sqlIvfCtes(qid: Long, nProbe: Int): String =
+  private def sqlIvfCtes(qid: Long, nProbe: Int,
+      src: String = "embeddings"): String =
     s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
        |probe AS (SELECT cell FROM cents, q
        |          ORDER BY ${sqlSqDist("cv", "qv")}, cell LIMIT $nProbe),
@@ -849,15 +850,18 @@ object Embeddings {
        |          SELECT e.vec_id, e.embedding, c.cell,
        |            row_number() OVER (PARTITION BY e.vec_id
        |              ORDER BY ${sqlSqDist("e.embedding", "c.cv")}, c.cell) AS rk
-       |          FROM embeddings e, cents c) WHERE rk = 1),
+       |          FROM $src e, cents c) WHERE rk = 1),
        |probed AS (SELECT a.vec_id, a.embedding FROM asn a
        |           JOIN probe USING (cell) WHERE a.vec_id <> $qid)""".stripMargin
 
-  /** Full IVF serving oracle: probe-pruned exact cosine top-k. */
+  /** Full IVF serving oracle: probe-pruned exact cosine top-k. `src`
+    * is the indexed population (a table or parenthesized subquery) —
+    * the q340 delete oracle passes the survivor set.
+    */
   private def ivfServingSql(cents: Seq[(Int, Seq[Double])], qid: Long,
-      k: Int, nProbe: Int): String =
+      k: Int, nProbe: Int, src: String = "embeddings"): String =
     s"""WITH ${sqlCentsCte(cents)},
-       |${sqlIvfCtes(qid, nProbe)}
+       |${sqlIvfCtes(qid, nProbe, src)}
        |SELECT e.vec_id, round(${sqlCos("e.embedding", "qv")}, 6) AS cos_sim
        |FROM probed e, q
        |ORDER BY cos_sim DESC, e.vec_id
@@ -1115,6 +1119,34 @@ object Embeddings {
     val df = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
       nProbe = 4, excludeId = Some(2L))
     (df, ivfServingSql(readCents(s, idx), qid = 2L, k = 10, nProbe = 4))
+  }
+
+  // --- q340: IVF index deletion ----------------------------------------------
+  // upsert (q334) without delete is only half a lifecycle: GDPR
+  // erasure (q160) and retention windows both remove vectors from a
+  // live ANN store. Similarity.deleteFromIvf rewrites ONLY the cell
+  // dirs containing deleted ids (touched-partition swap), drops cells
+  // it empties, and is a no-op on replay. Centroids never move — the
+  // index invariant stays "every survivor in its nearest-centroid
+  // cell" — so the trained-literal oracle replays the serving path
+  // over exactly the survivor population and the hash-match certifies
+  // the deleted vectors are gone from the probe's world, not merely
+  // filtered at read time.
+  def annIvfDelete: Q = Q.dynamicOracle("q340_ann_ivf_delete") { (s, dir) =>
+    val embs = Tables.embeddings(s, dir)
+    val idx = ivfPath(s, dir) + "_del"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idx + "/centroids")))
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", nCells = 8, path = idx)
+    Similarity.deleteFromIvf(s, idx,
+      embs.filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
+    val qv = embs.filter(col("vec_id") === 4L)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val df = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", qv, 10,
+      nProbe = 4, excludeId = Some(4L))
+    (df, ivfServingSql(readCents(s, idx), qid = 4L, k = 10, nProbe = 4,
+      src = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 3)"))
   }
 
   // --- q94: product-quantization ANN (rows-only) ---------------------------

@@ -12,7 +12,73 @@ import graft.{Q, Tables}
 object Extras {
 
   val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
-    ewmaSmoothing, revenueForecast, wowGrowth, theilSen, jackknifeRatio)
+    ewmaSmoothing, revenueForecast, wowGrowth, theilSen, jackknifeRatio, acf)
+
+  // --- q339: autocorrelation function (lags 1..7) ----------------------------
+  // The diagnostic the forecasting family (q156 EWMA, q186/q245
+  // forecasts, q258 seasonal decompose) reads FIRST: sample ACF of
+  // daily revenue — r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² — whose
+  // lag-7 spike is what justifies a weekly seasonal model at all.
+  // Scale shape: the corpus collapses to the calendar-sized daily
+  // series (one keyed aggregate, DECIMAL-exact revenue); the 7 leads
+  // are one window pass over that bounded table (the q130 rule), and
+  // all 8 moment sums ride ONE aggregate (round-then-widesum:
+  // products of ~1e5-scale deviations need DECIMAL(32,6), not the
+  // dsum default). ACF is a ratio of cancelling subtractions → 6 dp
+  // round, nullif/try_divide on the degenerate-variance corpus, and
+  // signed-zero normalization in both engines.
+  def acf: Q = {
+    val lags = 1 to 7
+    def sqlTerm(a: String, b: String) =
+      s"CAST(round(($a - mu) * ($b - mu), 6) AS DECIMAL(32,6))"
+    Q(
+      "q339_acf",
+      s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+         |  FROM orders GROUP BY 1),
+         |m AS (SELECT CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+         |      FROM daily),
+         |w AS (SELECT x, mu,
+         |    ${lags.map(k => s"lead(x, $k) OVER (ORDER BY d) AS l$k").mkString(",\n    ")}
+         |  FROM daily, m),
+         |a AS (SELECT
+         |    CAST(sum(${sqlTerm("x", "x")}) AS DOUBLE) AS den,
+         |    ${lags.map(k =>
+            s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN ${sqlTerm("x", s"l$k")} END) AS DOUBLE) AS n$k")
+            .mkString(",\n    ")}
+         |  FROM w)
+         |${lags.map(k =>
+            s"SELECT CAST($k AS BIGINT) AS lag, round(n$k / nullif(den, 0), 6) + 0.0 AS acf FROM a")
+            .mkString("\nUNION ALL ")}
+         |ORDER BY lag""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("x"))
+      val m = daily.agg((dsum(col("x")) / count(lit(1))).as("mu"))
+      // bounded table: the calendar-sized series makes the global
+      // window legal (q130 rule); everything corpus-sized happened in
+      // the daily aggregate above
+      val w0 = Window.orderBy("d")
+      val w = daily.crossJoin(broadcast(m)).select(
+        Seq(col("x"), col("mu")) ++
+          lags.map(k => lead(col("x"), k).over(w0).as(s"l$k")): _*)
+      def wsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(32,6)")).cast("double")
+      def term(b: org.apache.spark.sql.Column) =
+        round((col("x") - col("mu")) * (b - col("mu")), 6)
+      val aggs = wsum(term(col("x"))).as("den") +:
+        lags.map(k => wsum(when(col(s"l$k").isNotNull, term(col(s"l$k")))).as(s"n$k"))
+      val a = w.agg(aggs.head, aggs.tail: _*)
+      a.select(explode(array(lags.map(k =>
+          struct(lit(k).cast("long").as("lag"), col(s"n$k").as("num"))): _*)).as("e"),
+          col("den"))
+        .select(col("e.lag").as("lag"),
+          znorm(round(try_divide(col("e.num"), col("den")), 6)).as("acf"))
+        .orderBy("lag")
+    }
+  }
 
   // --- q189: week-over-week growth ------------------------------------------
   // The simplest trend readout dashboards lead with: weekly revenue,

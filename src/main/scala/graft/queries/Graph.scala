@@ -16,7 +16,7 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
     frequentPairs, labelPropagation, clusteringCoefficient, degreePowerLaw,
-    textrankKeywords, kcorePeel)
+    textrankKeywords, kcorePeel, bfsHops, personalizedPagerank)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -659,5 +659,98 @@ object Graph {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
       .select(col("id"), col("degree"), (col("degree") >= 3).as("settled"))
       .orderBy("id")
+  }
+
+  // --- q335: BFS hop distribution (hop plot) ---------------------------------
+  // The shortest-path primitive the graph family lacked: how far is
+  // everything from a landmark — the hop histogram behind effective-
+  // diameter estimates and seed-proximity features. Four unrolled
+  // Bellman-Ford relaxations (operators.Bfs) from the minimum-id
+  // supplier over the SAME persisted ≥190 co-purchase projection the
+  // triangle/k-core/power-law queries share; each round is one keyed
+  // join + one min aggregate, with the previous distance riding the
+  // same shuffle as a mark-flagged carrier row (the q125 carrier
+  // discipline — state referenced once, lineage linear). Distances are
+  // exact integers, so the unrolled-CTE oracle matches bit for bit;
+  // unreached nodes report hop -1 honestly rather than vanishing.
+  def bfsHops: Q = {
+    def roundSql(i: Int): String =
+      s"""r$i AS (SELECT id, min(v) AS d FROM (
+         |    SELECT g.dst AS id, r${i - 1}.d + 1 AS v
+         |    FROM g JOIN r${i - 1} ON g.src = r${i - 1}.id
+         |    UNION ALL SELECT id, d AS v FROM r${i - 1}) GROUP BY id)""".stripMargin
+    Q(
+      "q335_bfs_hops",
+      s"""WITH $CustSuppSql,
+         |ep AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+         |       GROUP BY 1, 2 HAVING count(*) >= 190),
+         |g AS (SELECT sa AS src, sb AS dst FROM ep
+         |      UNION ALL SELECT sb, sa FROM ep),
+         |r0 AS (SELECT DISTINCT src AS id,
+         |         CASE WHEN src = (SELECT min(src) FROM g) THEN 0
+         |              ELSE ${graft.operators.Bfs.Unreached} END AS d FROM g),
+         |${(1 to 4).map(roundSql).mkString(",\n")}
+         |SELECT CAST(CASE WHEN d >= ${graft.operators.Bfs.Unreached} THEN -1
+         |            ELSE d END AS BIGINT) AS hop,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM r4 GROUP BY 1 ORDER BY hop""".stripMargin,
+    ) { (s, dir) =>
+      val ep = coPurchaseEdges(s, dir)
+      val g = ep.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionByName(ep.select(col("sb").as("src"), col("sa").as("dst")))
+      val d = graft.operators.Bfs.hops(g, g.agg(min(col("src"))), rounds = 4)
+      d.select(when(col("d") >= graft.operators.Bfs.Unreached, lit(-1L))
+          .otherwise(col("d")).as("hop"))
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop")
+    }
+  }
+
+  // --- q336: personalized PageRank (supplier-seeded) --------------------------
+  // q125 asks "who is central"; PPR asks "who is central RELATIVE TO a
+  // seed set" — the recommendation/expansion primitive (teleport mass
+  // restricted to suppliers, the odd node ids of the bipartite
+  // purchase graph, so customers rank purely by supplier proximity).
+  // operators.PageRank.personalized keeps q125's exact plan budget:
+  // the teleport term is a pure map-side function of the id (never a
+  // join), |S| and N ride one broadcast scalar row, contributions stay
+  // DECIMAL(28,18)-summed — one exchange per iteration, and the
+  // 5-iteration unrolled oracle hash-matches bit for bit.
+  def personalizedPagerank: Q = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (SELECT g.dst AS id,
+         |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |    * (CASE WHEN g.dst % 2 = 1 THEN CAST(1 AS DOUBLE) / (SELECT ns FROM n)
+         |            ELSE CAST(0 AS DOUBLE) END)
+         |    + CAST(0.85 AS DOUBLE)
+         |      * CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(28,18))) AS DOUBLE) AS pr
+         |FROM g JOIN r${i - 1} r ON g.src = r.id JOIN deg d ON g.src = d.id
+         |GROUP BY g.dst)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q336_personalized_pagerank",
+      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |g AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM g GROUP BY src),
+         |n AS (SELECT CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |        AS ns FROM deg),
+         |r0 AS (SELECT id, CASE WHEN id % 2 = 1
+         |         THEN CAST(1 AS DOUBLE) / (SELECT ns FROM n)
+         |         ELSE CAST(0 AS DOUBLE) END AS pr FROM deg),
+         |$iterCtes
+         |SELECT id, round(pr, 12) AS pr FROM r5
+         |ORDER BY pr DESC, id LIMIT 20""".stripMargin,
+    ) { (s, dir) =>
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val ranks = graft.operators.PageRank.personalized(
+        graft.operators.PageRank.undirected(edges),
+        isSeed = col("id") % 2 === 1, iters = 5)
+      ranks.select(col("id"), round(col("pr"), 12).as("pr"))
+        .orderBy(col("pr").desc, col("id")).limit(20)
+    }
   }
 }

@@ -14,7 +14,7 @@ object Ml {
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
     bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift,
     wassersteinDrift, averagePrecision, permutationTest, cramersV, cumulativeGains,
-    signalCorrelation, youdenThreshold)
+    signalCorrelation, youdenThreshold, adaboostStumps)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -672,6 +672,52 @@ object Ml {
   // the contamination cut (in mean-path space — see
   // IsolationForestLite.servingSql for the rank-equivalence argument
   // that keeps pow out of the cross-engine surface).
+  // --- q337: AdaBoost decision stumps (from-scratch boosting) ---------------
+  // The boosting member of the trainer family (next to RF, isolation
+  // forest, logistic regression, k-means, ALS): 4 rounds of discrete
+  // AdaBoost over a curated stump grid on lineitem, predicting the
+  // returned flag from order-line economics. Training is one wide
+  // conditional-sum aggregate per round (ml.BoostLite — the driver
+  // sees |candidates|+1 decimals, picks the argmin, ships two exp
+  // literals back); weights re-round to 12 dp per update so every sum
+  // is associative-exact and the trained stumps are partitioning-
+  // independent (RoundTenOpsSpec). Oracle (the q53 trained-literal
+  // pattern): the stumps replay as CASE chains in DuckDB — the same
+  // left-associated ±alpha fold, the same 9 dp margin rounding — so
+  // the confusion matrix and mean margins hash-match exactly; the
+  // training math itself stays spec-gated like every trainer.
+  def adaboostStumps: Q = Q.dynamicOracle("q337_adaboost_stumps") { (s, dir) =>
+    import graft.ml.BoostLite
+    val li = Tables.lineitem(s, dir)
+    val model = BoostLite.train(
+      li.withColumn("__lbl", (col("l_returnflag") === "R").cast("int")),
+      Seq(
+        "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+        "l_discount" -> Seq(0.02, 0.05, 0.08),
+        "l_tax" -> Seq(0.03, 0.06),
+        "l_extendedprice" -> Seq(20000.0, 45000.0)),
+      "__lbl", rounds = 4)
+    val df = li
+      .select((col("l_returnflag") === "R").as("label"),
+        BoostLite.score(model.stumps).as("score"))
+      .groupBy(col("label"), (col("score") > 0).as("pred"))
+      .agg(count(lit(1)).as("n"),
+        znorm(round(dsum(col("score"), 9) / count(lit(1)), 6)).as("avg_score"))
+      .orderBy("label", "pred")
+    val terms = model.stumps.map { st =>
+      val a = if (st.flip) -st.alpha else st.alpha
+      s"(CASE WHEN ${st.feature} <= ${st.thr} THEN $a ELSE ${-a} END)"
+    }.mkString(" + ")
+    val sql =
+      s"""WITH scored AS (SELECT (l_returnflag = 'R') AS label,
+         |    round($terms, 9) AS score FROM lineitem)
+         |SELECT label, score > 0 AS pred, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+         |    / count(*), 6) + 0.0 AS avg_score
+         |FROM scored GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+    (df, sql)
+  }
+
   def iforestAnomaly: Q = Q.dynamicOracle("q53_iforest_anomaly") { (s, dir) =>
     val features = MlPipeline.buildFeatures(Tables.events(s, dir))
     val model = IsolationForestLite.fit(features, MlPipeline.FeatureCols, numTrees = 50)

@@ -13,7 +13,7 @@ import graft.similarity.Similarity
   */
 object Search {
 
-  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank)
+  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank, qlDirichlet)
 
   // BM25 parameters (the universal defaults) and the demo query terms.
   // defs, not vals: `val all` above runs at object init, before vals
@@ -90,6 +90,64 @@ object Search {
     bm25Scores(s, dir)
       .orderBy(col("bm25").desc, col("doc_id")).limit(15)
       .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+  }
+
+  // --- q338: query-likelihood retrieval (Dirichlet smoothing) ---------------
+  // The third classical ranker next to TF-IDF (q108) and BM25 (q145):
+  // the language-modeling school (Zhai & Lafferty 2001) — score(q,d) =
+  // Σ_{w∈q} ln(1 + tf·|C| / (μ·cf_w)) + |q|·ln(μ/(dl+μ)), μ = 2000.
+  // Absent terms contribute ln(1) = 0 exactly, so restricting the sum
+  // to the tf⋈cf join (the inverted-index property — only docs
+  // containing a query term are scored) is lossless, not an
+  // approximation. Shares q145's persisted token-count table
+  // (identical plan → one materialization per corpus via
+  // CacheManager); corpus mass and per-term collection frequencies are
+  // broadcast scalars. Determinism: both ln terms round to 9 dp before
+  // the DECIMAL doc sum (the repo's round-then-sum rule for
+  // transcendentals), final 6 dp + signed-zero normalization.
+  def qlDirichlet: Q = {
+    val mu = 2000.0
+    Q(
+      "q338_ql_dirichlet",
+      s"""WITH tokc AS (SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tokc GROUP BY doc_id),
+         |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM tokc),
+         |cf AS (SELECT tok, CAST(sum(tf) AS DOUBLE) AS cf FROM tokc
+         |       WHERE tok IN $termsSql GROUP BY tok),
+         |s1 AS (SELECT t.doc_id,
+         |    round(ln(CAST(1 AS DOUBLE)
+         |      + CAST(t.tf AS DOUBLE) * tot.c / (CAST($mu AS DOUBLE) * f.cf)), 9) AS s
+         |  FROM tokc t JOIN cf f USING (tok), tot),
+         |agg AS (SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE) AS s1
+         |        FROM s1 GROUP BY doc_id),
+         |sc AS (SELECT a.doc_id,
+         |    round(a.s1 + ${Terms.length}
+         |      * round(ln(CAST($mu AS DOUBLE) / (d.dl + CAST($mu AS DOUBLE))), 9), 6)
+         |      + 0.0 AS ql
+         |  FROM agg a JOIN dl d USING (doc_id))
+         |SELECT doc_id, ql FROM sc ORDER BY ql DESC, doc_id LIMIT 15""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tokc = graft.dedup.Dedup.persistTracked(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+      val dl = tokc.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val tot = tokc.agg(sum("tf").cast("double").as("c"))
+      val cf = tokc.filter(col("tok").isin(Terms: _*))
+        .groupBy("tok").agg(sum("tf").cast("double").as("cf"))
+      val s1 = tokc.join(broadcast(cf), "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log(lit(1.0) + col("tf").cast("double") * col("c")
+            / (lit(mu) * col("cf"))), 9).as("s"))
+        .groupBy("doc_id").agg(dsum(col("s"), 9).as("s1"))
+      s1.join(dl, "doc_id")
+        .select(col("doc_id"),
+          znorm(round(col("s1") + lit(Terms.length)
+            * round(log(lit(mu) / (col("dl") + lit(mu))), 9), 6)).as("ql"))
+        .orderBy(col("ql").desc, col("doc_id")).limit(15)
+    }
   }
 
   // --- q146: hybrid retrieval via reciprocal-rank fusion -------------------

@@ -314,6 +314,37 @@ object Similarity {
     recluster
   }
 
+  /** Delete vectors from a persisted IVF index — [[upsertIvf]]'s
+    * inverse, completing the index lifecycle (build / append / delete /
+    * recluster). The id→cell lookup is one id-column-pruned scan joined
+    * against the delete set; only the cell dirs that actually contain
+    * deleted ids are rewritten (the same touched-partition swap), a
+    * cell emptied entirely is dropped from the layout, untouched dirs
+    * stay byte-identical, and re-running the same delete is a no-op.
+    * Centroids are untouched: deletion never moves survivors between
+    * cells, so the index stays exactly "every remaining vector in its
+    * nearest-centroid cell" — the invariant the q340 oracle replays.
+    */
+  def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val del = ids.select(col(ids.columns.head).as("__del_id")).distinct()
+    val live = spark.read.parquet(path + "/vectors")
+    // cell ids are bounded by nCells — a scalar-sized collect
+    val touched = live.join(del, live(idCol) === del("__del_id"))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val affected = live.filter(col("cell").isin(touched: _*)) // pruned scan
+    val merged = affected.join(del, affected(idCol) === del("__del_id"), "left_anti")
+    val remaining = merged.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    graft.warehouse.Merge.swapInPartitions(spark, path + "/vectors", merged, "cell")
+    // a fully-emptied cell stages no dir, so the swap leaves its old
+    // files in place — drop it explicitly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (c <- touched if !remaining.contains(c))
+      fs.delete(new org.apache.hadoop.fs.Path(path + s"/vectors/cell=$c"), true)
+  }
+
   /** The query vector's (table_id, bucket) coordinates, computed in
     * plain Scala from the seeded hyperplanes — no Spark job, so a
     * serving path can prune partitions before any scan starts.

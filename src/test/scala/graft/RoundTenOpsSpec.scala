@@ -181,6 +181,67 @@ class RoundTenOpsSpec extends SparkSpec {
     }
   }
 
+  test("BoostLite: separable fixture is solved, polarity flips when needed, stumps are partitioning-independent") {
+    import spark.implicits._
+    import graft.ml.BoostLite
+    // y = 1 iff x > 5 — the BASE stump (x <= thr → +1) has error ~1 at
+    // thr = 5, so the trainer must pick the FLIPPED polarity
+    val rows = (1 to 20).map(i => (i.toDouble, if (i > 5) 1 else 0))
+    val cands = Seq("x" -> Seq(3.0, 5.0, 8.0))
+    def fit(parts: Int) = BoostLite.train(
+      rows.toDF("x", "y").repartition(parts), cands, "y", rounds = 2)
+    val m = fit(1)
+    assert(m.stumps.head.thr === 5.0 && m.stumps.head.flip,
+      s"expected flipped thr=5 stump first, got ${m.stumps.head}")
+    assert(m.errors.head < 1e-9, "the separable cut has ~zero weighted error")
+    assert(m.stumps === fit(7).stumps,
+      "decimal-exact weight sums must make training partitioning-independent")
+    // the trained ensemble classifies the fixture perfectly
+    val preds = rows.toDF("x", "y")
+      .select(col("y"), (BoostLite.score(m.stumps) > 0).as("p")).collect()
+    assert(preds.forall(r => (r.getInt(0) == 1) == r.getBoolean(1)))
+  }
+
+  test("Bfs.hops: exact distances on a path graph; unreached nodes keep the ceiling") {
+    import spark.implicits._
+    import graft.operators.Bfs
+    // path 1-2-3-4-5 plus a disconnected pair 10-11, symmetrized
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val edges = e0.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val d = Bfs.hops(edges, Seq(1L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> Bfs.Unreached, 10L -> Bfs.Unreached, 11L -> Bfs.Unreached),
+      s"got $d")
+  }
+
+  test("deleteFromIvf: survivors keep their cells, an emptied cell's dir is dropped, replay is a no-op") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    def vec(axis: Int, jitter: Double) =
+      Array.tabulate(4)(i => if (i == axis) 1.0f + jitter.toFloat else jitter.toFloat * 0.1f)
+    val base = ((0L to 9L).map(i => (i, vec(0, 0.01 * i))) ++
+      (10L to 19L).map(i => (i, vec(1, 0.01 * (i - 10))))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_r10_ivfdel").toString + "/idx"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", nCells = 2, path = idx)
+    // delete the ENTIRE axis-1 group plus one axis-0 vector
+    val del = ((10L to 19L) :+ 3L).toDF("vec_id")
+    Similarity.deleteFromIvf(spark, idx, del, "vec_id")
+    val live = spark.read.parquet(idx + "/vectors")
+    assert(live.count() === 9)
+    assert(live.filter(col("vec_id") === 3L || col("vec_id") >= 10L).count() === 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(idx + "/vectors"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell=")).map(_.getPath.getName)
+    assert(cellDirs.length === 1, s"the emptied axis-1 cell dir must be dropped: ${cellDirs.toSeq}")
+    Similarity.deleteFromIvf(spark, idx, del, "vec_id") // no-op replay
+    assert(spark.read.parquet(idx + "/vectors").count() === 9)
+    val top = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0, 0.0), k = 3, nProbe = 2).collect().map(_.getLong(0))
+    assert(top.forall(id => id < 10 && id != 3L), s"got ${top.toSeq}")
+  }
+
   test("Quality.checks: a clean table passes every constraint") {
     import spark.implicits._
     val t = Seq((1L, "a", "O"), (2L, "b", "F")).toDF("id", "name", "st")
