@@ -23,7 +23,7 @@ object Corpus {
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
     hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
     bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve,
-    sourceQualityDrift)
+    sourceQualityDrift, mooreLewis)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -568,6 +568,60 @@ object Corpus {
         min(col("doc_id")).as("keep_doc_id"))
       .filter(col("n_docs") > 1)
       .orderBy("prefix")
+  }
+
+  // --- q342: Moore-Lewis cross-entropy data selection -------------------------
+  // THE classical data-selection recipe (Moore & Lewis 2010): score
+  // every document by ln p_in(d) − ln p_gen(d) under an in-domain LM
+  // (src0's docs) vs the general corpus LM, keep the high end — the
+  // cheap precursor to q134's DSIR, still what production pipelines
+  // run when the target domain is "documents like THESE". Unigram
+  // add-1 LMs: per-TYPE log-probs are computed once in a vocab-sized
+  // table (one corpus token aggregate + a left join for in-domain
+  // counts; corpus mass and vocab size ride broadcast scalars), then
+  // one keyed token→LM join and a per-doc DECIMAL sum of 9-dp-rounded
+  // logs (the round-then-sum rule). Length-normalized so long docs
+  // don't dominate; znorm because the score is a difference.
+  def mooreLewis: Q = Q(
+    "q342_moore_lewis",
+    """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+      |gen AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |ing AS (SELECT w, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY w),
+      |ng AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+      |ni AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok WHERE source = 'src0'),
+      |lm AS (SELECT g.w,
+      |    round(ln((coalesce(i.c, 0) + 1) / (ni.n + v.v)), 9) AS lpi,
+      |    round(ln((g.c + 1) / (ng.n + v.v)), 9) AS lpg
+      |  FROM gen g LEFT JOIN ing i USING (w), ni, ng, v),
+      |sc AS (SELECT t.doc_id,
+      |    round((CAST(sum(CAST(lm.lpi AS DECIMAL(18,9))) AS DOUBLE)
+      |         - CAST(sum(CAST(lm.lpg AS DECIMAL(18,9))) AS DOUBLE))
+      |      / count(*), 6) + 0.0 AS ml_score
+      |  FROM tok t JOIN lm ON t.w = lm.w GROUP BY t.doc_id)
+      |SELECT doc_id, ml_score FROM sc
+      |ORDER BY ml_score DESC, doc_id LIMIT 15""".stripMargin,
+  ) { (s, dir) =>
+    val tok = Dedup.persistTracked(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(toks).as("w")))
+    val v = tok.agg(countDistinct("w").as("v"))
+    val gen = tok.groupBy("w").agg(count(lit(1)).as("cg"))
+    val ing = tok.filter(col("source") === "src0")
+      .groupBy("w").agg(count(lit(1)).as("ci"))
+    val ng = tok.agg(count(lit(1)).cast("double").as("ng"))
+    val ni = tok.filter(col("source") === "src0")
+      .agg(count(lit(1)).cast("double").as("ni"))
+    val lm = gen.join(ing, Seq("w"), "left_outer")
+      .crossJoin(broadcast(ni)).crossJoin(broadcast(ng)).crossJoin(broadcast(v))
+      .select(col("w"),
+        round(log((coalesce(col("ci"), lit(0L)) + 1) / (col("ni") + col("v"))), 9).as("lpi"),
+        round(log((col("cg") + 1) / (col("ng") + col("v"))), 9).as("lpg"))
+    tok.join(lm, "w")
+      .groupBy("doc_id")
+      .agg(znorm(round((dsum(col("lpi"), 9) - dsum(col("lpg"), 9))
+        / count(lit(1)), 6)).as("ml_score"))
+      .orderBy(col("ml_score").desc, col("doc_id")).limit(15)
   }
 
   // --- q212: vocabulary coverage curve ---------------------------------------

@@ -15,7 +15,7 @@ object Embeddings {
     mahalanobisOod, conformalOod, lofOutliers, kcenterCoreset, mmdSources,
     twoNnDimension, hardNegatives, centroidSilhouette, clusterLabelNmi,
     labelConfusionMatrix, ivfProbePlanner, contextPack, hubnessAudit,
-    annIvfUpsert, annIvfDelete)
+    annIvfUpsert, annIvfDelete, jlProjection)
 
   // --- q175: embedding-dimension correlation matrix ------------------------
   // Feature health for the vector column: strongly correlated
@@ -1147,6 +1147,66 @@ object Embeddings {
       nProbe = 4, excludeId = Some(4L))
     (df, ivfServingSql(readCents(s, idx), qid = 4L, k = 10, nProbe = 4,
       src = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 3)"))
+  }
+
+  // --- q343: Johnson-Lindenstrauss projection distortion audit ----------------
+  // The fourth way to shrink the vector column next to IVF/LSH/PQ:
+  // project 64-d → 16-d through the seeded GAUSSIAN plane matrix
+  // (unit variance ⇒ the 1/√k scaling is exact JL) and MEASURE what
+  // that does to pairwise distances before committing the pipeline to
+  // it — the audit is a histogram of ||P(x−y)||/||x−y|| over the
+  // consecutive-id pair set (a keyed join, never all pairs; JL
+  // distortion is pair-agnostic so any deterministic pair family
+  // estimates it). Projection is 16 codegen dot-folds against plane
+  // literals (map-only — at 100 TB this is a scan, not a shuffle);
+  // the planes depend only on (seed, dim) so the oracle embeds them
+  // as literals and replays the identical fold order, making the
+  // entire audit hash-checked. Exact-duplicate pairs (distance 0)
+  // are excluded in both engines.
+  def jlProjection: Q = {
+    val k = 16
+    val planes = Similarity.hyperplanes(EmbDim).take(k)
+    def sqlPlaneLits(p: IndexedSeq[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    def sqlDotDiff(p: IndexedSeq[Double]): String =
+      s"""list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |      i -> diff[i] * (${sqlPlaneLits(p)})[i]), (x, y) -> x + y)""".stripMargin
+    val sqlSp = planes.map(p => s"(${sqlDotDiff(p)}) * (${sqlDotDiff(p)})")
+      .mkString("\n    + ")
+    Q(
+      "q343_jl_projection",
+      s"""WITH d AS (SELECT a.vec_id AS id_a,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) AS diff
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         |r AS (SELECT id_a,
+         |    round(sqrt(($sqlSp) / 16.0)
+         |      / sqrt(list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |          i -> diff[i] * diff[i]), (x, y) -> x + y)), 6) AS ratio
+         |  FROM d
+         |  WHERE list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |          i -> diff[i] * diff[i]), (x, y) -> x + y) > 0)
+         |SELECT CAST(floor(ratio * 10) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val pairs = e.as("a").join(e.as("b"),
+          col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("id_a"),
+          zip_with(Similarity.asDouble(col("a.embedding")),
+            Similarity.asDouble(col("b.embedding")), (x, y) => x - y).as("diff"))
+      val sp = planes.map { p =>
+        val d = Similarity.dot(col("diff"), array(p.map(lit): _*))
+        d * d
+      }.reduce(_ + _)
+      val so = Similarity.dot(col("diff"), col("diff"))
+      pairs.filter(so > 0)
+        .select(round(sqrt(sp / lit(16.0)) / sqrt(so), 6).as("ratio"))
+        .groupBy(floor(col("ratio") * 10).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    }
   }
 
   // --- q94: product-quantization ANN (rows-only) ---------------------------

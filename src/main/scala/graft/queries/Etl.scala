@@ -17,7 +17,7 @@ object Etl {
     streamingHistState, integrityAudit, ivmJoinDelta, tableDiff, columnStats,
     keySkewGini, logCompaction, orderReconciliation, leadtimeTrend, fkDiscovery,
     fdDiscovery, recordLinkage, zorderLayout, linkageClusters, ivmRetract,
-    benfordAudit, dbtGenericTests)
+    benfordAudit, dbtGenericTests, scd2PitJoin)
 
   // --- q199: approximate functional-dependency discovery --------------------
   // Schema profiling's other half next to q188's FK inclusion: for
@@ -656,6 +656,67 @@ object Etl {
         relationships = Seq(
           Relationship("c_nationkey", Tables.nation(s, dir), "nation", "n_nationkey"))),
     ))
+  }
+
+  // --- q341: SCD2 point-in-time join -----------------------------------------
+  // The reason SCD2 history (q91) exists at all: joining facts against
+  // the dimension state AS OF the fact's own timestamp, not today's.
+  // Each lineitem resolves its customer's priority regime at ship
+  // time: one hash equi-join on the natural key with the effective
+  // interval as a post-join predicate — per key the history is a few
+  // versions, so the join fan-out is bounded and ≤1 row survives the
+  // interval filter (the standard PIT shape on a key-partitioned
+  // join; no window, no sort). Facts shipped before their customer's
+  // first version drop out (matched-only semantics, same in both
+  // engines). Revenue keeps the scale-4 DECIMAL rule (price × (1 −
+  // discount) is exact at 4 dp, not 2).
+  def scd2PitJoin: Q = Q(
+    "q341_scd2_pit_join",
+    """WITH flagged AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    CASE WHEN row_number() OVER w = 1
+      |           OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |versioned AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM flagged),
+      |hist AS (
+      |  SELECT o_custkey, version, min(o_orderdate) AS effective_from,
+      |         min(o_orderpriority) AS o_orderpriority,
+      |         lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version)
+      |           AS effective_to
+      |  FROM versioned GROUP BY 1, 2),
+      |f AS (SELECT o.o_custkey AS k, l.l_shipdate AS t,
+      |        l.l_extendedprice * (1 - l.l_discount) AS rev
+      |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT h.o_orderpriority AS priority_at_ship,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(CAST(sum(CAST(f.rev AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM f JOIN hist h ON h.o_custkey = f.k
+      |  AND h.effective_from <= f.t
+      |  AND (h.effective_to IS NULL OR f.t < h.effective_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (s, dir) =>
+    import graft.warehouse.Scd2
+    val ord = Tables.orders(s, dir)
+    val hist = Scd2.fromChangeLog(ord, Seq("o_custkey"),
+      col("o_orderdate"), Seq(col("o_orderkey")), Seq("o_orderpriority"))
+    val facts = Tables.lineitem(s, dir)
+      .join(ord.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("k"), col("l_shipdate").as("t"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    facts.join(hist,
+        col("o_custkey") === col("k") && col("effective_from") <= col("t") &&
+          (col("effective_to").isNull || col("t") < col("effective_to")))
+      .groupBy(col("o_orderpriority").as("priority_at_ship"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(dsum(col("rev"), 4), 2).as("revenue"))
+      .orderBy("priority_at_ship")
   }
 
   // --- q135: incremental quantile maintenance (mergeable histogram) --------

@@ -16,7 +16,8 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, triangles, itemSimilarity, alsRecommend, hits,
     frequentPairs, labelPropagation, clusteringCoefficient, degreePowerLaw,
-    textrankKeywords, kcorePeel, bfsHops, personalizedPagerank)
+    textrankKeywords, kcorePeel, bfsHops, personalizedPagerank,
+    degreeAssortativity, wccSizes)
 
   // --- q166: frequent item pairs with lift (association rules) ------------
   // Market-basket mining, the a-priori way: items below min-support 10
@@ -752,5 +753,95 @@ object Graph {
       ranks.select(col("id"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("id")).limit(20)
     }
+  }
+
+  // --- q344: degree assortativity --------------------------------------------
+  // Newman's r — the one-number answer to "do hubs connect to hubs?"
+  // that decides whether the co-purchase graph's heavy tail (q263)
+  // concentrates or spreads load. Pearson correlation of endpoint
+  // degrees over the symmetrized edge list: two keyed joins annotate
+  // each edge with its endpoint degrees, then every moment rides ONE
+  // exact integer aggregate (degrees and edge counts are ints; the
+  // sums stay < 2^53, so the closed form in doubles is bit-identical
+  // across engines). A regular graph has zero degree variance —
+  // try_divide/nullif keeps the degenerate corpus NULL in both
+  // engines, and the difference-of-products output is znormed.
+  def degreeAssortativity: Q = Q(
+    "q344_degree_assortativity",
+    s"""WITH $CustSuppSql,
+       |ep AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+       |       GROUP BY 1, 2 HAVING count(*) >= 190),
+       |g AS (SELECT sa AS src, sb AS dst FROM ep
+       |      UNION ALL SELECT sb, sa FROM ep),
+       |deg AS (SELECT src AS id, count(*) AS d FROM g GROUP BY src),
+       |e AS (SELECT ds.d AS x, dd.d AS y FROM g
+       |      JOIN deg ds ON g.src = ds.id JOIN deg dd ON g.dst = dd.id),
+       |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |        CAST(sum(x * y) AS DOUBLE) AS sxy,
+       |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |        CAST(sum(y * y) AS DOUBLE) AS syy
+       |      FROM e)
+       |SELECT CAST(n AS BIGINT) AS n_edges,
+       |  round((n * sxy - sx * sy)
+       |    / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6)
+       |    + 0.0 AS assortativity
+       |FROM m""".stripMargin,
+  ) { (s, dir) =>
+    val ep = coPurchaseEdges(s, dir)
+    val g = ep.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(ep.select(col("sb").as("src"), col("sa").as("dst")))
+    val deg = g.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val e = g.join(deg.select(col("id").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("y")), "dst")
+    val m = e.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    m.select(col("n").cast("long").as("n_edges"),
+      znorm(round(try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          * (col("n") * col("syy") - col("sy") * col("sy")))), 6)).as("assortativity"))
+  }
+
+  // --- q345: connected-component size distribution ----------------------------
+  // The macro-structure readout the per-node families (q125 rank, q330
+  // core, q242 communities) presuppose: how many islands does the
+  // co-purchase graph actually have, and how big? Components come from
+  // dedup.Clusters.connectedComponents — the SAME alternating
+  // min-label machinery the dedup families converge with (one keyed
+  // join + min aggregate per round, checkpointed, convergence-
+  // detected), here pointed at the supplier graph. The oracle is a
+  // true WITH RECURSIVE reachability closure (the q264 pattern), so
+  // the hash-match certifies full convergence, not a bounded-round
+  // approximation.
+  def wccSizes: Q = Q(
+    "q345_wcc_sizes",
+    s"""WITH RECURSIVE $CustSuppSql,
+       |ep AS (SELECT a.sp AS sa, b.sp AS sb FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+       |       GROUP BY 1, 2 HAVING count(*) >= 190),
+       |g AS (SELECT sa AS src, sb AS dst FROM ep
+       |      UNION ALL SELECT sb, sa FROM ep),
+       |verts AS (SELECT DISTINCT src AS id FROM g),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN g e ON e.src = r.id),
+       |cl AS (SELECT id, min(lab) AS cid FROM reach GROUP BY id),
+       |sz AS (SELECT cid, count(*) AS csz FROM cl GROUP BY cid)
+       |SELECT CAST(csz AS BIGINT) AS component_size,
+       |  CAST(count(*) AS BIGINT) AS n_components
+       |FROM sz GROUP BY csz ORDER BY component_size""".stripMargin,
+  ) { (s, dir) =>
+    val ep = coPurchaseEdges(s, dir)
+    val g = ep.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(ep.select(col("sb").as("src"), col("sa").as("dst")))
+    val verts = g.select(col("src").as("id")).distinct()
+    val comp = graft.dedup.Clusters.connectedComponents(verts, "id", g, "src", "dst")
+    comp.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      .groupBy(col("csz").cast("long").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
   }
 }

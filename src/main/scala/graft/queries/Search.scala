@@ -13,7 +13,59 @@ import graft.similarity.Similarity
   */
 object Search {
 
-  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank, qlDirichlet)
+  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank, qlDirichlet, phraseSearch)
+
+  // --- q346: phrase search (positional retrieval) ----------------------------
+  // Everything else in this module is bag-of-words; real search
+  // engines also answer QUOTED queries, which need token POSITIONS.
+  // Score = Σ_phrases ln(1+ptf)·ln(N/df_p) over exact adjacent-bigram
+  // matches — the positional-index computation expressed as dataflow:
+  // one bigram projection per doc (map-side transform over the token
+  // array, the q278 shape), filtered to the query phrases BEFORE any
+  // shuffle (the inverted-index property: only docs containing a
+  // phrase reach the aggregate), phrase document frequencies broadcast
+  // back. Log terms 9-dp round-then-DECIMAL-sum as always.
+  def phraseSearch: Q = {
+    val phrases = Seq("hash join", "sort merge")
+    val phraseSql = phrases.map(p => s"'$p'").mkString("(", ", ", ")")
+    Q(
+      "q346_phrase_search",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+         |      AS gram
+         |  FROM t WHERE len(t) >= 2),
+         |pf AS (SELECT doc_id, gram, count(*) AS ptf FROM bg
+         |       WHERE gram IN $phraseSql GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |dfp AS (SELECT gram, CAST(count(*) AS DOUBLE) AS df FROM pf GROUP BY gram),
+         |sc AS (SELECT pf.doc_id,
+         |    round(ln(1 + pf.ptf) * ln(n.n / dfp.df), 9) AS s
+         |  FROM pf JOIN dfp USING (gram), n)
+         |SELECT doc_id,
+         |  round(CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE), 6) AS phrase_score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY phrase_score DESC, doc_id LIMIT 15""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val t = split(col("text"), " ")
+      val bg = docs.filter(size(t) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("gram"))
+      // pf feeds both the df aggregate and the scoring join — persist
+      // so the bigram projection scans the corpus once
+      val pf = graft.dedup.Dedup.persistTracked(
+        bg.filter(col("gram").isin(phrases: _*))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("ptf")))
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
+      val dfp = pf.groupBy("gram").agg(count(lit(1)).cast("double").as("df"))
+      pf.join(broadcast(dfp), "gram").crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(log(lit(1) + col("ptf")) * log(col("n") / col("df")), 9).as("s"))
+        .groupBy("doc_id").agg(round(dsum(col("s"), 9), 6).as("phrase_score"))
+        .orderBy(col("phrase_score").desc, col("doc_id")).limit(15)
+    }
+  }
 
   // BM25 parameters (the universal defaults) and the demo query terms.
   // defs, not vals: `val all` above runs at object init, before vals
