@@ -130,7 +130,8 @@ object Extras {
       |    CAST(sum(datediff('day', d0, day) * datediff('day', d0, day)) AS BIGINT) AS sxx
       |  FROM daily, lo),
       |fit AS (SELECT n, sx, sy,
-      |    CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope
+      |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |      / (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS slope
       |  FROM m),
       |f2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM fit)
       |SELECT strftime(d1 + CAST(k AS INTEGER), '%Y-%m-%d') AS day,
@@ -150,8 +151,17 @@ object Extras {
       .groupBy("d0", "d1")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("cents").as("sy"),
         sum(col("x") * col("cents")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val slope = try_divide((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
-      col("n") * col("sxx") - col("sx") * col("sx"))
+    // moment COMBINATION in DECIMAL(38,0) (HUGEINT in the oracle):
+    // n·Σxy reaches ~6e19 at sf0.1 — past Long.MaxValue — and ANSI
+    // long arithmetic threw the moment the bench's noop action stopped
+    // letting count() prune the forecast column (the round-10
+    // bench-honesty work surfaced this: the sf0.01 gate never grows
+    // the moments that far). Both engines round the same exact integer
+    // to double, so the slope stays bit-identical.
+    def big(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val slope = try_divide(
+      (big(col("n")) * big(col("sxy")) - big(col("sx")) * big(col("sy"))).cast("double"),
+      (big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx"))).cast("double"))
     m.select(col("d0"), col("d1"), slope.as("slope"),
         ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
       .select(col("d0"), col("d1"), col("slope"), col("intercept"),
