@@ -23,7 +23,7 @@ object Corpus {
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
     hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
     bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve,
-    sourceQualityDrift, mooreLewis)
+    sourceQualityDrift, mooreLewis, kmvSketchOverlap)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -622,6 +622,123 @@ object Corpus {
       .agg(znorm(round((dsum(col("lpi"), 9) - dsum(col("lpg"), 9))
         / count(lit(1)), 6)).as("ml_score"))
       .orderBy(col("ml_score").desc, col("doc_id")).limit(15)
+  }
+
+  // --- q348: KMV (theta-sketch) source-overlap estimation ---------------------
+  // q114 computes EXACT source-pair shingle overlap with a corpus-wide
+  // shingle join; the sketch family's answer is k-minimum-values
+  // (Bar-Yossef et al. 2002 / the theta sketch): keep each source's k
+  // smallest distinct shingle-hash values, and every pairwise union /
+  // Jaccard / intersection estimate becomes arithmetic on
+  // (sources·k)-sized state — the HLL-for-set-OPERATIONS primitive HLL
+  // itself lacks (q56/q136 only union). Hashes are the engine-portable
+  // polynomial fold (the q206 rule — xxhash64 has no DuckDB twin), so
+  // the oracle replays sketch construction, the per-pair merge, the
+  // θ = h_(k)/P threshold, and both estimators bit for bit; the exact
+  // q114 Jaccard rides along as the honesty column (the estimator's
+  // error is VISIBLE in the output, not asserted away). Partial
+  // sketches (union < k) degrade to exact counting in both engines.
+  def kmvSketchOverlap: Q = {
+    val k = 256
+    val P = 1000000007L
+    Q(
+      "q348_kmv_sketch_overlap",
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT source, shingle FROM toks,
+         |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |       WHERE len(t) >= 3),
+         |hd AS (SELECT DISTINCT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |         (h, b) -> (h * 131 + b) % $P) AS h FROM sh),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |         FROM hd) WHERE rk <= $k),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |mg AS (SELECT a.source AS sa, b.source AS sb, x.h
+         |       FROM sk x JOIN srcs a ON x.source = a.source
+         |                 JOIN srcs b ON a.source < b.source
+         |       UNION
+         |       SELECT a.source AS sa, b.source AS sb, x.h
+         |       FROM sk x JOIN srcs b ON x.source = b.source
+         |                 JOIN srcs a ON a.source < b.source),
+         |tk AS (SELECT sa, sb, h FROM (
+         |         SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+         |         FROM mg) WHERE rk <= $k),
+         |fl AS (SELECT t.sa, t.sb, t.h,
+         |         CASE WHEN pa.h IS NOT NULL AND pb.h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+         |       FROM tk t
+         |       LEFT JOIN sk pa ON pa.source = t.sa AND pa.h = t.h
+         |       LEFT JOIN sk pb ON pb.source = t.sb AND pb.h = t.h),
+         |st AS (SELECT sa, sb, count(*) AS n_top, CAST(sum(in_both) AS BIGINT) AS c_both,
+         |         CAST(max(h) AS DOUBLE) / $P AS uk
+         |       FROM fl GROUP BY 1, 2),
+         |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+         |          FROM sh a JOIN sh b USING (shingle)
+         |          WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT st.sa AS src_a, st.sb AS src_b,
+         |  round(CASE WHEN st.n_top < $k THEN CAST(st.n_top AS DOUBLE)
+         |             ELSE ${k - 1} / st.uk END, 4) AS est_union,
+         |  CAST(st.c_both AS DOUBLE) / st.n_top AS est_jaccard,
+         |  round(CAST(st.c_both AS DOUBLE) / st.n_top
+         |    * (CASE WHEN st.n_top < $k THEN CAST(st.n_top AS DOUBLE)
+         |            ELSE ${k - 1} / st.uk END), 4) AS est_intersection,
+         |  round(CAST(coalesce(i.n_shared, 0) AS DOUBLE)
+         |    / (sa2.sz + sb2.sz - coalesce(i.n_shared, 0)), 6) AS exact_jaccard
+         |FROM st LEFT JOIN inter i ON i.sa = st.sa AND i.sb = st.sb
+         |JOIN sizes sa2 ON sa2.source = st.sa
+         |JOIN sizes sb2 ON sb2.source = st.sb
+         |ORDER BY src_a, src_b""".stripMargin,
+    ) { (s, dir) =>
+      val sh = Dedup.persistTracked(
+        Dedup.shingleTable(
+          Tables.documents(s, dir).select(col("source"), col("text")), "source", "text")
+          .distinct())
+      val hd = sh.select(col("source"), Dedup.polyTokenHash(col("shingle")).as("h"))
+        .distinct()
+      val wsrc = Window.partitionBy("source").orderBy("h")
+      val sk = Dedup.persistTracked(
+        hd.withColumn("rk", row_number().over(wsrc)).filter(col("rk") <= k)
+          .select("source", "h"))
+      val srcs = sk.select("source").distinct()
+      val e1 = sk.select(col("source").as("sa"), col("h"))
+        .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+      val e2 = sk.select(col("source").as("sb"), col("h"))
+        .join(srcs.select(col("source").as("sa")), col("sa") < col("sb"))
+      val merged = e1.select("sa", "sb", "h").unionByName(e2.select("sa", "sb", "h"))
+        .distinct()
+      val wp = Window.partitionBy("sa", "sb").orderBy("h")
+      val topk = merged.withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+      val fl = topk
+        .join(sk.select(col("source").as("sa"), col("h"), lit(1).as("ina")),
+          Seq("sa", "h"), "left_outer")
+        .join(sk.select(col("source").as("sb"), col("h"), lit(1).as("inb")),
+          Seq("sb", "h"), "left_outer")
+      val st = fl.groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_top"),
+          sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L).otherwise(0L))
+            .as("c_both"),
+          (max(col("h")).cast("double") / P).as("uk"))
+      val estU = when(col("n_top") < k, col("n_top").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / col("uk"))
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("source").as("sa"), col("shingle"))
+        .join(sh.select(col("source").as("sb"), col("shingle")), "shingle")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+      st.join(inter, Seq("sa", "sb"), "left_outer")
+        .join(broadcast(sizes.toDF("sa", "sza")), "sa")
+        .join(broadcast(sizes.toDF("sb", "szb")), "sb")
+        .select(col("sa").as("src_a"), col("sb").as("src_b"),
+          round(estU, 4).as("est_union"),
+          (col("c_both").cast("double") / col("n_top")).as("est_jaccard"),
+          round(col("c_both").cast("double") / col("n_top") * estU, 4)
+            .as("est_intersection"),
+          round(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / (col("sza") + col("szb") - coalesce(col("n_shared"), lit(0L))), 6)
+            .as("exact_jaccard"))
+        .orderBy("src_a", "src_b")
+    }
   }
 
   // --- q212: vocabulary coverage curve ---------------------------------------

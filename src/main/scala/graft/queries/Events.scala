@@ -17,7 +17,74 @@ object Events {
     seasonalSpike, stickiness, peakConcurrency, funnelLatency, linearAttribution,
     bounceRate, decayedPopularity, diffInDiff, holtForecast, cusumDrift,
     seasonalDecompose, skylineDays, gapRegularity, markovPerplexity,
-    sprtMonitor, spectralGap, lateArrivalAudit, dailyTrending, changepoint)
+    sprtMonitor, spectralGap, lateArrivalAudit, dailyTrending, changepoint,
+    windowFunnel)
+
+  // --- q347: window funnel (ordered steps within a step window) ---------------
+  // q99 counts users who EVER reached each step; the production funnel
+  // (ClickHouse's windowFunnel) requires ORDER and RECENCY: view →
+  // click → purchase, each step within 24 h of the previous one. The
+  // earliest-chain variant keeps it deterministic and relational:
+  // t1 = the user's first view; t2 = first click in (t1, t1+24h];
+  // t3 = first purchase in (t2, t2+24h] — each step is ONE keyed
+  // semi-join + min aggregate against the per-user anchor (bounded
+  // fan-out: a user's events of one type), so the chain is 3 keyed
+  // aggregates at any scale, never a per-user sort. All comparisons in
+  // integer µs (the q176/q324 discipline). Output: users reaching
+  // exactly level 0..3 plus conversion share vs level-1 entrants.
+  def windowFunnel: Q = {
+    val w = 86400000000L // 24 h in µs
+    Q(
+      "q347_window_funnel",
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         |u AS (SELECT DISTINCT user_id FROM ev),
+         |t1 AS (SELECT user_id, min(t) AS t1 FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN t1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.t > t1.t1 AND e.t <= t1.t1 + $w
+         |       GROUP BY 1),
+         |t3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e JOIN t2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.t > t2.t2 AND e.t <= t2.t2 + $w
+         |       GROUP BY 1),
+         |lv AS (SELECT u.user_id,
+         |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+         |         WHEN t2.user_id IS NOT NULL THEN 2
+         |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+         |  FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+         |  LEFT JOIN t3 USING (user_id))
+         |SELECT level, CAST(count(*) AS BIGINT) AS n_users,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / (SELECT count(*) FROM lv WHERE level >= 1), 6) AS share_of_entrants
+         |FROM lv GROUP BY level ORDER BY level""".stripMargin,
+    ) { (s, dir) =>
+      val ev = graft.dedup.Dedup.persistTracked(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t")))
+      val u = ev.select("user_id").distinct()
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("t") > col("t1") && col("t") <= col("t1") + w)
+        .groupBy("user_id").agg(min("t").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("t") > col("t2") && col("t") <= col("t2") + w)
+        .groupBy("user_id").agg(min("t").as("t3"))
+      val lv = u.join(t1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left_outer")
+        .join(t2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left_outer")
+        .join(t3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left_outer")
+        .select(when(col("l3").isNotNull, 3)
+          .when(col("l2").isNotNull, 2)
+          .when(col("l1").isNotNull, 1).otherwise(0).as("level"))
+      val entrants = lv.filter(col("level") >= 1).agg(count(lit(1)).as("ne"))
+      lv.groupBy("level").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(entrants))
+        .select(col("level"), col("n_users"),
+          round(col("n_users").cast("double") / col("ne"), 6).as("share_of_entrants"))
+        .orderBy("level")
+    }
+  }
 
   // --- q185: daily bounce rate ----------------------------------------------
   // Share of q49 sessions that never saw a second event, by the day

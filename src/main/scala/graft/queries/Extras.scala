@@ -12,7 +12,8 @@ import graft.{Q, Tables}
 object Extras {
 
   val all: Seq[Q] = Seq(rankFuncs, setOps, stringFuncs, cube, movingAvg, asofJoin, pivotRevenue,
-    ewmaSmoothing, revenueForecast, wowGrowth, theilSen, jackknifeRatio, acf)
+    ewmaSmoothing, revenueForecast, wowGrowth, theilSen, jackknifeRatio, acf,
+    forecastBacktest)
 
   // --- q339: autocorrelation function (lags 1..7) ----------------------------
   // The diagnostic the forecasting family (q156 EWMA, q186/q245
@@ -77,6 +78,82 @@ object Extras {
         .select(col("e.lag").as("lag"),
           znorm(round(try_divide(col("e.num"), col("den")), 6)).as("acf"))
         .orderBy("lag")
+    }
+  }
+
+  // --- q350: rolling-origin forecast backtest ---------------------------------
+  // q186/q245 FIT models; this BACKTESTS them the way forecasting is
+  // actually evaluated: walk the daily series and score each day's
+  // one-step-ahead prediction from three reference models — naive
+  // (yesterday), seasonal-naive (same weekday last week), drift
+  // (yesterday + last week's mean daily change) — reporting MAE and
+  // MAPE per model. Any candidate model must beat these three or it
+  // ships nothing. Scale shape: the corpus collapses to the
+  // calendar-sized exact-cents daily series; three lags ride one
+  // window pass (q339 rule); all six error sums land in ONE aggregate
+  // (round-then-DECIMAL-sum; naive/seasonal errors are exact 2-dp
+  // dollars, drift's /7 term rounds at 6 dp first).
+  def forecastBacktest: Q = {
+    def sqlErr(f: String) = s"CAST(round(abs(y - ($f)) / 100.0, 6) AS DECIMAL(18,6))"
+    def sqlApe(f: String) = s"CAST(round(abs(y - ($f)) / y, 9) AS DECIMAL(18,9))"
+    Q(
+      "q350_forecast_backtest",
+      s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+         |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS DOUBLE) AS y
+         |  FROM orders GROUP BY 1),
+         |w AS (SELECT y, lag(y, 1) OVER (ORDER BY d) AS l1,
+         |        lag(y, 7) OVER (ORDER BY d) AS l7,
+         |        lag(y, 8) OVER (ORDER BY d) AS l8
+         |      FROM daily),
+         |e AS (SELECT * FROM w WHERE l8 IS NOT NULL AND y > 0),
+         |a AS (SELECT count(*) AS n,
+         |    CAST(sum(${sqlErr("l1")}) AS DOUBLE) AS mae_naive,
+         |    CAST(sum(${sqlErr("l7")}) AS DOUBLE) AS mae_snaive,
+         |    CAST(sum(${sqlErr("l1 + (l1 - l8) / 7.0")}) AS DOUBLE) AS mae_drift,
+         |    CAST(sum(${sqlApe("l1")}) AS DOUBLE) AS ape_naive,
+         |    CAST(sum(${sqlApe("l7")}) AS DOUBLE) AS ape_snaive,
+         |    CAST(sum(${sqlApe("l1 + (l1 - l8) / 7.0")}) AS DOUBLE) AS ape_drift
+         |  FROM e)
+         |SELECT 'drift' AS model, round(mae_drift / n, 2) AS mae,
+         |  round(ape_drift / n, 6) AS mape FROM a
+         |UNION ALL SELECT 'naive', round(mae_naive / n, 2), round(ape_naive / n, 6) FROM a
+         |UNION ALL SELECT 'seasonal_naive', round(mae_snaive / n, 2),
+         |  round(ape_snaive / n, 6) FROM a
+         |ORDER BY model""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+          .cast("double").as("y"))
+      val w0 = Window.orderBy("d") // calendar-bounded series (q339 rule)
+      val e = daily.select(col("y"),
+          lag(col("y"), 1).over(w0).as("l1"),
+          lag(col("y"), 7).over(w0).as("l7"),
+          lag(col("y"), 8).over(w0).as("l8"))
+        .filter(col("l8").isNotNull && col("y") > 0)
+      def err(f: org.apache.spark.sql.Column) =
+        sum(round(abs(col("y") - f) / 100.0, 6).cast("decimal(18,6)")).cast("double")
+      def ape(f: org.apache.spark.sql.Column) =
+        sum(round(abs(col("y") - f) / col("y"), 9).cast("decimal(18,9)")).cast("double")
+      val drift = col("l1") + (col("l1") - col("l8")) / 7.0
+      val a = e.agg(count(lit(1)).as("n"),
+        err(col("l1")).as("mae_naive"), err(col("l7")).as("mae_snaive"),
+        err(drift).as("mae_drift"),
+        ape(col("l1")).as("ape_naive"), ape(col("l7")).as("ape_snaive"),
+        ape(drift).as("ape_drift"))
+      a.select(explode(array(
+          struct(lit("drift").as("model"),
+            round(col("mae_drift") / col("n"), 2).as("mae"),
+            round(col("ape_drift") / col("n"), 6).as("mape")),
+          struct(lit("naive").as("model"),
+            round(col("mae_naive") / col("n"), 2).as("mae"),
+            round(col("ape_naive") / col("n"), 6).as("mape")),
+          struct(lit("seasonal_naive").as("model"),
+            round(col("mae_snaive") / col("n"), 2).as("mae"),
+            round(col("ape_snaive") / col("n"), 6).as("mape")))).as("r"))
+        .select("r.*").orderBy("model")
     }
   }
 

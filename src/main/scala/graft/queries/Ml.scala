@@ -14,7 +14,7 @@ object Ml {
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
     bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift,
     wassersteinDrift, averagePrecision, permutationTest, cramersV, cumulativeGains,
-    signalCorrelation, youdenThreshold, adaboostStumps)
+    signalCorrelation, youdenThreshold, adaboostStumps, plattScaling)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -672,11 +672,36 @@ object Ml {
   // the contamination cut (in mean-path space — see
   // IsolationForestLite.servingSql for the rank-equivalence argument
   // that keeps pow out of the cross-engine surface).
+  // The supervised-demo ground truth: the synthetic generator's
+  // lineitem columns are MUTUALLY INDEPENDENT (corr(qty, price) ≈
+  // 0.003; every per-feature positive rate is flat — measured, not
+  // assumed), so no natural label in the corpus is learnable and a
+  // trainer demo on one degenerates to predicting the base rate.
+  // q337/q349 therefore CONSTRUCT their target the way the fixture
+  // suites do, with the q34 seeded-keyed-noise discipline: y = 1 iff
+  // l_quantity + u·25 > 37.5, u = keyed-uniform(orderkey, linenumber)
+  // ∈ [−0.5, 0.5) — a noisy quantity threshold that ramps P(y|qty)
+  // from ~0 to ~1 across the qty range. Learnable by the quantity
+  // stumps, irreducibly noisy (no stump grid reaches 100%), and a
+  // pure function of row keys, so DuckDB replays the label exactly.
+  private def noisyQtyLabel: org.apache.spark.sql.Column = {
+    val key = pmod(col("l_orderkey") * 64 + col("l_linenumber"), lit(1000003L))
+    val u = (pmod(key * 2654435761L + 42, lit(1000003L)).cast("double") + 0.5) /
+      1000003.0 - 0.5
+    col("l_quantity") + u * 25 > 37.5
+  }
+
+  private def noisyQtyLabelSql: String =
+    "(l_quantity + ((((l_orderkey * 64 + l_linenumber) % 1000003" +
+      " * 2654435761 + 42) % 1000003 + 0.5) / 1000003.0 - 0.5) * 25 > 37.5)"
+
   // --- q337: AdaBoost decision stumps (from-scratch boosting) ---------------
   // The boosting member of the trainer family (next to RF, isolation
   // forest, logistic regression, k-means, ALS): 4 rounds of discrete
   // AdaBoost over a curated stump grid on lineitem, predicting the
-  // returned flag from order-line economics. Training is one wide
+  // constructed noisy-quantity target (see noisyQtyLabel above — the
+  // quantity stumps genuinely cut, discount/tax are noise controls
+  // the argmin must reject). Training is one wide
   // conditional-sum aggregate per round (ml.BoostLite — the driver
   // sees |candidates|+1 decimals, picks the argmin, ships two exp
   // literals back); weights re-round to 12 dp per update so every sum
@@ -690,15 +715,14 @@ object Ml {
     import graft.ml.BoostLite
     val li = Tables.lineitem(s, dir)
     val model = BoostLite.train(
-      li.withColumn("__lbl", (col("l_returnflag") === "R").cast("int")),
+      li.withColumn("__lbl", noisyQtyLabel.cast("int")),
       Seq(
         "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
         "l_discount" -> Seq(0.02, 0.05, 0.08),
-        "l_tax" -> Seq(0.03, 0.06),
-        "l_extendedprice" -> Seq(20000.0, 45000.0)),
+        "l_tax" -> Seq(0.03, 0.06)),
       "__lbl", rounds = 4)
     val df = li
-      .select((col("l_returnflag") === "R").as("label"),
+      .select(noisyQtyLabel.as("label"),
         BoostLite.score(model.stumps).as("score"))
       .groupBy(col("label"), (col("score") > 0).as("pred"))
       .agg(count(lit(1)).as("n"),
@@ -709,12 +733,92 @@ object Ml {
       s"(CASE WHEN ${st.feature} <= ${st.thr} THEN $a ELSE ${-a} END)"
     }.mkString(" + ")
     val sql =
-      s"""WITH scored AS (SELECT (l_returnflag = 'R') AS label,
+      s"""WITH scored AS (SELECT $noisyQtyLabelSql AS label,
          |    round($terms, 9) AS score FROM lineitem)
          |SELECT label, score > 0 AS pred, CAST(count(*) AS BIGINT) AS n,
          |  round(CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
          |    / count(*), 6) + 0.0 AS avg_score
          |FROM scored GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+    (df, sql)
+  }
+
+  // --- q349: Platt scaling (margin calibration) ------------------------------
+  // Boosting margins (q337) rank well but are not probabilities; the
+  // standard fix since Platt 1999 is a 1-d logistic MLE p = σ(a·m + b)
+  // on the margins. The scale insight that makes this CHEAP: a
+  // T-round stump ensemble emits ≤ 2^T distinct margins, so the exact
+  // full-data likelihood lives on the (margin → n, positives)
+  // histogram — ONE corpus aggregate into a ≤ 2^T-row table, then
+  // driver-side Newton-Raphson on those bounded sufficient statistics
+  // (the q219 Bradley-Terry shape: corpus-scale work in one pass,
+  // model arithmetic on a players-bounded matrix). A first cut ran
+  // 40 row-level GD iterations instead — 40 full scans, 103 s at
+  // sf0.1, and it still under/over-shot because one learning rate
+  // can't serve intercept and slope gradients of different scales;
+  // Newton on the histogram is exact, deterministic (sorted fold
+  // order, pure IEEE), and free. Output: the reliability table
+  // (decile bins of calibrated p: count, mean predicted p, empirical
+  // positive rate — mean-p/rate ship UNROUNDED, exact divisions of
+  // identical values, since rounding would sit on the q310
+  // terminating-decimal boundary). Training stays spec-gated; the
+  // oracle replays the ENTIRE serving path from literals — stump CASE
+  // chains → margin → σ(b + a·m) at 9 dp → decile bins → stats.
+  def plattScaling: Q = Q.dynamicOracle("q349_platt_scaling") { (s, dir) =>
+    import graft.ml.BoostLite
+    val li = Tables.lineitem(s, dir)
+    val labeled = li.withColumn("__lbl", noisyQtyLabel.cast("int"))
+    val model = BoostLite.train(labeled,
+      Seq("l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+        "l_discount" -> Seq(0.02, 0.05, 0.08),
+        "l_tax" -> Seq(0.03, 0.06)),
+      "__lbl", rounds = 5)
+    val margins = labeled
+      .select(col("__lbl").cast("long").as("y"), BoostLite.score(model.stumps).as("m"))
+    // exact sufficient statistics: ≤ 2^rounds rows — a bounded collect
+    val hist = margins.groupBy("m")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // fixed fold order → deterministic Newton
+    require(hist.length <= 256,
+      s"platt: ${hist.length} distinct margins exceed the driver histogram budget")
+    var b = 0.0; var a = 0.0
+    for (_ <- 1 to 25) { // Newton-Raphson, quadratic convergence
+      var g0 = 0.0; var g1 = 0.0; var h00 = 0.0; var h01 = 0.0; var h11 = 0.0
+      for ((m, n, pos) <- hist) {
+        val p = 1.0 / (1.0 + math.exp(-(b + a * m)))
+        val r = n * p - pos
+        val w = n * p * (1.0 - p)
+        g0 += r; g1 += m * r
+        h00 += w; h01 += m * w; h11 += m * m * w
+      }
+      val det = h00 * h11 - h01 * h01
+      if (det > 1e-12) {
+        b -= (h11 * g0 - h01 * g1) / det
+        a -= (h00 * g1 - h01 * g0) / det
+      }
+    }
+    val p = round(lit(1.0) / (lit(1.0) + exp(-(lit(b) + col("m") * lit(a)))), 9)
+    val df = margins.select(col("y"), p.as("p"))
+      .groupBy(floor(col("p") * 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (dsum(col("p"), 9) / count(lit(1))).as("mean_p"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
+      .orderBy("bin")
+    val terms = model.stumps.map { st =>
+      val av = if (st.flip) -st.alpha else st.alpha
+      s"(CASE WHEN ${st.feature} <= ${st.thr} THEN $av ELSE ${-av} END)"
+    }.mkString(" + ")
+    val sql =
+      s"""WITH sc AS (SELECT CAST($noisyQtyLabelSql AS INTEGER) AS y,
+         |    round($terms, 9) AS m FROM lineitem),
+         |pp AS (SELECT y,
+         |    round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-($b + m * $a))), 9)
+         |      AS p FROM sc)
+         |SELECT CAST(floor(p * 10) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean_p,
+         |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+         |FROM pp GROUP BY 1 ORDER BY bin""".stripMargin
     (df, sql)
   }
 

@@ -59,6 +59,8 @@ def run_bench(sf_dir, only=None):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
+        # a partial run must not clobber the repo's full-sweep artifact
+        env["SPARK_GRAFT_BENCH_OUT"] = "/tmp/bench_guard_partial.json"
     out = subprocess.run(cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
                          stderr=subprocess.DEVNULL, check=True, text=True).stdout
     line = out.strip().splitlines()[-1]
