@@ -45,12 +45,17 @@ object BenchHonesty {
   /** Work-bearing node kinds present in the query's OUTPUT plan but
     * missing from its count-only BENCH plan — per kind, how many nodes
     * the bench action would silently not measure. Empty = honest.
-    * (The count plan's own extra global Aggregate only ever adds, so
-    * it can never mask a loss.)
+    * The groupBy().count() wrapper itself contributes one synthetic
+    * global Aggregate the output plan lacks; it is subtracted from the
+    * count side's tally, otherwise one genuinely elided Aggregate
+    * (e.g. RemoveRedundantAggregates collapsing a group-only aggregate
+    * under the count) would be masked.
     */
   def elidedUnderCount(df: DataFrame): Map[String, Int] = {
     val out = spine(df.queryExecution.optimizedPlan)
-    val cnt = spine(df.groupBy().count().queryExecution.optimizedPlan)
+    val cntRaw = spine(df.groupBy().count().queryExecution.optimizedPlan)
+    val cnt = cntRaw.updated("Aggregate",
+      math.max(0, cntRaw.getOrElse("Aggregate", 0) - 1))
     out.flatMap { case (k, n) =>
       val lost = n - cnt.getOrElse(k, 0)
       if (lost > 0) Some(k -> lost) else None

@@ -127,7 +127,16 @@ object Dedup {
     * [[clearCaches]] / LRU release.
     */
   private[dedup] def track(df: DataFrame): Unit = ledger.synchronized {
-    ledger.put((df.sparkSession, df.queryExecution.analyzed.semanticHash()), df)
+    val prev = ledger.put((df.sparkSession, df.queryExecution.analyzed.semanticHash()), df)
+    // The key is a 32-bit semanticHash: a collision between two
+    // genuinely different plans would otherwise silently drop the
+    // displaced handle, letting its cache blocks escape both LRU
+    // eviction and clearCaches until session end.
+    if (prev != null && (prev ne df)
+        && !prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+      prev.unpersist(blocking = false)
+      log.warn("cache ledger semanticHash collision: unpersisted displaced intermediate")
+    }
     while (ledger.size > maxTracked) {
       val it = ledger.entrySet().iterator()
       val eldest = it.next()
@@ -149,6 +158,16 @@ object Dedup {
     */
   private[graft] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
 
+  private val clearHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a callback run by every [[clearCaches]] — for
+    * module-local memos (trained-model caches like the shared
+    * BoostLite train) that must drop with the corpus: a bench pass
+    * reusing the previous pass's training would hide real plan cost.
+    */
+  private[graft] def onClearCaches(f: () => Unit): Unit = clearHooks.add(f)
+
   /** Release cached dedup intermediates — only the handles this object
     * persisted, leaving unrelated session cache entries alone. Also
     * invalidates the [[componentsOf]] memo: its handles are backed by
@@ -162,6 +181,7 @@ object Dedup {
     var r = trackedRdds.poll()
     while (r != null) { r.unpersist(blocking = false); r = trackedRdds.poll() }
     componentsMemo.clear()
+    clearHooks.forEach(_.apply())
   }
 
   // One label-propagation run per (session, corpus plan, threshold):

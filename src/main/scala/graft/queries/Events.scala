@@ -55,7 +55,8 @@ object Events {
          |  LEFT JOIN t3 USING (user_id))
          |SELECT level, CAST(count(*) AS BIGINT) AS n_users,
          |  round(CAST(count(*) AS DOUBLE)
-         |    / (SELECT count(*) FROM lv WHERE level >= 1), 6) AS share_of_entrants
+         |    / nullif((SELECT count(*) FROM lv WHERE level >= 1), 0), 6)
+         |    AS share_of_entrants
          |FROM lv GROUP BY level ORDER BY level""".stripMargin,
     ) { (s, dir) =>
       val ev = graft.dedup.Dedup.persistTracked(Tables.events(s, dir)
@@ -81,7 +82,10 @@ object Events {
       lv.groupBy("level").agg(count(lit(1)).as("n_users"))
         .crossJoin(broadcast(entrants))
         .select(col("level"), col("n_users"),
-          round(col("n_users").cast("double") / col("ne"), 6).as("share_of_entrants"))
+          // try_divide: a corpus with zero level>=1 entrants must yield
+          // NULL (DuckDB's x/NULL), not Infinity (CLAUDE.md rule 8)
+          round(try_divide(col("n_users").cast("double"), col("ne")), 6)
+            .as("share_of_entrants"))
         .orderBy("level")
     }
   }

@@ -189,7 +189,11 @@ object Merge {
       merged: DataFrame, partCol: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(tablePath + ".tmppart")
+    // per-invocation suffix (same contract as the trash dir): a fixed
+    // staging name would let two concurrent invocations against the
+    // same table overwrite each other's staging and swap in a mix
+    val tmp = new Path(tablePath + ".tmppart-" +
+      java.util.UUID.randomUUID().toString.take(8))
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     val trash = new Path(tablePath + ".oldpart-" +
       java.util.UUID.randomUUID().toString.take(8))
