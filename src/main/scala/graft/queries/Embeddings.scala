@@ -1588,15 +1588,17 @@ object Embeddings {
          |    CAST(embedding[i] AS DOUBLE) AS x
          |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
          |mu AS (SELECT i, CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
-         |    / count(*) AS mu FROM dims GROUP BY i),
+         |    / count(*) AS mu,
+         |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         |    count(*) AS cnt FROM dims GROUP BY i),
          |cent AS (SELECT d.vec_id, d.i, round(d.x - m.mu, 9) AS x
          |  FROM dims d JOIN mu m USING (i)),
          |v0 AS (SELECT DISTINCT i, $v0 AS v FROM cent),
          |${iterSql(0, 1)},
          |${iterSql(1, 2)},
          |${iterSql(2, 3)},
-         |tr AS (SELECT CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
-         |    AS trace FROM cent)
+         |tr AS (SELECT CAST(sum(CAST(round(sxx - mu * mu * cnt, 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) AS trace FROM mu)
          |SELECT v3.i AS dim, round(v3.v, 6) + 0.0 AS loading,
          |  round(n3.nrm / tr.trace, 6) AS top_var_share
          |FROM v3 CROSS JOIN n3 CROSS JOIN tr
@@ -1606,10 +1608,17 @@ object Embeddings {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
         .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
           col("xf").cast("double").as("x")))
-      val mu = dims.groupBy("i")
-        .agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("mu"))
+      // one corpus pass yields mean AND the Σx² moment per dim, so the
+      // trace (= total variance) below reads this d-row table instead
+      // of re-scanning the centered corpus (the r10 verdict's "fold
+      // the trace aggregate into the mu pass" — one fewer full scan)
+      val mu = graft.dedup.Dedup.persistTracked(dims.groupBy("i")
+        .agg((dsum(round(col("x"), 9), 9) / count(lit(1))).as("mu"),
+          sum(round(col("x") * col("x"), 9).cast("decimal(28,9)"))
+            .cast("double").as("sxx"),
+          count(lit(1)).as("cnt")))
       val cent = graft.dedup.Dedup.persistTracked(
-        dims.join(broadcast(mu), "i")
+        dims.join(broadcast(mu.select("i", "mu")), "i")
           .select(col("vec_id"), col("i"), round(col("x") - col("mu"), 9).as("x")))
       val vInit = cent.select("i").distinct()
         .select(col("i"), round(lit(1.0) / sqrt(lit(d.toDouble)), 9).as("v"))
@@ -1630,8 +1639,13 @@ object Embeddings {
       val (v1, _) = iterate(vInit)
       val (v2, _) = iterate(v1)
       val (v3, n3) = iterate(v2)
-      val tr = cent.agg(sum(round(col("x") * col("x"), 9).cast("decimal(28,9)"))
-        .cast("double").as("trace"))
+      // trace via the moment identity Σ(x−μ)² = Σx² − n·μ², computed
+      // on the d-row mu table (IDENTICAL form in the oracle — the two
+      // engines agree on the new definition, which is what hash parity
+      // requires; the value differs from the centered-scan form only
+      // in far-sub-rounding residue)
+      val tr = mu.agg(sum(round(col("sxx") - col("mu") * col("mu") * col("cnt"), 9)
+        .cast("decimal(28,9)")).cast("double").as("trace"))
       v3.crossJoin(broadcast(n3)).crossJoin(broadcast(tr))
         .select(col("i").as("dim"), znorm(round(col("v"), 6)).as("loading"),
           round(col("nrm") / col("trace"), 6).as("top_var_share"))

@@ -695,6 +695,28 @@ object Ml {
     "(l_quantity + ((((l_orderkey * 64 + l_linenumber) % 1000003" +
       " * 2654435761 + 42) % 1000003 + 0.5) / 1000003.0 - 0.5) * 25 > 37.5)"
 
+  // q337 (4 rounds) and q349 (5) train the SAME greedy stump sequence:
+  // AdaBoost is prefix-stable (round t depends only on rounds < t), so
+  // ONE 5-round train serves both — q337 reads the 4-round prefix.
+  // Training separately cost ~8 s/bench-run of duplicated aggregates
+  // (the r10 verdict's top perf item). Memoized per (session, labeled
+  // corpus plan) and dropped by Dedup.clearCaches, so a bench pass
+  // never reuses the previous pass's training — cross-query reuse
+  // WITHIN a pass is by design, cross-pass would hide plan cost.
+  private val boostGrid = Seq(
+    "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+    "l_discount" -> Seq(0.02, 0.05, 0.08),
+    "l_tax" -> Seq(0.03, 0.06))
+  private val boostMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int), graft.ml.BoostLite.BoostResult]()
+  graft.dedup.Dedup.onClearCaches(() => boostMemo.clear())
+
+  private def sharedBoostModel(labeled: org.apache.spark.sql.DataFrame)
+      : graft.ml.BoostLite.BoostResult =
+    boostMemo.computeIfAbsent(
+      (labeled.sparkSession, labeled.queryExecution.analyzed.semanticHash()),
+      _ => graft.ml.BoostLite.train(labeled, boostGrid, "__lbl", rounds = 5))
+
   // --- q337: AdaBoost decision stumps (from-scratch boosting) ---------------
   // The boosting member of the trainer family (next to RF, isolation
   // forest, logistic regression, k-means, ALS): 4 rounds of discrete
@@ -714,13 +736,9 @@ object Ml {
   def adaboostStumps: Q = Q.dynamicOracle("q337_adaboost_stumps") { (s, dir) =>
     import graft.ml.BoostLite
     val li = Tables.lineitem(s, dir)
-    val model = BoostLite.train(
-      li.withColumn("__lbl", noisyQtyLabel.cast("int")),
-      Seq(
-        "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
-        "l_discount" -> Seq(0.02, 0.05, 0.08),
-        "l_tax" -> Seq(0.03, 0.06)),
-      "__lbl", rounds = 4)
+    // 4-round prefix of the shared 5-round train (see sharedBoostModel)
+    val full = sharedBoostModel(li.withColumn("__lbl", noisyQtyLabel.cast("int")))
+    val model = BoostLite.BoostResult(full.stumps.take(4), full.errors.take(4))
     val df = li
       .select(noisyQtyLabel.as("label"),
         BoostLite.score(model.stumps).as("score"))
@@ -767,11 +785,7 @@ object Ml {
     import graft.ml.BoostLite
     val li = Tables.lineitem(s, dir)
     val labeled = li.withColumn("__lbl", noisyQtyLabel.cast("int"))
-    val model = BoostLite.train(labeled,
-      Seq("l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
-        "l_discount" -> Seq(0.02, 0.05, 0.08),
-        "l_tax" -> Seq(0.03, 0.06)),
-      "__lbl", rounds = 5)
+    val model = sharedBoostModel(labeled)
     val margins = labeled
       .select(col("__lbl").cast("long").as("y"), BoostLite.score(model.stumps).as("m"))
     // exact sufficient statistics: ≤ 2^rounds rows — a bounded collect

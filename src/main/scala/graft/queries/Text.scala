@@ -1365,10 +1365,15 @@ object Text {
         .otherwise(struct(x.as("prev"), lit(1L).as("run"),
           (st.getField("acc") + st.getField("run") * st.getField("run")).as("acc"))),
       st => st.getField("acc") + st.getField("run") * st.getField("run"))
-    // lag matches stay three primitive filter passes: a fused
-    // struct-state fold was tried and measured SLOWER (15.9 s vs
-    // 12.7 s — per-step InternalRow allocation beats the saved array
-    // scans), so the win here is only the sumsq run-length fold above
+    // lag matches stay three primitive filter passes. Two fused
+    // single-pass designs were tried and both measured SLOWER: a
+    // struct-state fold (15.9 s vs 12.7 s — per-step InternalRow
+    // allocation) and, round 11, a packed-long fold (bits 0/21/42,
+    // one primitive accumulator: 24.3 s vs 14.5 s same-window — the
+    // interpreted ArrayAggregate's per-step lambda dispatch and Long
+    // boxing cost more than the three sequence+filter passes save).
+    // Higher-order functions are CodegenFallback; a chain of three
+    // vectorizable filters beats one branchy fold there.
     def m(p: Int) = size(filter(sequence(lit(1), n - (p - 1) - 1),
       i => element_at(t, i) === element_at(t, i + p)))
     def ac(p: Int) = col(s"m$p").cast("double") / (col("n_tok") - p)

@@ -127,6 +127,37 @@ def main():
         shutil.rmtree(out_dir, ignore_errors=True)
         run_verify(sf_dir, out_dir)
 
+    if "--exec-only" in sys.argv:
+        # The q186 lesson (round 10): the sf0.01/sf0.001 oracle gates
+        # verify ANSWERS but never grow intermediates to 10x scale, and
+        # the bench executes at 10x but checks nothing — so a
+        # scale-dependent crash (ANSI overflow) hides until the two
+        # paths happen to intersect. This mode is the cheap third gate:
+        # run every query at sf0.1, no DuckDB compare, fail on any
+        # crash (MISSING), unreadable dump, or empty result. Checklist:
+        #   python3 tools/check.py /root/testdata/sf0.1 /tmp/exec_sf01 --run --exec-only
+        results = {}
+        names = sorted(d for d in os.listdir(out_dir)
+                       if os.path.isdir(f"{out_dir}/{d}"))
+        manifest_path = f"{out_dir}/queries.json"
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for expected in json.load(f):
+                    if expected not in names:
+                        results[expected] = "MISSING (query crashed in Verify — see stderr)"
+        for name in names:
+            try:
+                n = len(pd.read_parquet(f"{out_dir}/{name}"))
+            except Exception as e:
+                results[name] = f"READ-FAIL {e}"
+                continue
+            results[name] = f"OK ({n} rows)" if n > 0 else "EMPTY (0 rows — regression)"
+        n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+        for k, v in sorted(results.items()):
+            print(f"{'✓' if v.startswith('OK') else '✗'} {k}: {v}")
+        print(f"\n{n_ok}/{len(results)} execute")
+        sys.exit(0 if n_ok == len(results) else 2)
+
     con = duckdb.connect()
     # keep DuckDB spill files out of the repo (committed .tmp blobs once
     # bloated git history to ~600MB packed)
