@@ -23,7 +23,7 @@ object Corpus {
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
     hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
     bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve,
-    sourceQualityDrift, mooreLewis, kmvSketchOverlap)
+    sourceQualityDrift, mooreLewis, kmvSketchOverlap, cmsHeavyHitters)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1808,5 +1808,78 @@ object Corpus {
         when(col("slope_per_1k") > 0, "improving")
           .when(col("slope_per_1k") < 0, "degrading").otherwise("flat"))
       .orderBy("source")
+  }
+
+  // --- q351: count-min sketch heavy-hitter shingles ---------------------------
+  // Completes the mergeable-sketch family: HLL (q56) answers
+  // cardinality, KMV (q348) set operations — CMS (Cormode &
+  // Muthukrishnan 2005) answers POINT FREQUENCY: d=4 hash rows × w=1024
+  // counters, estimate = min over rows, one-sided error (never under,
+  // over by ≲ N/w with prob 1−(1/2)^d). Applied to the document
+  // frequency of 3-gram shingles — the boilerplate signal q107's df
+  // cap needs, countable at 100 TB without keeping the shingle
+  // vocabulary. The sketch is LINEAR, so building it from the
+  // (shingle, df) histogram is bit-identical to per-partition sketches
+  // merged by cell addition — the map-side-combined aggregate into
+  // ≤ d·w cells IS the merge. Hashes are the engine-portable
+  // polynomial fold salted per row (the q348/q206 rule), so DuckDB
+  // replays cells, probes, and the min fold exactly. The exact df
+  // rides along as the honesty column — collision inflation is
+  // VISIBLE in the output (16k+ shingles over 1024 counters/row), not
+  // asserted away.
+  def cmsHeavyHitters: Q = {
+    val d = 4
+    val w = 1024
+    val P = 1000000007L
+    val A = Seq(3L, 5L, 7L, 11L)
+    val B = Seq(17L, 1017L, 2017L, 3017L)
+    val acase = s"(CASE r ${A.indices.map(i => s"WHEN $i THEN ${A(i)}").mkString(" ")} END)"
+    val bcase = s"(CASE r ${B.indices.map(i => s"WHEN $i THEN ${B(i)}").mkString(" ")} END)"
+    Q(
+      "q351_cms_heavy_hitters",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+         |       UNNEST(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+         |       WHERE len(t) >= 3),
+         |tc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY shingle),
+         |th AS (SELECT shingle, c, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(shingle, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         |    (h, b) -> (h * 131 + b) % $P) AS h FROM tc),
+         |cells AS (SELECT r, (th.h * $acase + $bcase) % $P % $w AS cell,
+         |    CAST(sum(c) AS BIGINT) AS n
+         |  FROM th, UNNEST(range(0, $d)) AS u(r) GROUP BY 1, 2),
+         |cand AS (SELECT shingle, c, h FROM th ORDER BY c DESC, shingle LIMIT 20),
+         |probe AS (SELECT shingle, c, r, (h * $acase + $bcase) % $P % $w AS cell
+         |  FROM cand, UNNEST(range(0, $d)) AS u(r)),
+         |est AS (SELECT probe.shingle, probe.c, min(cells.n) AS est
+         |  FROM probe JOIN cells ON cells.r = probe.r AND cells.cell = probe.cell
+         |  GROUP BY 1, 2)
+         |SELECT shingle, c AS exact_df, est AS est_df, est - c AS inflation
+         |FROM est ORDER BY exact_df DESC, shingle""".stripMargin,
+    ) { (s, dir) =>
+      def cellOf(h: Column, r: Int): Column =
+        pmod(h * lit(A(r)) + lit(B(r)), lit(P)) % w
+      val tc = Dedup.persistTracked(
+        Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+          .groupBy("shingle").agg(count(lit(1)).as("c"))
+          .select(col("shingle"), col("c"), Dedup.polyTokenHash(col("shingle")).as("h")))
+      // the d×w counter matrix: d cell coordinates per vocab row, then
+      // one map-side-combined aggregate into ≤ d·w cells
+      val cells = tc
+        .select(col("c"), posexplode(array((0 until d).map(r => cellOf(col("h"), r)): _*))
+          .as(Seq("r", "cell")))
+        .groupBy("r", "cell").agg(sum("c").as("n"))
+      // top-20 exact heavy hitters (bounded TakeOrdered), probed against
+      // the broadcast cell table; estimate = min over the d rows
+      val cand = tc.orderBy(col("c").desc, col("shingle")).limit(20)
+        .select(col("shingle"), col("c"),
+          posexplode(array((0 until d).map(r => cellOf(col("h"), r)): _*))
+            .as(Seq("r", "cell")))
+      cand.join(broadcast(cells), Seq("r", "cell"))
+        .groupBy("shingle", "c").agg(min("n").as("est"))
+        .select(col("shingle"), col("c").as("exact_df"), col("est").as("est_df"),
+          (col("est") - col("c")).as("inflation"))
+        .orderBy(col("exact_df").desc, col("shingle"))
+    }
   }
 }

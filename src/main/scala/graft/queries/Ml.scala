@@ -14,7 +14,8 @@ object Ml {
     chiSquare, aucMannWhitney, robustOutliers, cuped, qualityClassifier, calibration,
     bootstrapCi, psiDrift, classifierMetrics, trimmedMean, infoGain, rankSumDrift,
     wassersteinDrift, averagePrecision, permutationTest, cramersV, cumulativeGains,
-    signalCorrelation, youdenThreshold, adaboostStumps, plattScaling)
+    signalCorrelation, youdenThreshold, adaboostStumps, plattScaling,
+    fellegiSunter)
 
   // --- q200: per-dimension information gain vs label ------------------------
   // Feature selection's first question: which embedding dimensions
@@ -833,6 +834,137 @@ object Ml {
          |  CAST(sum(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean_p,
          |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
          |FROM pp GROUP BY 1 ORDER BY bin""".stripMargin
+    (df, sql)
+  }
+
+  // --- q352: Fellegi–Sunter probabilistic record linkage ----------------------
+  // The entity-resolution member of the trainer family: q102's edit
+  // distance measures string similarity, but production linkage
+  // (Fellegi & Sunter 1969) is a latent-class model — per-field
+  // agreement probabilities m (among true matches) and u (among
+  // non-matches) estimated by EM, pairs scored by Σ log(m/u) over the
+  // agreement vector. Ground truth is CONSTRUCTED the q337 way: the
+  // "dirty" side is the customer table itself with fields perturbed by
+  // keyed-uniform coin flips (name last-char swap at 30%, balance +7
+  // at 30%, segment wiped at 20% — pure functions of c_custkey, so
+  // DuckDB replays the corruption exactly), and truth = key equality.
+  // Scale shape: candidate pairs come from a keyed BLOCK join
+  // (nationkey × coarse balance band — never all-pairs; block keys are
+  // a caller choice at 100 TB), the 2³-pattern histogram is one
+  // map-side-combined aggregate, EM runs driver-side on those ≤8
+  // sufficient-statistic rows (the q349 Newton shape: corpus work is
+  // one join + one aggregate, model math is bounded), and the oracle
+  // replays blocking, corruption, patterns, and the trained weights as
+  // literals. n_true rides along as the honesty column — the EM's
+  // classification quality is visible per pattern, not asserted.
+  def fellegiSunter: Q = Q.dynamicOracle("q352_fellegi_sunter") { (s, dir) =>
+    val P = 1000003L
+    // keyed uniforms with a DISTINCT multiplier per coin: an additive
+    // salt (even fed through a second mod stage) only shifts the same
+    // linear congruence, so u(k,11)/u(k,22)/u(k,33) stay affinely
+    // dependent and the corruption coins fire in lockstep — both forms
+    // were measured to produce degenerate agreement-pattern tables.
+    // Distinct multipliers decorrelate: P(bal kept | name kept) ≈ 0.714
+    // vs the 0.7 marginal on this corpus.
+    val mult = Map(11 -> 2654435761L, 22 -> 2246822519L, 33 -> 3266489917L)
+    def u(salt: Int) =
+      (pmod(col("c_custkey") * mult(salt) + salt, lit(P)).cast("double") + 0.5) / P.toDouble
+    def uSql(salt: Int) =
+      s"((c_custkey * ${mult(salt)} + $salt) % $P + 0.5) / $P.0"
+    val cust = Tables.customer(s, dir)
+    val clean = cust.select(col("c_custkey").as("lk"), col("c_name").as("lname"),
+      floor(col("c_acctbal")).cast("long").as("lbal"), col("c_mktsegment").as("lseg"),
+      col("c_nationkey").as("nation"),
+      floor(floor(col("c_acctbal")).cast("double") / 2000.0).cast("long").as("band"))
+    val dirty = cust.select(col("c_custkey").as("rk"),
+      when(u(11) < 0.3,
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+        .otherwise(col("c_name")).as("rname"),
+      (floor(col("c_acctbal")).cast("long")
+        + when(u(22) < 0.3, 7L).otherwise(0L)).as("rbal"),
+      when(u(33) < 0.2, lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("rseg"),
+      col("c_nationkey").as("nation"))
+      .withColumn("band", floor(col("rbal").cast("double") / 2000.0).cast("long"))
+    val pats = clean.join(dirty, Seq("nation", "band"))
+      .select(
+        when(col("lname") === col("rname"), 1).otherwise(0).as("a_name"),
+        when(col("lbal") === col("rbal"), 1).otherwise(0).as("a_bal"),
+        when(col("lseg") === col("rseg"), 1).otherwise(0).as("a_seg"),
+        when(col("lk") === col("rk"), 1L).otherwise(0L).as("t"))
+      .groupBy("a_name", "a_bal", "a_seg")
+      .agg(count(lit(1)).as("n"), sum("t").as("n_true"))
+    // ≤ 2³ sufficient-statistic rows — a require-guarded driver collect
+    val hist = pats.collect()
+      .map(r => (Array(r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1(0), x._1(1), x._1(2))) // fixed fold order
+    require(hist.length <= 8,
+      s"fellegi-sunter: ${hist.length} agreement patterns exceed the 2^3 budget")
+    val F = 3
+    val m = Array(0.8, 0.8, 0.8)
+    val uu = Array(0.1, 0.1, 0.1)
+    var p = 0.05
+    def clamp(x: Double) = math.min(math.max(x, 1e-6), 1.0 - 1e-6)
+    for (_ <- 1 to 30) { // EM on the pattern histogram — deterministic IEEE
+      var sw = 0.0; var snw = 0.0
+      val swj = new Array[Double](F); val snwj = new Array[Double](F)
+      for ((g, n, _) <- hist) {
+        var pm = p; var pu = 1.0 - p
+        for (j <- 0 until F) {
+          pm *= (if (g(j) == 1) m(j) else 1.0 - m(j))
+          pu *= (if (g(j) == 1) uu(j) else 1.0 - uu(j))
+        }
+        val w = pm / (pm + pu)
+        sw += n * w; snw += n * (1.0 - w)
+        for (j <- 0 until F if g(j) == 1) { swj(j) += n * w; snwj(j) += n * (1.0 - w) }
+      }
+      for (j <- 0 until F) { m(j) = clamp(swj(j) / sw); uu(j) = clamp(snwj(j) / snw) }
+      p = clamp(sw / (sw + snw))
+    }
+    // per-field log agreement/disagreement weights + the match
+    // threshold ln((1−p)/p) (posterior > 0.5), all shipped as literals
+    val lt = (0 until F).map(j => math.log(m(j) / uu(j)))
+    val lf = (0 until F).map(j => math.log((1.0 - m(j)) / (1.0 - uu(j))))
+    val thr = math.log((1.0 - p) / p)
+    val gcols = Seq("a_name", "a_bal", "a_seg")
+    val wexpr = (0 until F).map(j =>
+      col(gcols(j)) * lit(lt(j)) + (lit(1) - col(gcols(j))) * lit(lf(j)))
+      .reduce(_ + _)
+    val df = pats
+      .select(col("a_name"), col("a_bal"), col("a_seg"),
+        col("n").as("n_pairs"), col("n_true"),
+        znorm(round(wexpr, 6)).as("weight"),
+        (round(wexpr, 6) > lit(thr)).as("is_match"))
+      .orderBy("a_name", "a_bal", "a_seg")
+    val wsql = (0 until F).map(j =>
+      s"${gcols(j)} * (${lt(j)}) + (1 - ${gcols(j)}) * (${lf(j)})").mkString(" + ")
+    val sql =
+      s"""WITH clean AS (SELECT c_custkey AS lk, c_name AS lname,
+         |    CAST(floor(c_acctbal) AS BIGINT) AS lbal, c_mktsegment AS lseg,
+         |    c_nationkey AS nation,
+         |    CAST(floor(CAST(floor(c_acctbal) AS BIGINT) / 2000.0) AS BIGINT) AS band
+         |  FROM customer),
+         |dirty AS (SELECT c_custkey AS rk,
+         |    CASE WHEN ${uSql(11)} < 0.3
+         |         THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+         |         ELSE c_name END AS rname,
+         |    CAST(floor(c_acctbal) AS BIGINT)
+         |      + CASE WHEN ${uSql(22)} < 0.3 THEN 7 ELSE 0 END AS rbal,
+         |    CASE WHEN ${uSql(33)} < 0.2 THEN 'UNKNOWN' ELSE c_mktsegment END AS rseg,
+         |    c_nationkey AS nation
+         |  FROM customer),
+         |pats AS (SELECT
+         |    CASE WHEN lname = rname THEN 1 ELSE 0 END AS a_name,
+         |    CASE WHEN lbal = rbal THEN 1 ELSE 0 END AS a_bal,
+         |    CASE WHEN lseg = rseg THEN 1 ELSE 0 END AS a_seg,
+         |    CASE WHEN lk = rk THEN 1 ELSE 0 END AS t
+         |  FROM clean JOIN dirty
+         |    ON clean.nation = dirty.nation
+         |   AND clean.band = CAST(floor(rbal / 2000.0) AS BIGINT))
+         |SELECT a_name, a_bal, a_seg, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(t) AS BIGINT) AS n_true,
+         |  round($wsql, 6) + 0.0 AS weight,
+         |  round($wsql, 6) > ($thr) AS is_match
+         |FROM pats GROUP BY 1, 2, 3 ORDER BY a_name, a_bal, a_seg""".stripMargin
     (df, sql)
   }
 

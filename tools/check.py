@@ -133,8 +133,14 @@ def main():
         # the bench executes at 10x but checks nothing — so a
         # scale-dependent crash (ANSI overflow) hides until the two
         # paths happen to intersect. This mode is the cheap third gate:
-        # run every query at sf0.1, no DuckDB compare, fail on any
-        # crash (MISSING), unreadable dump, or empty result. Checklist:
+        # run every query at sf0.1, no DuckDB compare, FAIL on any
+        # crash (MISSING) or unreadable dump. Empty results are counted
+        # and printed as warnings, NOT failures: thresholded queries
+        # (near-dup pairs, graph motifs, >3sigma spikes) can be
+        # legitimately empty at a different SF — the round-11 sweep's
+        # 10 empties were all confirmed empty by their DuckDB oracles
+        # at sf0.1. A NEW empty vs the previous round's sweep is worth
+        # a manual oracle check. Checklist:
         #   python3 tools/check.py /root/testdata/sf0.1 /tmp/exec_sf01 --run --exec-only
         results = {}
         names = sorted(d for d in os.listdir(out_dir)
@@ -151,12 +157,16 @@ def main():
             except Exception as e:
                 results[name] = f"READ-FAIL {e}"
                 continue
-            results[name] = f"OK ({n} rows)" if n > 0 else "EMPTY (0 rows — regression)"
-        n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+            results[name] = f"OK ({n} rows)" if n > 0 else "EMPTY (0 rows — check the oracle)"
+        n_bad = sum(1 for v in results.values()
+                    if v.startswith(("MISSING", "READ-FAIL")))
+        n_empty = sum(1 for v in results.values() if v.startswith("EMPTY"))
         for k, v in sorted(results.items()):
-            print(f"{'✓' if v.startswith('OK') else '✗'} {k}: {v}")
-        print(f"\n{n_ok}/{len(results)} execute")
-        sys.exit(0 if n_ok == len(results) else 2)
+            flag = "✓" if v.startswith("OK") else ("∅" if v.startswith("EMPTY") else "✗")
+            print(f"{flag} {k}: {v}")
+        print(f"\n{len(results) - n_bad}/{len(results)} execute"
+              f" ({n_empty} empty — verify any NEW ones against their oracle)")
+        sys.exit(0 if n_bad == 0 else 2)
 
     con = duckdb.connect()
     # keep DuckDB spill files out of the repo (committed .tmp blobs once
