@@ -893,4 +893,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(event_type"), p.take(1500))
     assert(!p.contains("Join"), p.take(1500))
   }
+
+  test("q351 CMS probes the bounded cell table via broadcast, never a shuffle join") {
+    val p = plan("q351_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // candidate list is a bounded top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
+  }
+
+  test("q352 linkage pairs come from an equi hash join on the block keys, never all-pairs") {
+    val p = plan("q352_fellegi_sunter")
+    assert(p.contains("HashJoin"), p.take(2000)) // broadcast or shuffled — both equi
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the 2^3-pattern histogram partial-aggregates before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
 }
