@@ -80,10 +80,14 @@ object Bench {
         }
       }
       if (!truncated) passes = pass
-      // overwrite the artifact after every pass (and a truncated one):
-      // run 1's complete min-map is a valid artifact and must survive
-      // a driver-side kill of pass 2+ (the BENCH_r10 rc=124 failure)
-      writeArtifact(jsonLine(names, best, math.max(passes, 1), sfDir), outPath)
+      // overwrite the artifact after every pass (and a truncated one)
+      // AND print it: run 1's complete min-map is a valid artifact and
+      // must survive a driver-side kill of pass 2+ whether the driver
+      // reads the file or the last stdout line (the BENCH_r10 rc=124
+      // failure left BOTH empty)
+      val line = jsonLine(names, best, math.max(passes, 1), sfDir)
+      writeArtifact(line, outPath)
+      println(line)
       pass += 1
     }
     (best.toMap, passes)
@@ -141,10 +145,9 @@ object Bench {
       graft.dedup.Dedup.clearCaches(spark)
       spark.catalog.clearCache()
     }
-    val (best, passes) = runLoop(names, time, runs, budgetSec, sfDir, outPath, beforePass)
-    // the artifact file is already current; print the line too (the
-    // driver also captures stdout)
-    println(jsonLine(names, best, math.max(passes, 1), sfDir))
+    // runLoop already wrote and printed the line after every pass —
+    // the LAST stdout line is always the newest complete artifact
+    runLoop(names, time, runs, budgetSec, sfDir, outPath, beforePass)
     spark.stop()
   }
 }
