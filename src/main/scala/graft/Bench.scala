@@ -29,11 +29,12 @@ object Bench {
     * from the total.
     */
   def jsonLine(names: Seq[String], best: collection.Map[String, Double],
-      passes: Int, sfDir: String): String = {
+      passes: Int, sfDir: String, partial: Boolean = false): String = {
     val qs = names.map(k => "\"" + k + "\":" + best.getOrElse(k, -1.0))
       .mkString("{", ",", "}")
     val total = names.flatMap(best.get).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$passes,"sf":"$sfDir"}"""
+    val part = if (partial) ""","partial":true""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$passes,"sf":"$sfDir"$part}"""
   }
 
   private def writeArtifact(line: String, outPath: String): Unit =
@@ -51,7 +52,8 @@ object Bench {
     */
   private[graft] def runLoop(names: Seq[String], time: String => Unit,
       runs: Int, budgetSec: Double, sfDir: String, outPath: String,
-      beforePass: () => Unit = () => ()): (Map[String, Double], Int) = {
+      beforePass: () => Unit = () => (),
+      partialEvery: Int = 50): (Map[String, Double], Int) = {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val start = System.nanoTime()
     def elapsed = (System.nanoTime() - start) / 1e9
@@ -64,6 +66,7 @@ object Bench {
       // budget cut re-samples the queries where noise costs the most
       val order = if (pass == 1) names
         else names.sortBy(n => -best.getOrElse(n, Double.MaxValue))
+      var attempted = 0
       for (name <- order if !truncated) {
         if (pass > 1 && elapsed >= budgetSec) truncated = true
         else {
@@ -76,6 +79,17 @@ object Bench {
             // a crashed query must not masquerade as a fast one
             System.err.println(s"[bench] $name FAILED pass $pass: ${e.getMessage}")
             if (!best.contains(name)) best(name) = -1.0
+          }
+          attempted += 1
+          // r11 lesson: a kill INSIDE pass 1 used to leave nothing.
+          // Checkpoint a partial artifact every `partialEvery` queries
+          // during pass 1, covering only the ATTEMPTED names (absent ≠
+          // failed) and flagged "partial":true so a reader never
+          // mistakes it for a full-registry total.
+          if (pass == 1 && attempted % partialEvery == 0 && attempted < order.size) {
+            val line = jsonLine(order.take(attempted), best, 1, sfDir, partial = true)
+            writeArtifact(line, outPath)
+            println(line)
           }
         }
       }

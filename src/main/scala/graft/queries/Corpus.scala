@@ -23,7 +23,8 @@ object Corpus {
     tokenBurstiness, batchNovelty, sourceMinhash, knBigramLm, captureRecapture,
     hillTailIndex, selfOverlapDiversity, jsDivergencePairs, tokenLorenz,
     bigramRedundancy, deletedInterpolation, burrowsDelta, noveltyCurve,
-    sourceQualityDrift, mooreLewis, kmvSketchOverlap, cmsHeavyHitters)
+    sourceQualityDrift, mooreLewis, kmvSketchOverlap, cmsHeavyHitters,
+    logbinQuantiles)
 
   // --- q162: Zipf rank-frequency slope -------------------------------------
   // The corpus-health power-law audit: natural text shows ln(tf) ≈
@@ -1881,5 +1882,80 @@ object Corpus {
           (col("est") - col("c")).as("inflation"))
         .orderBy(col("exact_df").desc, col("shingle"))
     }
+  }
+
+  // --- q353: mergeable log-bin quantile sketch ------------------------------
+  // The QUANTILE member of the mergeable-sketch family (HLL =
+  // cardinality q56, KMV = set ops q348, CMS = point frequency
+  // q112/q351): per-language p50/p90/p99 of document length WITHOUT a
+  // per-group sort of the corpus. Values bin into integer-exact log
+  // bins — exact below 16, then 8 sub-bins per power of two (relative
+  // error ≤ 1/8, the bin bounds ride along so the error bound is
+  // VISIBLE per row, not asserted) — via bit-length arithmetic
+  // (length(bin(v)), shifts, integer div), so both engines compute
+  // identical bins with zero float boundaries. The histogram is
+  // LINEAR: per-partition (lang, bin) counts merged by addition IS the
+  // sketch merge, which is what makes it a one-aggregate 100 TB op —
+  // ~300 cells/lang of state, windows and the ×3-fraction explode run
+  // on the bounded histogram only, never the corpus. The quantile read
+  // is rank r = ceil(q·n) into the cumulative histogram with uniform
+  // within-bin interpolation — straight-line IEEE arithmetic DuckDB
+  // replays bit-identically (round-6 is boundary-safe on division
+  // results: x.0000005 has no exact double).
+  def logbinQuantiles: Q = Q(
+    "q353_logbin_quantiles",
+    """WITH v AS (SELECT lang, n_chars AS v FROM documents WHERE n_chars >= 1),
+      |e AS (SELECT lang, v, length(bin(v)) AS e FROM v),
+      |pw AS (SELECT lang, v,
+      |    CASE WHEN v < 16 THEN CAST(0 AS BIGINT)
+      |         ELSE (CAST(1 AS BIGINT) << (e - 1)) END AS pv,
+      |    CASE WHEN v < 16 THEN CAST(1 AS BIGINT)
+      |         ELSE (CAST(1 AS BIGINT) << (e - 1)) // 8 END AS w
+      |  FROM e),
+      |bins AS (SELECT lang,
+      |    CASE WHEN v < 16 THEN v ELSE pv + ((v - pv) // w) * w END AS lo,
+      |    CASE WHEN v < 16 THEN v ELSE pv + ((v - pv) // w) * w + w - 1 END AS hi
+      |  FROM pw),
+      |hist AS (SELECT lang, lo, hi, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM bins GROUP BY 1, 2, 3),
+      |c AS (SELECT lang, lo, hi, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY lo) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      |  FROM hist),
+      |qs AS (SELECT lang, lo, hi, cnt, cum, tot, q,
+      |    CAST(ceil(q * tot) AS BIGINT) AS r
+      |  FROM c, UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
+      |SELECT lang, q AS p, tot AS n_docs, lo AS bin_lo, hi AS bin_hi,
+      |  round(lo + (hi - lo) * CAST(r - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
+      |FROM qs WHERE cum >= r AND cum - cnt < r
+      |ORDER BY lang, p""".stripMargin,
+  ) { (s, dir) =>
+    val binned = Tables.documents(s, dir)
+      .filter(col("n_chars") >= 1)
+      .select(col("lang"), col("n_chars").as("v"))
+      .withColumn("e", length(bin(col("v"))))
+      .withColumn("pv", expr(
+        "CASE WHEN v < 16 THEN CAST(0 AS BIGINT) ELSE shiftleft(CAST(1 AS BIGINT), e - 1) END"))
+      .withColumn("w", expr(
+        "CASE WHEN v < 16 THEN CAST(1 AS BIGINT) ELSE pv div 8 END"))
+      .withColumn("lo", expr(
+        "CASE WHEN v < 16 THEN v ELSE pv + ((v - pv) div w) * w END"))
+      .withColumn("hi", expr(
+        "CASE WHEN v < 16 THEN v ELSE lo + w - 1 END"))
+    val hist = binned.groupBy("lang", "lo", "hi").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("lo")
+    val wTot = Window.partitionBy("lang")
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+      .withColumn("r", ceil(col("q") * col("tot")))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("lang"), col("q").as("p"), col("tot").as("n_docs"),
+        col("lo").as("bin_lo"), col("hi").as("bin_hi"),
+        round(col("lo") + (col("hi") - col("lo"))
+          * (col("r") - (col("cum") - col("cnt"))).cast("double") / col("cnt"), 6)
+          .as("est"))
+      .orderBy("lang", "p")
   }
 }

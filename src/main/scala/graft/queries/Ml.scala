@@ -708,15 +708,27 @@ object Ml {
     "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
     "l_discount" -> Seq(0.02, 0.05, 0.08),
     "l_tax" -> Seq(0.03, 0.06))
+  // The memo key is a 32-bit semanticHash — the stored analyzed plan +
+  // sameResult check below is the collision guard (same discipline as
+  // Dedup.track): without it a hash collision between two different
+  // labeled corpora would silently serve a model trained on the wrong
+  // data, and the dynamic oracle would replay the same wrong weights.
   private val boostMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int), graft.ml.BoostLite.BoostResult]()
+    (org.apache.spark.sql.SparkSession, Int),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      graft.ml.BoostLite.BoostResult)]()
   graft.dedup.Dedup.onClearCaches(() => boostMemo.clear())
 
   private def sharedBoostModel(labeled: org.apache.spark.sql.DataFrame)
-      : graft.ml.BoostLite.BoostResult =
-    boostMemo.computeIfAbsent(
-      (labeled.sparkSession, labeled.queryExecution.analyzed.semanticHash()),
-      _ => graft.ml.BoostLite.train(labeled, boostGrid, "__lbl", rounds = 5))
+      : graft.ml.BoostLite.BoostResult = {
+    val plan = labeled.queryExecution.analyzed
+    boostMemo.compute(
+      (labeled.sparkSession, plan.semanticHash()),
+      (_, prev) =>
+        if (prev != null && prev._1.sameResult(plan)) prev
+        else (plan, graft.ml.BoostLite.train(labeled, boostGrid, "__lbl", rounds = 5))
+    )._2
+  }
 
   // --- q337: AdaBoost decision stumps (from-scratch boosting) ---------------
   // The boosting member of the trainer family (next to RF, isolation
@@ -885,20 +897,29 @@ object Ml {
       when(u(33) < 0.2, lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("rseg"),
       col("c_nationkey").as("nation"))
       .withColumn("band", floor(col("rbal").cast("double") / 2000.0).cast("long"))
-    val pats = clean.join(dirty, Seq("nation", "band"))
-      .select(
-        when(col("lname") === col("rname"), 1).otherwise(0).as("a_name"),
-        when(col("lbal") === col("rbal"), 1).otherwise(0).as("a_bal"),
-        when(col("lseg") === col("rseg"), 1).otherwise(0).as("a_seg"),
-        when(col("lk") === col("rk"), 1L).otherwise(0L).as("t"))
-      .groupBy("a_name", "a_bal", "a_seg")
-      .agg(count(lit(1)).as("n"), sum("t").as("n_true"))
+    // persistTracked: pats feeds the EM fit (collect below) AND the
+    // output plan — without it the blocked pair join runs twice per
+    // invocation (the r11 verdict's one perf finding)
+    val pats = graft.dedup.Dedup.persistTracked(
+      clean.join(dirty, Seq("nation", "band"))
+        .select(
+          when(col("lname") === col("rname"), 1).otherwise(0).as("a_name"),
+          when(col("lbal") === col("rbal"), 1).otherwise(0).as("a_bal"),
+          when(col("lseg") === col("rseg"), 1).otherwise(0).as("a_seg"),
+          when(col("lk") === col("rk"), 1L).otherwise(0L).as("t"))
+        .groupBy("a_name", "a_bal", "a_seg")
+        .agg(count(lit(1)).as("n"), sum("t").as("n_true")))
     // ≤ 2³ sufficient-statistic rows — a require-guarded driver collect
     val hist = pats.collect()
       .map(r => (Array(r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3), r.getLong(4)))
       .sortBy(x => (x._1(0), x._1(1), x._1(2))) // fixed fold order
     require(hist.length <= 8,
       s"fellegi-sunter: ${hist.length} agreement patterns exceed the 2^3 budget")
+    // an empty corpus would make EM's first sw = 0, NaN-poison m/u/p,
+    // and interpolate bare `NaN` literals into the oracle SQL (a DuckDB
+    // parse error) — fail with the real diagnostic instead
+    require(hist.nonEmpty,
+      "fellegi-sunter: no candidate pairs (empty blocked join) — EM is undefined on a degenerate corpus")
     val F = 3
     val m = Array(0.8, 0.8, 0.8)
     val uu = Array(0.1, 0.1, 0.1)

@@ -59,6 +59,37 @@ class BenchResilienceSpec extends AnyFunSuite {
     assert(!art.matches(""".*":-1\.0.*"""), s"pass-1 artifact has failures: $art")
   }
 
+  test("a fatal error mid-pass-1 leaves a partial artifact covering the attempted queries") {
+    val out = tmpOut()
+    val names = (1 to 5).map(i => s"q$i")
+    var ran = 0
+    intercept[SimulatedKill] {
+      Bench.runLoop(names,
+        name => { ran += 1; if (ran > 3) throw new SimulatedKill else Thread.sleep(1) },
+        runs = 3, budgetSec = 3600.0, sfDir = "sfX", outPath = out.toString,
+        partialEvery = 2)
+    }
+    // the kill hit query 4; the last checkpoint was after query 2
+    val art = readJson(out)
+    assert(art.contains("\"partial\":true"), s"mid-pass-1 artifact must be flagged: $art")
+    assert(art.contains("\"q1\":") && art.contains("\"q2\":"))
+    assert(!art.contains("\"q3\":") && !art.contains("\"q5\":"),
+      s"partial artifact must cover only checkpointed attempts: $art")
+    assert(!art.contains(":-1.0"), "completed queries have real samples")
+  }
+
+  test("a completed pass 1 overwrites the partial artifact with an unflagged full one") {
+    val out = tmpOut()
+    val names = (1 to 5).map(i => s"q$i")
+    val (best, passes) = Bench.runLoop(names, _ => Thread.sleep(1),
+      runs = 1, budgetSec = 3600.0, sfDir = "sfX", outPath = out.toString,
+      partialEvery = 2)
+    assert(passes === 1 && best.size === 5)
+    val art = readJson(out)
+    assert(!art.contains("\"partial\""), s"final artifact must not carry the flag: $art")
+    assertValidArtifact(art, names)
+  }
+
   test("budget zero: pass 1 still completes in full; no re-runs start") {
     val out = tmpOut()
     val names = Seq("qa", "qb")

@@ -904,12 +904,46 @@ class PlanSpec extends SparkSpec {
     graft.dedup.Dedup.clearCaches(spark)
   }
 
-  test("q352 linkage pairs come from an equi hash join on the block keys, never all-pairs") {
-    val p = plan("q352_fellegi_sunter")
-    assert(p.contains("HashJoin"), p.take(2000)) // broadcast or shuffled — both equi
+  test("q353 quantile sketch: one corpus aggregate, no corpus sort, no join") {
+    val p = plan("q353_logbin_quantiles")
+    // the only corpus-touching op is the (lang, bin) hash aggregate —
+    // partial+final; windows and the ×3 explode run on the bounded
+    // histogram AFTER it
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    // corpus path is sort-free: the plan prints top-down, so the text
+    // from the LAST (partial, scan-adjacent) HashAggregate to the
+    // parquet scan is the corpus path — no Sort may appear there;
+    // every Sort above it operates on the bounded histogram
+    val corpusPath = p.substring(p.lastIndexOf("HashAggregate"))
+    assert(corpusPath.contains("Scan parquet"), corpusPath.take(800))
+    assert(!corpusPath.contains("Sort"), corpusPath.take(800))
+  }
+
+  test("q352 linkage pairs: blocked equi join, executed ONCE via the persisted pattern table") {
+    val df = SparkEntry.queries("q352_fellegi_sunter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // r11 verdict #3: the output plan must READ the persisted ≤8-row
+    // sufficient-statistic table (already materialized by the EM fit),
+    // not re-run the blocking join a second time
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
-    // the 2^3-pattern histogram partial-aggregates before its exchange
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    // the join shape lives inside the cached relation: an equi hash
+    // join on the block keys, never all-pairs, partial-aggregated
+    // before its exchange
+    // collect from the OPTIMIZED LOGICAL plan: under AQE the executed
+    // plan is an AdaptiveSparkPlanExec whose tree collect() does not
+    // descend into the staged inner plan
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.mkString
+    assert(cached.contains("HashJoin"), cached.take(2000))
+    assert(!cached.contains("CartesianProduct") && !cached.contains("BroadcastNestedLoopJoin"),
+      cached.take(2000))
+    assert("HashAggregate".r.findAllIn(cached).size >= 2, cached.take(2000))
+    graft.dedup.Dedup.clearCaches(spark)
   }
 }

@@ -143,14 +143,28 @@ def main():
         # a manual oracle check. Checklist:
         #   python3 tools/check.py /root/testdata/sf0.1 /tmp/exec_sf01 --run --exec-only
         results = {}
+        # a vanished out_dir or absent manifest means Verify never got
+        # far enough to attempt anything — that must read as a loud
+        # failure, never as a "0/0 execute" pass (advisor r11 finding)
+        if not os.path.isdir(out_dir):
+            print(f"FAIL: out_dir {out_dir} does not exist — Verify never ran",
+                  file=sys.stderr)
+            sys.exit(2)
         names = sorted(d for d in os.listdir(out_dir)
                        if os.path.isdir(f"{out_dir}/{d}"))
         manifest_path = f"{out_dir}/queries.json"
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                for expected in json.load(f):
-                    if expected not in names:
-                        results[expected] = "MISSING (query crashed in Verify — see stderr)"
+        if not os.path.exists(manifest_path):
+            print(f"FAIL: {manifest_path} missing — Verify crashed before "
+                  "writing its manifest; nothing is gradeable", file=sys.stderr)
+            sys.exit(2)
+        with open(manifest_path) as f:
+            for expected in json.load(f):
+                if expected not in names:
+                    results[expected] = "MISSING (query crashed in Verify — see stderr)"
+        if not results and not names:
+            print("FAIL: manifest lists zero queries and no query dirs exist",
+                  file=sys.stderr)
+            sys.exit(2)
         for name in names:
             try:
                 n = len(pd.read_parquet(f"{out_dir}/{name}"))
