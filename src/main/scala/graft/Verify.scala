@@ -147,7 +147,11 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/queries.json"),
         selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     }
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
+    // default pool size tracks the session's core count (bounded 2..6):
+    // on the driver's default local[4] six concurrent jobs would only
+    // oversubscribe the four task slots
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
+      .getOrElse(math.max(2, math.min(6, cpus.toInt)))
     runDump(selected.keys.toSeq, () => writeMetadata(),
       name => {
         // FAIR shares slots across POOLS, not within one (the default
