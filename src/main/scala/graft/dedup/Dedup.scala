@@ -222,14 +222,16 @@ object Dedup {
     df.groupBy(contentCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("copies"))
 
-  /** Word n-gram shingles (distinct) of a token array. Callers must
-    * filter rows with fewer than n tokens first (Spark's `sequence`
-    * would otherwise produce a descending range).
+  /** Word n-gram shingles (distinct, first-occurrence order) of a
+    * token array — the compiled graft.functions.WordNGrams expression
+    * (bit-equal to the interpreted
+    * `array_distinct(transform(sequence, slice+concat_ws))` it
+    * replaced; WordNGramsSpec). Rows with fewer than n tokens yield an
+    * EMPTY array; callers historically filter size >= n first and/or
+    * explode the result, where empty contributes zero rows either way.
     */
   def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.functions.WordNGrams(toks, n, distinct = true)
 
   /** (id, shingle) long table — the inverted-index form. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =

@@ -57,8 +57,32 @@ object BoostLite {
     round(stumps.map(st => h(col(st.feature), st.thr, st.flip) * lit(st.alpha))
       .reduce(_ + _), 9)
 
+  /** Candidate-grid ceiling for the one-pass histogram trainer: 2^16
+    * pattern cells is still a bounded driver-side table, 2^17 is not
+    * the contract this repo wants to creep toward.
+    */
+  private val HistMaxCands = 16
+
   /** Train `rounds` stumps. `candidates` = (feature, thresholds) grid
     * — bounded by contract; `labelCol` must be 0/1 or boolean.
+    *
+    * For grids of ≤ [[HistMaxCands]] candidates (every registered
+    * caller) training is ONE corpus aggregate: because every stump the
+    * argmin can ever pick comes from the fixed grid, the histogram of
+    * per-row misclassification patterns — one bit per candidate,
+    * ≤ 2^|grid| integer-count cells — is a sufficient statistic for
+    * ALL rounds, and the driver replays the per-round DECIMAL(32,12)
+    * weighted-error sums exactly on those cells (row weights are pure
+    * functions of the chosen-stump bits, so each cell has ONE weight;
+    * Σ dec₁₂(w_cell)·n_cell is the same exact rational the per-row
+    * decimal sum produced, hence the same double after the cast).
+    * Measured on q337: 5 round-aggregates + a persisted feature frame
+    * → one count aggregate, 11.3 s → ~3 s at sf0.1 same-window.
+    * Larger grids keep the per-round wide-aggregate path — a 2^n cell
+    * table is only a sufficient statistic you can afford when n is
+    * small. RoundTenOpsSpec pins the trained stumps (including
+    * partitioning-independence); BoostHistogramSpec pins histogram ≡
+    * wide-path equality on a randomized fixture.
     */
   def train(df: DataFrame, candidates: Seq[(String, Seq[Double])],
       labelCol: String, rounds: Int): BoostResult = {
@@ -66,6 +90,99 @@ object BoostLite {
     require(cands.nonEmpty && cands.length <= 256,
       s"BoostLite: ${cands.length} candidate stumps exceed the driver-row budget (256)")
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    if (cands.length <= HistMaxCands) trainHistogram(df, cands, labelCol, rounds)
+    else trainWide(df, candidates, cands, labelCol, rounds)
+  }
+
+  /** Spark's `round(x, 12)` / `cast(x as decimal(32,12))` semantics on
+    * a double, replicated bit-for-bit (BigDecimal.valueOf = the
+    * Double.toString shortest representation, HALF_UP — the same
+    * contract CharEntropy documents for round(x, 9)).
+    */
+  private def dec12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private[graft] def trainHistogram(df: DataFrame, cands: Seq[(String, Double)],
+      labelCol: String, rounds: Int): BoostResult = {
+    val y = col(labelCol).cast("int").cast("double") * 2 - 1
+    // bit j set ⇔ candidate j's BASE polarity misclassifies the row.
+    // NULL labels get their OWN cell (-1): the wide path contributes
+    // them to no error sum and always applies the correct-side weight
+    // factor (h ≠ NULL is NULL ⇒ both whens fall through), which a
+    // flipped stump would NOT do for genuine pattern-0 rows — so the
+    // two must not share a cell.
+    val bits = cands.zipWithIndex.map { case ((f, thr), j) =>
+      when(h(col(f).cast("double"), thr, flip = false) =!= y, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val pattern = when(y.isNull, lit(-1L)).otherwise(bits)
+    val hist: Array[(Long, Long)] = df.select(pattern.as("__pat"))
+      .groupBy("__pat").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1) // fixed driver fold order (counts are exact anyway)
+    val cellW = Array.fill(hist.length)(1.0)
+    val stumps = Seq.newBuilder[Stump]
+    val errs = Seq.newBuilder[Double]
+    for (_ <- 1 to rounds) {
+      // the wide path's per-candidate DECIMAL(32,12) sums, replayed
+      // exactly: every row of a cell carries the same weight
+      val errSums = Array.fill(cands.length)(java.math.BigDecimal.ZERO)
+      var wTot = java.math.BigDecimal.ZERO
+      var c = 0
+      while (c < hist.length) {
+        val (pat, n) = hist(c)
+        val contrib = dec12(cellW(c)).multiply(java.math.BigDecimal.valueOf(n))
+        wTot = wTot.add(contrib) // total includes NULL-label rows, like wsum(__w)
+        if (pat != -1L) { // NULL-label cell contributes to no error sum
+          var j = 0
+          while (j < cands.length) {
+            if ((pat & (1L << j)) != 0L) errSums(j) = errSums(j).add(contrib)
+            j += 1
+          }
+        }
+        c += 1
+      }
+      val wTotD = wTot.doubleValue
+      var best = -1; var bestErr = Double.MaxValue; var bestFlip = false
+      var j = 0
+      while (j < cands.length) {
+        val e = errSums(j).doubleValue / wTotD
+        if (e < bestErr) { best = j; bestErr = e; bestFlip = false }
+        if (1.0 - e < bestErr) { best = j; bestErr = 1.0 - e; bestFlip = true }
+        j += 1
+      }
+      val e = math.min(math.max(bestErr, 1e-12), 1.0 - 1e-12)
+      val alpha = 0.5 * math.log((1.0 - e) / e)
+      val (bf, bthr) = cands(best)
+      stumps += Stump(bf, bthr, bestFlip, alpha)
+      errs += e
+      // round(w · e^{±α}, 12) per cell — the wide path's per-row
+      // chained projection, collapsed onto the pattern cells. The
+      // chosen stump's MISCLASSIFICATION bit for a cell is the base
+      // bit XOR the flip.
+      val up = math.exp(alpha); val down = math.exp(-alpha)
+      c = 0
+      while (c < hist.length) {
+        if (hist(c)._1 == -1L) { // NULL-label cell: always correct-side
+          cellW(c) = dec12(cellW(c) * down).doubleValue
+          c += 1
+        } else {
+          val baseMiss = (hist(c)._1 & (1L << best)) != 0L
+          val miss = baseMiss ^ bestFlip
+          cellW(c) = dec12(cellW(c) * (if (miss) up else down)).doubleValue
+          c += 1
+        }
+      }
+    }
+    BoostResult(stumps.result(), errs.result())
+  }
+
+  /** The per-round wide-aggregate path (one conditional DECIMAL sum
+    * per candidate per round) — the general trainer for grids too
+    * large for a 2^|grid| histogram.
+    */
+  private[graft] def trainWide(df: DataFrame, candidates: Seq[(String, Seq[Double])],
+      cands: Seq[(String, Double)], labelCol: String, rounds: Int): BoostResult = {
     val featNames = candidates.map(_._1).distinct
     val feats = graft.dedup.Dedup.persistTracked(
       df.select((featNames.map(c => col(c).cast("double").as(c)) :+

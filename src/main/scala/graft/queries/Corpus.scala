@@ -443,10 +443,12 @@ object Corpus {
     * unlike DuckDB's empty `generate_series(1, 0)`).
     */
   private def ngrams(w: Column, width: Int): Column =
-    when(size(w) >= width,
-      transform(sequence(lit(1), size(w) - (width - 1)),
-        i => array_join(slice(w, i, lit(width)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // compiled n-gram builder (graft.functions.WordNGrams): same
+    // strings, and short docs yield an EMPTY array exactly like the
+    // old `when(size >= width, ...)` guard — both callers explode, so
+    // NULL-text rows (null in, null out) also still contribute zero
+    // rows, matching the old guard's empty-array branch
+    graft.functions.WordNGrams(w, width, distinct = false)
 
   // --- q85: overlapping token-window chunking ------------------------------
   // Long documents become training samples as fixed token windows with
@@ -1006,8 +1008,8 @@ object Corpus {
       .select(least(expr("div(doc_id * 10, n)").cast("int"), lit(9)).as("batch"),
         t.as("t"))
       .filter(size(col("t")) >= 5)
-    val bs = d.select(col("batch"), explode(transform(sequence(lit(1), size(col("t")) - 4),
-        i => concat_ws(" ", slice(col("t"), i, lit(5))))).as("sg"))
+    val bs = d.select(col("batch"),
+        explode(graft.functions.WordNGrams(col("t"), 5, distinct = false)).as("sg"))
       .distinct()
     val fb = bs.groupBy("sg").agg(min(col("batch")).as("fb"))
     bs.join(fb, "sg")
@@ -1117,10 +1119,9 @@ object Corpus {
       val bg = Dedup.persistTracked(Tables.documents(s, dir)
         .filter(size(toks) >= 2)
         .select(col("doc_id"), toks.as("t"))
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2")))
+        .select(col("doc_id"),
+          explode(graft.functions.AdjacentPairs(col("t"))).as("b"))
+        .select(col("doc_id"), col("b.a").as("w1"), col("b.b").as("w2")))
       val c2 = Dedup.persistTracked(
         bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")))
       val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
@@ -1319,9 +1320,7 @@ object Corpus {
       .filter(size(t) >= 3)
       .select(col("doc_id"), col("source"), t.as("t"))
       .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("shingle"))
+        explode(graft.functions.WordNGrams(col("t"), 3, distinct = false)).as("shingle"))
       .distinct())
     val df = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
     val pd = sh.join(df, Seq("source", "shingle"))
@@ -1518,9 +1517,7 @@ object Corpus {
       .agg(sum(entTerm(col("c").cast("double") / col("n"),
         col("c").cast("double") / col("n"))).cast("double").as("h"))
     val bg = toks.filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-        i => struct(element_at(col("t"), i).as("a"),
-          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(explode(graft.functions.AdjacentPairs(col("t"))).as("p"))
       .select(col("p.a"), col("p.b"))
     val c2 = graft.dedup.Dedup.persistTracked(
       bg.groupBy("a", "b").agg(count(lit(1)).as("c")))
@@ -1594,9 +1591,7 @@ object Corpus {
       val tn = tu.agg(sum("c").cast("long").as("n"))
       def bigrams(df: org.apache.spark.sql.DataFrame) =
         df.filter(size(col("t")) >= 2)
-          .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("a"),
-              element_at(col("t"), i + 1).as("b")))).as("p"))
+          .select(explode(graft.functions.AdjacentPairs(col("t"))).as("p"))
           .select(col("p.a"), col("p.b"))
       val tb = bigrams(tr).groupBy("a", "b").agg(count(lit(1)).as("c"))
       val tc = tb.groupBy("a").agg(sum("c").cast("long").as("ca"))
@@ -1735,9 +1730,7 @@ object Corpus {
     val sh = dd.filter(size(t) >= 3)
       .select(col("doc_id"), t.as("t"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("shingle"))
+        explode(graft.functions.WordNGrams(col("t"), 3, distinct = false)).as("shingle"))
       .distinct()
     val fst = graft.dedup.Dedup.persistTracked(
       sh.groupBy("shingle").agg(min("doc_id").as("first_doc")))

@@ -1581,9 +1581,7 @@ object Curation {
         .filter(size(t) >= 3)
         .select(col("doc_id"), t.as("t"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 2),
-            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2)))).as("shingle"))
+          explode(graft.functions.WordNGrams(col("t"), 3, distinct = false)).as("shingle"))
         .distinct())
       val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       var uncovered = sh

@@ -589,9 +589,7 @@ object Graph {
         .select("tok", "id"))
       val bg = docs.filter(size(toks) >= 2)
         .select(toks.as("t"))
-        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("a"),
-            element_at(col("t"), i + 1).as("b")))).as("p"))
+        .select(explode(graft.functions.AdjacentPairs(col("t"))).as("p"))
         .select(col("p.a"), col("p.b"))
       val edges = bg
         .join(broadcast(ids.withColumnRenamed("tok", "a")

@@ -50,8 +50,8 @@ object Search {
       val docs = Tables.documents(s, dir)
       val t = split(col("text"), " ")
       val bg = docs.filter(size(t) >= 2)
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("gram"))
+        .select(col("doc_id"),
+          explode(graft.functions.WordNGrams(t, 2, distinct = false)).as("gram"))
       // pf feeds both the df aggregate and the scoring join — persist
       // so the bigram projection scans the corpus once
       val pf = graft.dedup.Dedup.persistTracked(

@@ -863,8 +863,7 @@ object Text {
       Tables.documents(s, dir)
         .filter(size(toks) >= 8)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(toks) - 7),
-            i => concat_ws(" ", slice(toks, i, lit(8))))).as("win"))
+          explode(graft.functions.WordNGrams(toks, 8, distinct = false)).as("win"))
         .select(col("doc_id"), xxhash64(col("win")).as("h1"),
           xxhash64(lit("graft_w2"), col("win")).as("h2")))
     val dup = wins.groupBy("h1", "h2")
@@ -921,8 +920,8 @@ object Text {
       Tables.documents(s, dir)
         .filter(size(toks) >= 8)
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(toks) - 7),
-            i => concat_ws(" ", slice(toks, i, lit(8))))).as(Seq("p", "win")))
+          posexplode(graft.functions.WordNGrams(toks, 8, distinct = false))
+            .as(Seq("p", "win")))
         .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
           xxhash64(col("win")).as("h1"),
           xxhash64(lit("graft_w2"), col("win")).as("h2")))
@@ -1001,8 +1000,8 @@ object Text {
     val wins = Dedup.persistTracked(docs
       .filter(col("n") >= 8)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), (col("n") - 7).cast("int")),
-          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as(Seq("p", "win")))
+        posexplode(graft.functions.WordNGrams(col("t"), 8, distinct = false))
+          .as(Seq("p", "win")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("i"),
         (col("doc_id") * 1000000L + col("p") + 1L).as("ok"),
         xxhash64(col("win")).as("h1"),
@@ -1347,41 +1346,21 @@ object Text {
   ) { (s, dir) =>
     val t = TextAnalysis.tokens(col("text"))
     val n = size(t)
-    // Σ c_t² over the row's own distinct tokens — integer-exact. One
-    // run-length fold over the SORTED array (O(n log n)) instead of a
-    // per-distinct-token filter rescan (O(distinct·n), and the first
-    // cut evaluated each filter TWICE): same exact integers, so the
-    // oracle — which still counts per-distinct-type — is untouched.
-    // The honest noop bench exposed the cost: 14.6 s at sf0.1 under
-    // the rescan, 12.1 s with this fold (the rest is the three lag
-    // filters + the output sort — genuine map work). The initial
-    // (prev = "", run = 0) state is safe even for empty-string
-    // tokens: a leading "" run just extends the zero-length run.
-    val sumsq = aggregate(array_sort(t),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
-      (st, x) => when(x === st.getField("prev"),
-          struct(x.as("prev"), (st.getField("run") + 1L).as("run"),
-            st.getField("acc").as("acc")))
-        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
-          (st.getField("acc") + st.getField("run") * st.getField("run")).as("acc"))),
-      st => st.getField("acc") + st.getField("run") * st.getField("run"))
-    // lag matches stay three primitive filter passes. Two fused
-    // single-pass designs were tried and both measured SLOWER: a
-    // struct-state fold (15.9 s vs 12.7 s — per-step InternalRow
-    // allocation) and, round 11, a packed-long fold (bits 0/21/42,
-    // one primitive accumulator: 24.3 s vs 14.5 s same-window — the
-    // interpreted ArrayAggregate's per-step lambda dispatch and Long
-    // boxing cost more than the three sequence+filter passes save).
-    // Higher-order functions are CodegenFallback; a chain of three
-    // vectorizable filters beats one branchy fold there.
-    def m(p: Int) = size(filter(sequence(lit(1), n - (p - 1) - 1),
-      i => element_at(t, i) === element_at(t, i + p)))
+    // All four per-row integers (lag-1/2/3 self-match counts + Σc²)
+    // come from ONE native codegen expression — see
+    // graft.functions.TokenAutocorr for the interpreted-HOF history
+    // (two fused HOF designs measured SLOWER than three filter
+    // passes; the compiled single pass beats them all: 13.1 s →
+    // 2.2 s at sf0.1 same-window). Same integers, untouched oracle;
+    // TokenAutocorrSpec pins bit equality against the HOF form.
     def ac(p: Int) = col(s"m$p").cast("double") / (col("n_tok") - p)
     val baseline = col("sumsq").cast("double") / (col("n_tok") * col("n_tok"))
     Tables.documents(s, dir)
       .filter(n >= 4)
-      .select(col("doc_id"), n.cast("long").as("n_tok"), sumsq.as("sumsq"),
-        m(1).as("m1"), m(2).as("m2"), m(3).as("m3"))
+      .select(col("doc_id"), n.cast("long").as("n_tok"),
+        graft.functions.TokenAutocorr(t).as("st"))
+      .select(col("doc_id"), col("n_tok"), col("st.sumsq").as("sumsq"),
+        col("st.m1").as("m1"), col("st.m2").as("m2"), col("st.m3").as("m3"))
       .select(col("doc_id"), col("n_tok"),
         round(ac(1), 4).as("ac1"), round(ac(2), 4).as("ac2"), round(ac(3), 4).as("ac3"),
         round(baseline, 4).as("baseline"),
@@ -2041,8 +2020,7 @@ object Text {
        |ORDER BY filter_a, filter_b""".stripMargin,
   ) { (s, dir) =>
     val toks = TextAnalysis.tokens(col("text"))
-    val rawSh = transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val rawSh = graft.functions.WordNGrams(toks, 3, distinct = false)
     val sc = Dedup.persistTracked(Tables.documents(s, dir)
       .filter(size(toks) >= 3)
       .select(col("doc_id"),
@@ -2498,10 +2476,10 @@ object Text {
       val bg = Tables.documents(s, dir)
         .filter(size(toks) >= 2)
         .select(col("doc_id"), toks.as("t"))
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(Dedup.polyTokenHash(element_at(col("t"), i)).as("h1"),
-            Dedup.polyTokenHash(element_at(col("t"), i + 1)).as("h2")))).as("b"))
-        .select(col("doc_id"), col("b.h1"), col("b.h2"))
+        .select(col("doc_id"),
+          explode(graft.functions.AdjacentPairs(col("t"))).as("b"))
+        .select(col("doc_id"), Dedup.polyTokenHash(col("b.a")).as("h1"),
+          Dedup.polyTokenHash(col("b.b")).as("h2"))
       val z = (col("ng") - lit(0.25) * col("n")) /
         sqrt(col("n") * lit(0.25) * lit(0.75))
       bg.groupBy("doc_id")

@@ -50,9 +50,8 @@ object Keywords {
     // counts every occurrence
     val bg = graft.dedup.Dedup.persistTracked(
       docs.filter(size(toks) >= 2)
-        .select(col(idCol), explode(transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+        .select(col(idCol), explode(
+          graft.functions.WordNGrams(toks, 2, distinct = false)).as("bigram"))
         .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
     val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
