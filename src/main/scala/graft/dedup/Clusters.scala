@@ -138,7 +138,11 @@ object Clusters {
   /** Drop the checkpoint blocks backing `df` (a localCheckpoint'ed
     * round). Safe only when nothing will read the round again.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  /** Drop a localCheckpoint's executor blocks once nothing references
+    * it (also used by q280's greedy cover loop — any iterative
+    * checkpoint-per-round loop wants this).
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()

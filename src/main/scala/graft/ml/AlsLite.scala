@@ -97,6 +97,9 @@ object AlsLite {
       ratingCol: String, givenF: DataFrame, k: Int, lambda: Double): DataFrame = {
     val spark = ratings.sparkSession
     import spark.implicits._
+    // `ratings` arrives hash-partitioned on `otherCol` (train persists
+    // one copy per join side), so this join re-exchanges only the
+    // factor table — the ratings stay put every half-step
     val joined = ratings
       .select(col(solveCol).as("sid"), col(otherCol).as("oid"),
         col(ratingCol).cast("double").as("r"))
@@ -163,6 +166,16 @@ object AlsLite {
     val spark = ratings.sparkSession
     import spark.implicits._
     val rts = graft.dedup.Dedup.persistTracked(ratings)
+    // one ratings copy hash-partitioned per join side (guide §2.4:
+    // two operations keyed the same way share one exchange): each
+    // half-step joins on the OTHER side's key, so the per-iteration
+    // exchanges of the ratings collapse into these two one-time
+    // shuffles — 2·iters exchanges become 2, and only the
+    // factor-table side moves per half-step
+    val rtsByItem = graft.dedup.Dedup.persistTracked(
+      rts.repartition(col(itemCol)))
+    val rtsByUser = graft.dedup.Dedup.persistTracked(
+      rts.repartition(col(userCol)))
     val kk = k
     // Lineage is cut EVERY half-step with an eager localCheckpoint
     // (the Clusters.connectedComponents idiom): each half-step's plan
@@ -177,8 +190,10 @@ object AlsLite {
     var uF: DataFrame = null
     val trace = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
-      uF = solveSide(rts, userCol, itemCol, ratingCol, iF, k, lambda).localCheckpoint(true)
-      iF = solveSide(rts, itemCol, userCol, ratingCol, uF, k, lambda).localCheckpoint(true)
+      uF = solveSide(rtsByItem, userCol, itemCol, ratingCol, iF, k, lambda)
+        .localCheckpoint(true)
+      iF = solveSide(rtsByUser, itemCol, userCol, ratingCol, uF, k, lambda)
+        .localCheckpoint(true)
       if (traceObjective)
         trace += objective(rts, uF, iF, userCol, itemCol, ratingCol, lambda)
     }

@@ -1585,6 +1585,7 @@ object Curation {
         .distinct())
       val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       var uncovered = sh
+      var checkpointed: org.apache.spark.sql.DataFrame = null
       for (r <- 1 to K) {
         val gains = if (picks.isEmpty) uncovered
           else uncovered.filter(!col("doc_id").isin(picks.map(_._2).toSeq: _*))
@@ -1594,9 +1595,22 @@ object Curation {
           val row = best(0)
           picks += ((r.toLong, row.getLong(0), row.getLong(1)))
           val cov = sh.filter(col("doc_id") === row.getLong(0)).select("shingle")
-          uncovered = uncovered.join(cov, Seq("shingle"), "left_anti")
+          // EAGER lineage cut per greedy round (the
+          // Clusters.connectedComponents idiom): without it round r
+          // re-executes all r−1 anti-joins from the persisted base —
+          // O(K²) scans; with it each round is one anti-join over the
+          // previous round's materialized survivors. Previous round's
+          // blocks are dropped once the new one exists.
+          val next = uncovered.join(cov, Seq("shingle"), "left_anti")
+            .localCheckpoint(true)
+          if (checkpointed != null)
+            graft.dedup.Clusters.releaseCheckpoint(checkpointed)
+          checkpointed = next
+          uncovered = next
         }
       }
+      if (checkpointed != null)
+        graft.dedup.Clusters.releaseCheckpoint(checkpointed)
       import s.implicits._
       picks.toSeq.toDF("sel_rank", "doc_id", "gain").orderBy("sel_rank")
     }

@@ -362,16 +362,19 @@ object Etl {
         val cum = h.withColumn("cum", sum("c").over(Window.orderBy("v")))
         val n = h.agg(sum("c").as("n"), count(lit(1)).as("ndv"),
           min("v").as("vmin"), max("v").as("vmax"))
-        val qs = (1 to 3).map { k =>
-          cum.crossJoin(broadcast(n.select("n"))) // 1-row scalar
-            .filter(col("cum") * 4 >= col("n") * k)
-            .agg(min("v").cast("double").as(s"q$k"))
-        }
-        qs.foldLeft(
-            n.select(lit(c).as("col_name"), col("n"), col("ndv"),
-              col("vmin").cast("double").as("vmin"),
-              col("vmax").cast("double").as("vmax")))(
-            (acc, q) => acc.crossJoin(broadcast(q))) // 1×1 scalars
+        // all three boundaries from ONE pass over the cumulative
+        // histogram: min(v | 4·cum ≥ k·N) as conditional mins (min
+        // skips the when's nulls — identical to the filter+agg form,
+        // which executed the single-partition window 3×)
+        val qExprs = (1 to 3).map(k =>
+          min(when(col("cum") * 4 >= col("n") * k, col("v")))
+            .cast("double").as(s"q$k"))
+        val q = cum.crossJoin(broadcast(n.select("n"))) // 1-row scalar
+          .agg(qExprs.head, qExprs.tail: _*)
+        n.select(lit(c).as("col_name"), col("n"), col("ndv"),
+            col("vmin").cast("double").as("vmin"),
+            col("vmax").cast("double").as("vmax"))
+          .crossJoin(broadcast(q)) // 1×1 scalars
       }
       cols.map(one).reduce(_ unionByName _).orderBy("col_name")
     }

@@ -1724,13 +1724,16 @@ object Text {
       |ORDER BY doc_id""".stripMargin,
   ) { (s, dir) =>
     val toks = TextAnalysis.tokens(col("text"))
-    val raw = transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    // distinct 3-gram count via the compiled WordNGrams (same strings,
+    // same first-occurrence distinct); the TOTAL 3-gram count is
+    // size(t) − 2 by construction (transform preserved length), so the
+    // raw n-gram array is never materialized at all
     Tables.documents(s, dir)
       .filter(size(toks) >= 3)
       .select(col("doc_id"),
-        round(lit(1.0) - size(array_distinct(raw)).cast("double") / size(raw), 4).as("rep_ratio"))
+        round(lit(1.0) -
+          size(graft.functions.WordNGrams(toks, 3, distinct = true)).cast("double")
+            / (size(toks) - 2), 4).as("rep_ratio"))
       .orderBy("doc_id")
   }
 
