@@ -57,6 +57,10 @@ object PageRank {
     val deg = graft.dedup.Dedup.persistTracked(
       e.groupBy("src").agg(count(lit(1)).as("outdeg"), min(col("dst")).as("mark"))
         .select(col("src").as("id"), col("outdeg"), col("mark")))
+    // (r12 A/B: additionally sortWithinPartitions("src") before the
+    // persist — hoping SMJ would skip the per-iteration edge sort —
+    // measured NEUTRAL-to-worse, 8.0 → 8.9 s on q125 same-window, so
+    // the cached-partitioning-only form stays)
     val ed = graft.dedup.Dedup.persistTracked(
       e.join(deg.withColumnRenamed("id", "src"), "src").repartition(col("src")))
     val n = deg.agg(count(lit(1)).as("nn"))

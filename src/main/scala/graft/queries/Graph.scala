@@ -51,18 +51,26 @@ object Graph {
     val tx = graft.dedup.Dedup.persistTracked(Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item")).distinct())
     val n = tx.agg(countDistinct("oid").as("n_tx"))
-    val freq = tx.groupBy("item").agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 10)
+    // three consumers now (ft's filter + the two post-aggregate
+    // support joins) — persist the catalog-sized support table
+    val freq = graft.dedup.Dedup.persistTracked(
+      tx.groupBy("item").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 10))
     val ft = graft.dedup.Dedup.persistTracked(
-      tx.join(freq, "item")) // catalog-sized: deliberately unhinted
-    val pairs = ft.select(col("oid"), col("item").as("item_a"), col("sup").as("sup_a"))
-      .join(ft.select(col("oid"), col("item").as("item_b"), col("sup").as("sup_b")),
-        Seq("oid"))
+      tx.join(freq.select("item"), "item")) // catalog-sized: deliberately unhinted
+    // supports join AFTER the pair aggregate (guide §2.3 project before
+    // the exchange): sup_a/sup_b are functions of the item keys, so
+    // carrying them through the basket self-join doubled every pair
+    // row's shuffle width for values a catalog-sized join recovers from
+    // ≤ |items| aggregated rows
+    val pairs = ft.select(col("oid"), col("item").as("item_a"))
+      .join(ft.select(col("oid"), col("item").as("item_b")), Seq("oid"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("sup_ab"), max("sup_a").as("sup_a"),
-        max("sup_b").as("sup_b"))
+      .agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= 2)
+      .join(freq.select(col("item").as("item_a"), col("sup").as("sup_a")), "item_a")
+      .join(freq.select(col("item").as("item_b"), col("sup").as("sup_b")), "item_b")
     pairs.crossJoin(broadcast(n)) // 1-row scalar
       .select(col("item_a"), col("item_b"), col("sup_ab").as("support"),
         round((col("sup_ab") * col("n_tx")).cast("double")
