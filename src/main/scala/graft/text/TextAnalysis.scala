@@ -36,25 +36,20 @@ object TextAnalysis {
     least(lit(1.0), n / 50.0) * 0.5 + (lit(1.0) - stopRatio) * 0.5
   }
 
-  /** Language marker words; deterministic, mirrors the SQL oracle. */
-  /** Exact LZ78 phrase count over the first `cap` chars, as a codegen'd
-    * `aggregate` fold with a STRUCT accumulator (dict, current, count).
-    * The struct shape matters for speed: a delimited-string accumulator
-    * (the oracle's list_reduce form) costs three regex splits per
-    * character step — measured ~3× the whole fold. The DuckDB oracle
-    * keeps the string encoding (its list_reduce can't type a struct
-    * accumulator); equality of RESULTS is what the gate checks.
+  /** Exact LZ78 phrase count over the first `cap` characters — the
+    * compiled graft.functions.LzPhraseCount expression, replacing the
+    * interpreted HOF fold with the same delimited-string dictionary
+    * semantics the DuckDB oracle replays (bit-equal,
+    * CodegenTextOpsSpec; 8× on the q269 bench). The empty guard
+    * stays at this level: DuckDB's string_split('', '') yields []
+    * where the old fold's split("", "") saw [""] — the oracle counts
+    * 0 phrases for an empty document. NULL stays NULL.
     */
   def lzPhraseCount(text: Column, cap: Int): Column =
-    // Compiled loop (graft.functions.LzPhraseCount) replacing the
-    // interpreted HOF fold — same delimited-string dictionary
-    // semantics, bit-equal (LzPhraseCountSpec), ~10× on the q269
-    // bench. The empty guard stays: DuckDB's string_split('', '')
-    // yields [] where the fold's split("", "") saw [""] — the oracle
-    // counts 0 phrases for an empty document. NULL stays NULL.
     when(length(text) === 0, lit(0))
       .otherwise(graft.functions.LzPhraseCount(text, cap))
 
+  /** Language marker words; deterministic, mirrors the SQL oracle. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
     "es" -> Seq("el", "la", "de", "y"),
