@@ -92,20 +92,37 @@ object AlsLite {
 
   /** One half-step: solve `solveCol`'s factors given `givenF` (the
     * other side's factor table). Returns (id, f, n).
+    *
+    * `broadcastGiven = true` is the catalog-side fast path (guide §8:
+    * decide with small rows, never shuffle the payload twice): when
+    * `givenF` is the ITEM factor table — catalog-sized, the q132
+    * broadcast-cnt size class, NOT the user side that grows with the
+    * corpus — and `ratings` is already hash-partitioned by `solveCol`,
+    * the broadcast hash join preserves that partitioning, so the
+    * (ratings × k-dim factor) rows never shuffle at all: the half-step
+    * is join + in-partition sort + solve, ZERO exchanges. Exactness is
+    * untouched: the row set is the same inner join, each sid group
+    * still lands whole in one partition (the cached hash partitioning),
+    * and the fold order is still sortWithinPartitions(sid, oid) — so
+    * factors stay bit-identical (AlsSpec's partitioning pin).
     */
   private def solveSide(ratings: DataFrame, solveCol: String, otherCol: String,
-      ratingCol: String, givenF: DataFrame, k: Int, lambda: Double): DataFrame = {
+      ratingCol: String, givenF: DataFrame, k: Int, lambda: Double,
+      broadcastGiven: Boolean = false): DataFrame = {
     val spark = ratings.sparkSession
     import spark.implicits._
-    // `ratings` arrives hash-partitioned on `otherCol` (train persists
-    // one copy per join side), so this join re-exchanges only the
-    // factor table — the ratings stay put every half-step
-    val joined = ratings
+    // Slow path: `ratings` arrives hash-partitioned on `otherCol`, so
+    // the join re-exchanges only the factor table, then the joined
+    // rows repartition by the side being solved.
+    val base = ratings
       .select(col(solveCol).as("sid"), col(otherCol).as("oid"),
         col(ratingCol).cast("double").as("r"))
-      .join(givenF.select(col("id").as("oid"), col("f")), "oid")
+    val gf = givenF.select(col("id").as("oid"), col("f"))
+    val joined0 =
+      if (broadcastGiven) base.join(broadcast(gf), "oid")
+      else base.join(gf, "oid").repartition(col("sid"))
+    val joined = joined0
       .select(col("sid"), col("oid"), col("r"), col("f"))
-      .repartition(col("sid"))
       .sortWithinPartitions("sid", "oid")
       .as[(Long, Long, Double, Array[Double])]
     val solved: Dataset[(Long, Array[Double], Long)] = joined.mapPartitions { it =>
@@ -166,14 +183,19 @@ object AlsLite {
     val spark = ratings.sparkSession
     import spark.implicits._
     val rts = graft.dedup.Dedup.persistTracked(ratings)
-    // one ratings copy hash-partitioned per join side (guide §2.4:
-    // two operations keyed the same way share one exchange): each
-    // half-step joins on the OTHER side's key, so the per-iteration
-    // exchanges of the ratings collapse into these two one-time
-    // shuffles — 2·iters exchanges become 2, and only the
-    // factor-table side moves per half-step
-    val rtsByItem = graft.dedup.Dedup.persistTracked(
-      rts.repartition(col(itemCol)))
+    // ONE ratings copy, hash-partitioned by the user key (guide §2.4 /
+    // §8). Both half-steps read it:
+    //   - the user half-step broadcast-joins the catalog-sized item
+    //     factor table onto it, which preserves the cached user
+    //     partitioning — zero exchanges for the whole half-step;
+    //   - the item half-step joins the user factor table on the user
+    //     key (the cached partitioning again serves the join) and then
+    //     repartitions the joined rows by item — the one unavoidable
+    //     payload shuffle per iteration (user factors grow with the
+    //     corpus and must NEVER broadcast — scale stance).
+    // The item side must be the catalog-sized one (q141: suppliers);
+    // callers with two corpus-sized sides should flip which column is
+    // "item" or extend this to the two-copy form this replaced.
     val rtsByUser = graft.dedup.Dedup.persistTracked(
       rts.repartition(col(userCol)))
     val kk = k
@@ -190,7 +212,8 @@ object AlsLite {
     var uF: DataFrame = null
     val trace = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
-      uF = solveSide(rtsByItem, userCol, itemCol, ratingCol, iF, k, lambda)
+      uF = solveSide(rtsByUser, userCol, itemCol, ratingCol, iF, k, lambda,
+          broadcastGiven = true)
         .localCheckpoint(true)
       iF = solveSide(rtsByUser, itemCol, userCol, ratingCol, uF, k, lambda)
         .localCheckpoint(true)

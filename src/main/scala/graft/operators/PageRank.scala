@@ -35,10 +35,21 @@ object PageRank {
 
   /** Symmetrize a directed edge list: every (src,dst) also appears as
     * (dst,src). Input need not be distinct; output is.
+    *
+    * `disjointSides = true` skips the post-union distinct when the
+    * caller can PROVE no collision is possible: the input is already
+    * distinct AND src/dst draw from disjoint id domains (a bipartite
+    * graph — q125/q336 encode customers as 2k, suppliers as 2k+1), so
+    * (a,b) and its swap (b,a) can never both occur and the union is
+    * distinct by construction. That elides one full-width exchange +
+    * dedup over 2·|E| rows; the result is row-identical to the
+    * distinct form (guide §2.4: a `distinct` on data that is already
+    * unique is an accidental shuffle).
     */
-  def undirected(edges: DataFrame): DataFrame = {
+  def undirected(edges: DataFrame, disjointSides: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val u = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    if (disjointSides) u else u.distinct()
   }
 
   /** Shared setup: (deg, ed, n) — the persisted degree table, the
@@ -49,7 +60,13 @@ object PageRank {
     * a driver collect — plan construction launches zero jobs).
     */
   private def prepare(edges0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+    // `e` feeds BOTH the degree aggregate and the annotated edge list —
+    // without a persist the whole edge-producing subtree (typically a
+    // corpus-sized join + distinct) executes twice, once per consumer
+    // (the q224 `w` / CC `stepped` finding, measured on q125: the
+    // duplicated chain was ~2 s of the query)
+    val e = graft.dedup.Dedup.persistTracked(
+      edges0.select(col("src").cast("long"), col("dst").cast("long")))
     // `mark` (min dst per src) rides the degree aggregate for free: it
     // flags exactly one edge per source (edges are distinct), which is
     // how [[runObserved]] emits one prev-rank carrier row per node

@@ -226,7 +226,13 @@ object Graph {
     */
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val cs = custSupp(s, dir)
+    // persist BEFORE the self-join: both join sides reference cs, so an
+    // un-persisted cs executes the corpus-sized orders⋈lineitem +
+    // distinct + hot-cap chain twice when the projection materializes
+    // (the q125 `prepare` finding). CacheManager dedupes this entry
+    // with q132's identical custSupp persist — one materialization per
+    // (session, corpus) either way.
+    val cs = graft.dedup.Dedup.persistTracked(custSupp(s, dir))
     graft.dedup.Dedup.persistTracked(cs.as("a").join(cs.as("b"),
         col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
       .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
@@ -369,8 +375,11 @@ object Graph {
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+      // disjointSides: customer ids are even, supplier ids odd, and
+      // `edges` is already distinct — the swap union cannot collide,
+      // so the symmetrize skips its redundant distinct (row-identical)
       val ranks = graft.operators.PageRank.runObserved(
-        graft.operators.PageRank.undirected(edges), iters = 5)
+        graft.operators.PageRank.undirected(edges, disjointSides = true), iters = 5)
       ranks.select(col("id"), round(col("pr"), 12).as("pr"), col("settled"))
         .orderBy(col("pr").desc, col("id")).limit(20)
     }
@@ -415,7 +424,8 @@ object Graph {
         |FROM l3 GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20""".stripMargin,
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val cs = custSupp(s, dir)
+      // persisted for the same both-join-sides reason as coPurchaseEdges
+      val cs = graft.dedup.Dedup.persistTracked(custSupp(s, dir))
       val e = cs.as("a").join(cs.as("b"),
           col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
         .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
@@ -754,7 +764,7 @@ object Graph {
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       val ranks = graft.operators.PageRank.personalized(
-        graft.operators.PageRank.undirected(edges),
+        graft.operators.PageRank.undirected(edges, disjointSides = true),
         isSeed = col("id") % 2 === 1, iters = 5)
       ranks.select(col("id"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("id")).limit(20)
